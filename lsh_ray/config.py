@@ -1,0 +1,71 @@
+"""Pipeline configuration.
+
+One frozen dataclass pins every knob that affects results, mirroring the
+reference's single-constants-module discipline (``/root/reference/constants.py``):
+seed-derived permutations (``lsh.py:213-219``), number of permutations
+(``constants.py:1``), selector count (``constants.py:6-10``), shingle window
+configs (``lsh.py:46-48`` PLSH, ``lsh.py:77-79`` NLSH).
+
+The config hash is part of every checkpoint manifest so a resumed run with a
+different config never silently reuses stale partitions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """All knobs for the near-duplicate detection pipeline."""
+
+    # determinism
+    seed: int = 42
+
+    # shingling (analog of the reference's PLSH window config, lsh.py:46-48)
+    shingle_k: int = 5          # tokens per shingle
+    shingle_stride: int = 1     # step between shingle starts
+    min_tokens: int = 1         # docs with fewer tokens are dropped (empty-doc filter)
+
+    # MinHash (reference: permutation sketch, lsh.py:213-255; 128 perms per north star)
+    num_perms: int = 128
+
+    # SimHash
+    simhash_bits: int = 64
+
+    # LSH banding: bands * rows_per_band == num_perms
+    bands: int = 32
+    rows_per_band: int = 4
+
+    # candidate generation / skew handling
+    group_size_cap: int = 256   # band groups larger than this emit a connectivity
+                                # chain + capped extra pairs instead of all O(n^2) pairs
+    min_band_hits: int = 1      # pairs must collide in >= this many bands
+
+    # verification
+    jaccard_threshold: float = 0.8
+    simhash_hamming_max: int = 3       # for the simhash-only dedup path
+    containment_threshold: float = 0.9  # substring-containment gate
+
+    # execution
+    batch_size: int = 4096
+    signature_concurrency: int = 8      # actor-pool size for the signature stage
+    join_num_partitions: int = 32
+    lang_filter: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perms:
+            raise ValueError(
+                f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
+                f"must equal num_perms ({self.num_perms})"
+            )
+
+    def config_hash(self) -> str:
+        """Stable hash of every result-affecting knob (for checkpoint lineage)."""
+        payload = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = PipelineConfig()

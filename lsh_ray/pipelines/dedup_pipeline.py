@@ -1,0 +1,94 @@
+"""End-to-end near-duplicate detection + clustering pipeline.
+
+read_parquet(documents) -> normalize -> shingle -> signatures (MinHash-128 +
+SimHash-64, actor pool) -> LSH banding -> candidate pairs (bucketed groupby
+shuffle, skew-capped) -> verify (exact Jaccard / Hamming / containment) ->
+suffix-array substring pass -> union-find clustering.
+
+Rebuild of the reference's create_index + search flow (``lsh.py:415-473``,
+``lsh.py:476-570``) as corpus self-join dedup: there is no separate query
+path — banding collides the corpus with itself; the verification kernels
+play the role of the matching algorithms; the threshold gate plays
+``clip_false_candidates`` (``lsh.py:385-412``).
+
+Checkpointing: ``signatures`` and ``verified`` are forks in the DAG (each
+consumed twice). With ``checkpoint_dir`` set they are written to Parquet and
+re-read (the 100 TB path — resumable, spillable, see lsh_ray.state);
+without it they are pinned with ``materialize()`` (test scale).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any
+
+import ray.data
+
+from lsh_ray.config import DEFAULT_CONFIG, PipelineConfig
+from lsh_ray.stages.banding import band_rows
+from lsh_ray.stages.candidates import candidate_pairs
+from lsh_ray.stages.cluster import clusters_table
+from lsh_ray.stages.minhash import signatures
+from lsh_ray.stages.normalize import normalize
+from lsh_ray.stages.shingle import shingle
+from lsh_ray.stages.substring import substring_pass
+from lsh_ray.stages.verify import verify
+
+
+@dataclass
+class DedupResult:
+    normalized: Any
+    signatures: Any
+    cand_pairs: Any
+    verified: Any
+    substring_pairs: Any
+    clusters: Any
+
+
+def _fork(ds, checkpoint_dir: str | None, name: str, config: PipelineConfig):
+    """Materialize a DAG fork: parquet checkpoint (resumable) or object store."""
+    if checkpoint_dir:
+        from lsh_ray.state.checkpoint import checkpoint_dataset
+        return checkpoint_dataset(ds, os.path.join(checkpoint_dir, name), config)
+    return ds.materialize()
+
+
+def run_dedup(docs_ds, config: PipelineConfig = DEFAULT_CONFIG,
+              checkpoint_dir: str | None = None,
+              distributed_cc: bool = False) -> DedupResult:
+    """Full pipeline over a documents Dataset; returns every stage output."""
+    normalized = normalize(docs_ds, config)
+    shingled = shingle(normalized, config)
+    sigs = _fork(signatures(shingled, config), checkpoint_dir, "signatures",
+                 config)
+    bands = band_rows(sigs, config)
+    pairs = candidate_pairs(bands, config)
+    verified = _fork(verify(pairs, sigs, config), checkpoint_dir, "verified",
+                     config)
+    sub = substring_pass(verified, normalized, config)
+
+    dup_edges = verified.map_batches(
+        lambda t: t.filter(t["is_dup"]).select(["doc_a", "doc_b"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    sub_edges = sub.map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    edges = dup_edges.union(sub_edges)
+    clusters = clusters_table(edges, distributed=distributed_cc)
+    return DedupResult(
+        normalized=normalized,
+        signatures=sigs,
+        cand_pairs=pairs,
+        verified=verified,
+        substring_pairs=sub,
+        clusters=clusters,
+    )
+
+
+def dedup_documents(input_path: str | list[str],
+                    config: PipelineConfig = DEFAULT_CONFIG,
+                    checkpoint_dir: str | None = None) -> DedupResult:
+    """Convenience entry: parquet path(s) -> DedupResult."""
+    ds = ray.data.read_parquet(input_path)
+    return run_dedup(ds, config, checkpoint_dir=checkpoint_dir)

@@ -1,0 +1,127 @@
+"""Candidate-pair generation: band rows -> (doc_a, doc_b, n_band_hits).
+
+Rebuild of the reference's collision counting (``lsh.py:272-317``): the
+reference probes the inverted index per query and increments a dense
+``candidates_count`` vector per posting hit. Here candidate generation is a
+self-collision of the corpus: documents sharing a ``band_key`` form a group;
+every within-group pair is a candidate; the number of distinct bands in
+which a pair collides is its collision count (``n_band_hits``).
+
+Scale design (explicit, per north_rule):
+
+- **Shuffle #1** groups band rows by a deterministic ``bucket = band_key %
+  NB`` column; each ``map_groups`` call receives a whole bucket and resolves
+  ALL its band groups with numpy (sort + boundary diff) — a few hundred
+  Python invocations total, never one per band group.
+- **Skew / hot bands** (boilerplate pages; reference analog: unbounded
+  postings cells ``lsh.py:260-266``): a band group larger than
+  ``group_size_cap`` does NOT emit O(n^2) pairs. It emits a sorted
+  consecutive-doc chain (n-1 pairs) — preserving connectivity for
+  clustering while capping output linearly. Enormous groups are by
+  construction boilerplate collisions.
+- **Shuffle #2** (much smaller input: pairs, not band rows) groups by a
+  pair-hash bucket and sums per-band partial counts into the global
+  ``n_band_hits``, deduplicating pairs — again vectorized per bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from lsh_ray.config import PipelineConfig
+from lsh_ray.functions.hashing import hash_pair
+
+_NUM_BUCKETS = 256
+
+
+def _pairs_for_band_bucket(group: pa.Table, cap: int) -> pa.Table:
+    """Candidate pairs within one bucket of band rows (vectorized).
+
+    Emits pairs with per-bucket partial collision counts; global dedup and
+    counting happen in the second pass (a pair colliding in two different
+    bands has two different band_keys, which may land in different buckets).
+    """
+    bk = group["band_key"].to_numpy(zero_copy_only=False)
+    doc = group["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, bk))
+    bk, doc = bk[order], doc[order]
+    starts = np.flatnonzero(np.concatenate(([True], bk[1:] != bk[:-1])))
+    ends = np.concatenate((starts[1:], [len(bk)]))
+    a_parts: list[np.ndarray] = []
+    b_parts: list[np.ndarray] = []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        d = np.unique(doc[s:e])
+        m = len(d)
+        if m < 2:
+            continue
+        if m <= cap:
+            iu, ju = np.triu_indices(m, k=1)
+            a_parts.append(d[iu]); b_parts.append(d[ju])
+        else:
+            # hot band: connectivity chain only (skew cap)
+            a_parts.append(d[:-1]); b_parts.append(d[1:])
+    if not a_parts:
+        return _empty_pairs()
+    a = np.concatenate(a_parts); b = np.concatenate(b_parts)
+    pairs = np.stack([a, b], axis=1)
+    uniq, counts = np.unique(pairs, axis=0, return_counts=True)
+    return pa.table({
+        "doc_a": pa.array(uniq[:, 0], type=pa.uint64()),
+        "doc_b": pa.array(uniq[:, 1], type=pa.uint64()),
+        "hits": pa.array(counts.astype(np.int32), type=pa.int32()),
+    })
+
+
+def _empty_pairs() -> pa.Table:
+    return pa.table({"doc_a": pa.array([], pa.uint64()),
+                     "doc_b": pa.array([], pa.uint64()),
+                     "hits": pa.array([], pa.int32())})
+
+
+def _sum_pair_bucket(group: pa.Table, min_hits: int) -> pa.Table:
+    a = group["doc_a"].to_numpy(zero_copy_only=False)
+    b = group["doc_b"].to_numpy(zero_copy_only=False)
+    h = group["hits"].to_numpy(zero_copy_only=False)
+    pairs = np.stack([a, b], axis=1)
+    uniq, inverse = np.unique(pairs, axis=0, return_inverse=True)
+    sums = np.bincount(inverse, weights=h).astype(np.int32)
+    keep = sums >= min_hits
+    return pa.table({
+        "doc_a": pa.array(uniq[keep, 0], type=pa.uint64()),
+        "doc_b": pa.array(uniq[keep, 1], type=pa.uint64()),
+        "n_band_hits": pa.array(sums[keep], type=pa.int32()),
+    })
+
+
+def candidate_pairs(band_rows_ds, config: PipelineConfig,
+                    num_buckets: int = _NUM_BUCKETS):
+    """(band_key, doc_id) Dataset -> (doc_a, doc_b, n_band_hits) Dataset.
+
+    ``doc_a < doc_b`` always (canonical orientation).
+    """
+    nb = np.uint64(num_buckets)
+
+    def add_band_bucket(t: pa.Table) -> pa.Table:
+        bk = t["band_key"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((bk % nb).astype(np.int32)))
+
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        key = hash_pair(t["doc_a"].to_numpy(zero_copy_only=False),
+                        t["doc_b"].to_numpy(zero_copy_only=False))
+        return t.append_column("bucket", pa.array((key % nb).astype(np.int32)))
+
+    partial = (band_rows_ds
+               .map_batches(add_band_bucket, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .groupby("bucket")
+               .map_groups(lambda g: _pairs_for_band_bucket(g, config.group_size_cap),
+                           batch_format="pyarrow"))
+    return (partial
+            .map_batches(add_pair_bucket, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(lambda g: _sum_pair_bucket(g, config.min_band_hits),
+                        batch_format="pyarrow"))

@@ -1,0 +1,101 @@
+"""Partitioned hash join supporting arbitrary Arrow column types.
+
+``ray.data.Dataset.join`` delegates to Acero, which rejects nested
+(``list<...>``) non-key columns — exactly what the verify stage must carry
+(per-doc shingle sets). This module implements the portable explicit
+pattern instead: add ``bucket = hash(key) % NB`` to both sides, union them,
+``groupby(bucket)``, and join matching buckets vectorized inside
+``map_groups`` (searchsorted on the unique-key side). One shuffle, any
+column types, deterministic partitioning; NB bounds per-task memory.
+
+Semantics: INNER join; the right side's key must be unique (it is a
+doc_id-keyed dimension/signature table in every use here).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_NUM_BUCKETS = 64
+_SIDE_COL = "__side"
+_KEY_COL = "__jkey"
+_BUCKET_COL = "__bucket"
+
+
+def _null_array(dtype: pa.DataType, n: int) -> pa.Array:
+    return pa.nulls(n, type=dtype)
+
+
+def _join_bucket(group: pa.Table, left_cols: list[str],
+                 right_cols: list[str], rename: dict[str, str]) -> pa.Table:
+    side = group[_SIDE_COL].to_numpy(zero_copy_only=False)
+    left = group.filter(pa.array(side == 0))
+    right = group.filter(pa.array(side == 1))
+    lk = left[_KEY_COL].to_numpy(zero_copy_only=False)
+    rk = right[_KEY_COL].to_numpy(zero_copy_only=False)
+    order = np.argsort(rk)
+    rk_sorted = rk[order]
+    idx = np.searchsorted(rk_sorted, lk)
+    idx[idx == len(rk_sorted)] = max(len(rk_sorted) - 1, 0)
+    if len(rk_sorted) == 0:
+        hit = np.zeros(len(lk), dtype=bool)
+    else:
+        hit = rk_sorted[idx] == lk
+    left_hit = left.filter(pa.array(hit))
+    take_idx = order[idx[hit]]
+    cols: dict[str, pa.ChunkedArray | pa.Array] = {}
+    for c in left_cols:
+        cols[c] = left_hit[c]
+    right_taken = right.take(pa.array(take_idx, type=pa.int64()))
+    for c in right_cols:
+        cols[rename.get(c, c)] = right_taken[c]
+    return pa.table(cols)
+
+
+def bucket_join(left_ds, right_ds, left_key: str, right_key: str,
+                right_columns: list[str], suffix: str = "",
+                num_buckets: int = _NUM_BUCKETS):
+    """Inner-join ``left_ds`` with unique-keyed ``right_ds``.
+
+    Output = all left columns + ``right_columns`` (each renamed with
+    ``suffix``). Keys must be uint64-compatible integers.
+    """
+    left_schema = left_ds.schema()
+    right_sel = right_ds.select_columns([right_key, *right_columns])
+    right_schema = right_sel.schema()
+    left_cols = list(left_schema.names)
+    rename = {c: c + suffix for c in right_columns}
+
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    right_types = dict(zip(right_schema.names, right_schema.types))
+    nb = np.uint64(num_buckets)
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        k = t[left_key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        cols = {c: t[c] for c in left_cols}
+        for c in right_columns:
+            cols[c] = _null_array(right_types[c], t.num_rows)
+        cols[_KEY_COL] = pa.array(k, type=pa.uint64())
+        cols[_BUCKET_COL] = pa.array((k % nb).astype(np.int32))
+        cols[_SIDE_COL] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        k = t[right_key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        cols = {c: _null_array(left_types[c], t.num_rows) for c in left_cols}
+        for c in right_columns:
+            cols[c] = t[c]
+        cols[_KEY_COL] = pa.array(k, type=pa.uint64())
+        cols[_BUCKET_COL] = pa.array((k % nb).astype(np.int32))
+        cols[_SIDE_COL] = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    tagged_left = left_ds.map_batches(prep_left, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    tagged_right = right_sel.map_batches(prep_right, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+    both = tagged_left.union(tagged_right)
+    return both.groupby(_BUCKET_COL).map_groups(
+        lambda g: _join_bucket(g, left_cols, list(right_columns), rename),
+        batch_format="pyarrow")

@@ -1,0 +1,94 @@
+"""Normalize stage: web pages -> canonical (doc_id, url, text, lang) rows.
+
+Rebuild of the reference's load/extract stages (``loader.py:85-166``): decode
+the raw payload, extract the working sequence, drop empty rows. The per-row
+invariant required by BASELINE.json — byte-identical extracted ``text`` per
+``url`` — is guaranteed because extraction is a pure function of the row:
+when ``text`` is already present it passes through UNCHANGED; when only
+``html`` is present, tag-stripping is a fixed deterministic regex.
+
+Doc identity is content-derived (``doc_id = siphash64(url)``), fixing the
+reference's positional-id fragility (``lsh.py:263``, ``lsh.py:462-463``)
+where reordering between index build and search corrupts results.
+
+All transforms are vectorized ``map_batches`` over zero-copy Arrow batches;
+stateless (plain function -> Ray tasks, not actors).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from lsh_ray.functions.hashing import hash_strings
+
+_TAG_RE = re.compile(rb"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+
+
+def extract_text_from_html(html: bytes) -> str:
+    """Deterministic tag-strip + whitespace collapse (stub for a real HTML
+    parser; the Ray-side plumbing — schema, batching — is the real part)."""
+    raw = _TAG_RE.sub(b" ", html).decode("utf-8", errors="replace")
+    return _WS_RE.sub(" ", raw).strip()
+
+
+def normalize_batch(batch: pa.Table) -> pa.Table:
+    """One Arrow batch of web pages -> canonical rows; drops empty docs."""
+    names = set(batch.column_names)
+
+    if "url" in names:
+        urls = batch["url"]
+    else:  # testdata-shaped table (doc_id int64, ...) -> synthetic stable url
+        urls = pc.binary_join_element_wise(
+            pa.array(["doc://"] * batch.num_rows),
+            pc.cast(batch["doc_id"], pa.string()), "")
+
+    if "text" in names:
+        text = batch["text"]
+        if "html" in names:
+            # rows with null text but html payload: extract (pure per-row fn)
+            null_mask = pc.is_null(text).to_numpy(zero_copy_only=False)
+            if null_mask.any():
+                txt = text.to_pylist()
+                html = batch["html"].to_pylist()
+                for i in np.flatnonzero(null_mask):
+                    if html[i] is not None:
+                        txt[i] = extract_text_from_html(html[i])
+                text = pa.array(txt, type=pa.string())
+    elif "html" in names:
+        text = pa.array([extract_text_from_html(h) if h is not None else None
+                         for h in batch["html"].to_pylist()], type=pa.string())
+    else:
+        raise ValueError("batch has neither 'text' nor 'html' column")
+
+    lang = batch["lang"] if "lang" in names else pa.array(
+        [None] * batch.num_rows, type=pa.string())
+
+    doc_id = pa.array(hash_strings(urls.to_numpy(zero_copy_only=False)),
+                      type=pa.uint64())
+    out = pa.table({
+        "doc_id": doc_id,
+        "url": pc.cast(urls, pa.string()),
+        "text": text,
+        "lang": pc.cast(lang, pa.string()),
+    })
+    # empty-doc filter (analog of json_manipulator.py:213 len(contour)>0)
+    stripped = pc.utf8_trim_whitespace(pc.fill_null(out["text"], ""))
+    keep = pc.greater(pc.utf8_length(stripped), 0)
+    return out.filter(keep)
+
+
+def normalize(ds, config=None):
+    """documents Dataset -> normalized Dataset (stateless vectorized tasks)."""
+    out = ds.map_batches(normalize_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    if config is not None and config.lang_filter:
+        lf = config.lang_filter
+        out = out.map_batches(
+            lambda t: t.filter(pc.equal(t["lang"], lf)),
+            batch_format="pyarrow", zero_copy_batch=True)
+    return out

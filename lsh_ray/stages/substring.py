@@ -1,0 +1,69 @@
+"""Suffix-array pass: exact substring duplicates inside candidate groups.
+
+North-star requirement: "a suffix-array pass for exact substring duplicates
+within candidate groups". Candidate pairs whose shingle containment is high
+but whose Jaccard is below threshold (one doc embedded in a longer one) are
+verified EXACTLY here: the pair's two texts are joined in and checked with
+(a) a definitive C-speed containment scan and (b) a suffix-array + Kasai
+LCP longest-common-substring length (``lsh_ray.functions.suffix``).
+
+Runs only over the (small) substring-candidate pair set — never a global
+suffix structure (reference analog: alignment kernels run only on retrieved
+candidates, ``matching_algorithms.py:319-386``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from lsh_ray.config import PipelineConfig
+from lsh_ray.functions.suffix import (is_exact_substring,
+                                      longest_common_substring_len)
+
+
+def _substring_batch(batch: pa.Table, min_lcs: int) -> pa.Table:
+    texts_a = batch["text_a"].to_pylist()
+    texts_b = batch["text_b"].to_pylist()
+    n = batch.num_rows
+    lcs = np.zeros(n, dtype=np.int64)
+    is_sub = np.zeros(n, dtype=bool)
+    for i in range(n):
+        ta, tb = texts_a[i] or "", texts_b[i] or ""
+        shorter, longer = (ta, tb) if len(ta) <= len(tb) else (tb, ta)
+        if is_exact_substring(shorter, longer):
+            is_sub[i] = True
+            lcs[i] = len(shorter.encode())
+        else:
+            lcs[i] = longest_common_substring_len(ta.encode(), tb.encode())
+            is_sub[i] = lcs[i] >= min_lcs and lcs[i] >= len(shorter.encode())
+    return pa.table({
+        "doc_a": batch["doc_a"],
+        "doc_b": batch["doc_b"],
+        "lcs_len": pa.array(lcs, type=pa.int64()),
+        "is_substring": pa.array(is_sub),
+    })
+
+
+def substring_pass(verified_ds, normalized_ds, config: PipelineConfig,
+                   min_lcs: int = 64):
+    """Substring-candidate pairs -> exact substring verdicts.
+
+    ``verified_ds``: output of the verify stage (filtered to
+    ``is_substring_candidate`` here); ``normalized_ds``: (doc_id, text, ...).
+    """
+    cands = verified_ds.map_batches(
+        lambda t: t.filter(t["is_substring_candidate"])
+                   .select(["doc_a", "doc_b"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    from lsh_ray.stages.join import bucket_join
+    texts = normalized_ds.select_columns(["doc_id", "text"])
+    nb = config.join_num_partitions
+    j = bucket_join(cands, texts, "doc_a", "doc_id", ["text"],
+                    suffix="_a", num_buckets=nb)
+    j = bucket_join(j, texts, "doc_b", "doc_id", ["text"],
+                    suffix="_b", num_buckets=nb)
+    out = j.map_batches(lambda t: _substring_batch(t, min_lcs),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    return out.map_batches(lambda t: t.filter(t["is_substring"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
