@@ -39,6 +39,14 @@ class PipelineConfig:
     bands: int = 32
     rows_per_band: int = 4
 
+    # content-defined chunk keys (substring-containment candidates)
+    enable_chunk_keys: bool = True
+    chunk_divisor: int = 8       # power of two; expected chunk length in tokens.
+                                 # Small enough that a ~100-token embedded doc
+                                 # contains >=2 boundaries w.h.p. (recall),
+                                 # at ~tokens/divisor extra shuffle rows (cost).
+    chunk_min_tokens: int = 4    # spans shorter than this emit no key
+
     # candidate generation / skew handling
     group_size_cap: int = 256   # band groups larger than this emit a connectivity
                                 # chain + capped extra pairs instead of all O(n^2) pairs

@@ -58,15 +58,23 @@ def run_dedup(docs_ds, config: PipelineConfig = DEFAULT_CONFIG,
               checkpoint_dir: str | None = None,
               distributed_cc: bool = False) -> DedupResult:
     """Full pipeline over a documents Dataset; returns every stage output."""
-    normalized = normalize(docs_ds, config)
+    # normalized feeds three consumers (shingle, chunk keys, substring texts):
+    # fork it once rather than recompute per consumer
+    normalized = _fork(normalize(docs_ds, config), checkpoint_dir,
+                       "normalized", config)
     shingled = shingle(normalized, config)
     sigs = _fork(signatures(shingled, config), checkpoint_dir, "signatures",
                  config)
     bands = band_rows(sigs, config)
+    if config.enable_chunk_keys:
+        from lsh_ray.stages.chunking import chunk_rows
+        bands = bands.union(chunk_rows(normalized, config))
     pairs = candidate_pairs(bands, config)
     verified = _fork(verify(pairs, sigs, config), checkpoint_dir, "verified",
                      config)
-    sub = substring_pass(verified, normalized, config)
+    # substring results feed both the result surface and the edge union
+    sub = _fork(substring_pass(verified, normalized, config), checkpoint_dir,
+                "substring", config)
 
     dup_edges = verified.map_batches(
         lambda t: t.filter(t["is_dup"]).select(["doc_a", "doc_b"]),

@@ -1,0 +1,132 @@
+"""End-to-end pipeline vs brute-force oracle (SURVEY.md §5 strategy).
+
+The oracle recomputes all-pairs exact shingle Jaccard (same shingle config
+as the pipeline) in plain numpy — the rebuild analog of the reference's
+golden ``expected_results.list`` labels (``loader.py:55-66``). Gates:
+dup-pair recall >= 0.99 (BASELINE.md target), substring detection, and
+cluster-partition agreement.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lsh_ray.config import PipelineConfig
+from lsh_ray.functions.hashing import hash_strings
+from lsh_ray.functions.unionfind import UnionFind
+from lsh_ray.stages.shingle import shingle_sets_from_token_lists
+
+CFG = PipelineConfig()
+
+
+def brute_force_oracle(docs_tbl, cfg: PipelineConfig):
+    """All-pairs exact Jaccard + substring check. Returns (dup_pairs,
+    substring_pairs) as sets of (min_doc_id, max_doc_id)."""
+    texts = docs_tbl["text"].to_pylist()
+    urls = docs_tbl["url"].to_pylist()
+    doc_ids = hash_strings(urls)
+    tok_lists = [(t or "").lower().split() for t in texts]
+    vals, offs = shingle_sets_from_token_lists(
+        tok_lists, cfg.shingle_k, cfg.shingle_stride)
+    sets = [vals[offs[i]:offs[i + 1]] for i in range(len(tok_lists))]
+    keep = [i for i in range(len(sets)) if len(sets[i]) > 0]
+    dup, sub = set(), set()
+    for ii in range(len(keep)):
+        for jj in range(ii + 1, len(keep)):
+            i, j = keep[ii], keep[jj]
+            a, b = sets[i], sets[j]
+            if len(a) > len(b):
+                a, b = b, a
+            idx = np.searchsorted(b, a)
+            idx[idx == len(b)] = len(b) - 1
+            inter = int((b[idx] == a).sum())
+            jac = inter / (len(a) + len(b) - inter)
+            pid = tuple(sorted((int(doc_ids[i]), int(doc_ids[j]))))
+            if jac >= cfg.jaccard_threshold:
+                dup.add(pid)
+            elif inter / min(len(a), len(b)) >= cfg.containment_threshold:
+                ta, tb = texts[i], texts[j]
+                s, l = (ta, tb) if len(ta) <= len(tb) else (tb, ta)
+                if s in l:
+                    sub.add(pid)
+    return dup, sub
+
+
+def _partition(mapping) -> set[frozenset]:
+    groups = defaultdict(set)
+    for k, v in mapping.items():
+        groups[v].add(int(k))
+    return {frozenset(s) for s in groups.values()}
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(ray_session, corpus_dir):
+    import ray.data
+
+    from lsh_ray.pipelines.dedup_pipeline import run_dedup
+    docs = ray.data.read_parquet(corpus_dir + "/documents")
+    res = run_dedup(docs, CFG)
+    return {
+        "verified": res.verified.to_pandas(),
+        "substring": res.substring_pairs.to_pandas(),
+        "clusters": res.clusters.to_pandas(),
+    }
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_dir):
+    docs_tbl = pq.read_table(corpus_dir + "/documents")
+    return brute_force_oracle(docs_tbl, CFG)
+
+
+def test_dup_pair_recall_against_oracle(pipeline_result, oracle):
+    oracle_dup, _ = oracle
+    ver = pipeline_result["verified"]
+    pipe = {tuple(sorted((int(a), int(b))))
+            for a, b in zip(ver[ver.is_dup].doc_a, ver[ver.is_dup].doc_b)}
+    assert len(oracle_dup) > 50, "fixture must plant enough duplicates"
+    recall = len(oracle_dup & pipe) / len(oracle_dup)
+    assert recall >= 0.99, f"dup-pair recall {recall}"
+
+
+def test_dup_pair_precision_is_exact(pipeline_result, oracle):
+    # every emitted dup pair was verified with EXACT Jaccard, so precision
+    # against the oracle at the same threshold must be 1.0
+    oracle_dup, _ = oracle
+    ver = pipeline_result["verified"]
+    pipe = {tuple(sorted((int(a), int(b))))
+            for a, b in zip(ver[ver.is_dup].doc_a, ver[ver.is_dup].doc_b)}
+    assert pipe <= oracle_dup
+
+
+def test_substring_pairs_found(pipeline_result, oracle):
+    _, oracle_sub = oracle
+    sub = pipeline_result["substring"]
+    pipe = {tuple(sorted((int(a), int(b))))
+            for a, b in zip(sub.doc_a, sub.doc_b)}
+    assert len(oracle_sub) > 3, "fixture must plant substring pairs"
+    recall = len(oracle_sub & pipe) / len(oracle_sub)
+    assert recall >= 0.99, f"substring recall {recall}"
+
+
+def test_cluster_assignments_match_oracle(pipeline_result, oracle):
+    oracle_dup, oracle_sub = oracle
+    uf = UnionFind()
+    for a, b in oracle_dup | oracle_sub:
+        uf.union(a, b)
+    oracle_comp = uf.components()
+    clus = pipeline_result["clusters"]
+    pipe_map = {int(d): int(c)
+                for d, c in zip(clus.doc_id, clus.cluster_id)
+                if int(d) in oracle_comp}
+    assert _partition(oracle_comp) == _partition(pipe_map)
+
+
+def test_cluster_ids_are_min_member(pipeline_result):
+    clus = pipeline_result["clusters"]
+    for cid, grp in clus.groupby("cluster_id"):
+        assert int(cid) == int(grp.doc_id.min())
