@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module: nothing
+here (or in ``lsh_ray``) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship dedup pipeline on /root/testdata/sf0.001.
+- ``queries()``: every implemented operator/pipeline (SURVEY.md §2), one
+  callable per name taking ``sf_dir``.
+- ``oracle_sql()``: DuckDB-equivalent SQL for the SQL-expressible subset;
+  the rest get rows-only checks.
 """
 
 from __future__ import annotations
@@ -20,25 +17,18 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship near-duplicate pipeline on sf0.001: returns the per-doc
+    signature table (url, simhash, minhash_0, n_shingles) — the rebuild's
+    'index' artifact (reference analog: create_index, lsh.py:415-444)."""
+    from lsh_ray.pipelines.queries import q_minhash_signatures
+    return q_minhash_signatures("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from lsh_ray.pipelines.queries import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lsh_ray.pipelines.queries import ORACLE_SQL
+    return dict(ORACLE_SQL)

@@ -1,0 +1,180 @@
+"""Dedup operator family over the `documents` table.
+
+- **Exact dedup** (rebuild addition; the reference has none — SURVEY.md
+  §2.7 D5): content-hash pregroup `groupby(md5(text))`, keep the min-doc_id
+  representative. md5 (not SipHash) so a DuckDB oracle can recompute it.
+- **SimHash near-dup**: 64-bit SimHash fingerprints banded into 4x16-bit
+  pieces (any pair within Hamming distance 3 shares at least one piece by
+  pigeonhole), candidate pairs verified with exact Hamming distance.
+- **Embedding near-dup**: random-hyperplane (SRP) signatures over a
+  float-vector column, banded the same way, verified with exact cosine.
+
+All reuse the candidate-pair machinery of the main MinHash pipeline
+(`lsh_ray.stages.candidates`): one key family in, verified pairs out.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Min
+
+from lsh_ray.config import PipelineConfig
+from lsh_ray.functions.hashing import splitmix64
+from lsh_ray.stages.candidates import candidate_pairs
+from lsh_ray.stages.join import bucket_join
+
+_U64 = np.uint64
+
+
+def add_text_md5(ds, text_col: str = "text"):
+    """Append an md5 hex digest column (DuckDB-reproducible content hash)."""
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["text_hash"] = [
+            hashlib.md5((t or "").encode()).hexdigest()
+            for t in batch[text_col]]
+        return batch
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def exact_dup_groups(ds):
+    """documents -> (text_hash, n_docs, rep_doc_id) per distinct text."""
+    hashed = add_text_md5(ds.select_columns(["doc_id", "text"]))
+    return (hashed.groupby("text_hash")
+            .aggregate(Count(alias_name="n_docs"),
+                       Min("doc_id", alias_name="rep_doc_id")))
+
+
+def exact_dedup(ds):
+    """documents -> deduplicated representative doc_ids (min per text)."""
+    return exact_dup_groups(ds).map_batches(
+        lambda t: pa.table({"doc_id": t["rep_doc_id"]}),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- SimHash --
+
+def _simhash_piece_rows(batch: pa.Table, n_pieces: int = 4) -> pa.Table:
+    """(doc_id, simhash) -> (band_key, doc_id): one 16-bit piece per band.
+
+    Pigeonhole: hamming(a, b) <= n_pieces - 1 => at least one piece equal.
+    """
+    sh = batch["simhash"].to_numpy(zero_copy_only=False)
+    doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+    width = 64 // n_pieces
+    mask = _U64((1 << width) - 1)
+    keys = []
+    for p in range(n_pieces):
+        piece = (sh >> _U64(p * width)) & mask
+        with np.errstate(over="ignore"):
+            keys.append(splitmix64(piece + _U64(p + 1) * _U64(0xA5A5A5A5A5A5A5A5)))
+    band_key = np.concatenate(keys)
+    return pa.table({
+        "band_key": pa.array(band_key, type=pa.uint64()),
+        "doc_id": pa.array(np.tile(doc, n_pieces), type=pa.uint64()),
+    })
+
+
+def simhash_near_dup_pairs(signatures_ds, config: PipelineConfig):
+    """signatures -> pairs with exact Hamming <= config.simhash_hamming_max."""
+    rows = signatures_ds.select_columns(["doc_id", "simhash"]).map_batches(
+        _simhash_piece_rows, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = candidate_pairs(rows, config)
+    joined = bucket_join(pairs, signatures_ds, "doc_a", "doc_id",
+                         ["simhash"], suffix="_a",
+                         num_buckets=config.join_num_partitions)
+    joined = bucket_join(joined, signatures_ds, "doc_b", "doc_id",
+                         ["simhash"], suffix="_b",
+                         num_buckets=config.join_num_partitions)
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t["simhash_a"].to_numpy(zero_copy_only=False)
+        b = t["simhash_b"].to_numpy(zero_copy_only=False)
+        x = a ^ b
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                            axis=1).sum(axis=1).astype(np.int32)
+        out = pa.table({
+            "doc_a": t["doc_a"], "doc_b": t["doc_b"],
+            "hamming": pa.array(ham, type=pa.int32()),
+        })
+        return out.filter(pa.array(ham <= config.simhash_hamming_max))
+
+    return joined.map_batches(verify, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+# ------------------------------------------------------- embedding cosine --
+
+class SRPSignatureStage:
+    """Random-hyperplane signature for embedding vectors (actor pool:
+    projection matrix generated once per actor from the pinned seed)."""
+
+    def __init__(self, dim: int, bits: int = 64, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, bits))
+        self.bits = bits
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"].combine_chunks()
+        vecs = emb.values.to_numpy(zero_copy_only=False).reshape(
+            batch.num_rows, -1).astype(np.float64)
+        signs = (vecs @ self.planes) > 0
+        weights = _U64(1) << np.arange(self.bits, dtype=np.uint64)
+        sig = (signs.astype(np.uint64) * weights[None, :]).sum(
+            axis=1, dtype=np.uint64)
+        return pa.table({
+            "doc_id": batch["vec_id"].cast(pa.uint64()),
+            "simhash": pa.array(sig, type=pa.uint64()),
+        })
+
+
+def embedding_near_dup_pairs(embeddings_ds, dim: int,
+                             config: PipelineConfig,
+                             cosine_threshold: float = 0.9):
+    """embeddings (vec_id, embedding) -> near-dup pairs by exact cosine.
+
+    SRP-banded candidates (scale path), exact-cosine verification.
+    """
+    sigs = embeddings_ds.map_batches(
+        SRPSignatureStage, fn_constructor_args=(dim, 64, config.seed),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, config.signature_concurrency))
+    rows = sigs.map_batches(_simhash_piece_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    # relaxed hamming cap for candidates; exact cosine is the real gate
+    cand_cfg = config
+    pairs = candidate_pairs(rows, cand_cfg)
+    emb = embeddings_ds.map_batches(
+        lambda t: pa.table({"doc_id": t["vec_id"].cast(pa.uint64()),
+                            "embedding": t["embedding"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = bucket_join(pairs, emb, "doc_a", "doc_id", ["embedding"],
+                         suffix="_a", num_buckets=config.join_num_partitions)
+    joined = bucket_join(joined, emb, "doc_b", "doc_id", ["embedding"],
+                         suffix="_b", num_buckets=config.join_num_partitions)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        va = t["embedding_a"].combine_chunks().values.to_numpy(
+            zero_copy_only=False).reshape(t.num_rows, -1).astype(np.float64)
+        vb = t["embedding_b"].combine_chunks().values.to_numpy(
+            zero_copy_only=False).reshape(t.num_rows, -1).astype(np.float64)
+        num = (va * vb).sum(axis=1)
+        den = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+        cos = np.where(den > 0, num / den, 0.0)
+        out = pa.table({
+            "vec_a": t["doc_a"].cast(pa.int64()),
+            "vec_b": t["doc_b"].cast(pa.int64()),
+            "cosine": pa.array(cos, type=pa.float64()),
+        })
+        return out.filter(pa.array(cos >= cosine_threshold))
+
+    return joined.map_batches(verify, batch_format="pyarrow",
+                              zero_copy_batch=True)

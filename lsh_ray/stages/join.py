@@ -71,8 +71,15 @@ def bucket_join(left_ds, right_ds, left_key: str, right_key: str,
     right_types = dict(zip(right_schema.names, right_schema.types))
     nb = np.uint64(num_buckets)
 
+    def _key_u64(col) -> np.ndarray:
+        arr = col.to_numpy(zero_copy_only=False)
+        if arr.dtype == object or arr.dtype.kind in ("U", "S"):
+            from lsh_ray.functions.hashing import hash_strings
+            return hash_strings(arr)
+        return arr.astype(np.uint64)
+
     def prep_left(t: pa.Table) -> pa.Table:
-        k = t[left_key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        k = _key_u64(t[left_key])
         cols = {c: t[c] for c in left_cols}
         for c in right_columns:
             cols[c] = _null_array(right_types[c], t.num_rows)
@@ -82,7 +89,7 @@ def bucket_join(left_ds, right_ds, left_key: str, right_key: str,
         return pa.table(cols)
 
     def prep_right(t: pa.Table) -> pa.Table:
-        k = t[right_key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        k = _key_u64(t[right_key])
         cols = {c: _null_array(left_types[c], t.num_rows) for c in left_cols}
         for c in right_columns:
             cols[c] = t[c]

@@ -1,0 +1,127 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+Large-scale training-data pipeline additions (not in the reference, which
+operates on pitch sequences; the per-token statistics mirror its TF machinery
+``scripts/song_tfidf_calculation.py:82-101``). All vectorized `map_batches`;
+language-ID holds compiled state per actor.
+
+Token semantics are pinned to match the DuckDB oracle SQL exactly:
+``n_tokens = 0`` for empty/whitespace text, else the number of
+``\\s+``-separated pieces of the trimmed text.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from lsh_ray.functions.hashing import hash_strings, rolling_hash
+from lsh_ray.functions.num import round_half_away
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "it", "that", "was",
+           "for", "on", "with", "as", "his", "they", "at", "be", "this"},
+    "pt": {"de", "a", "o", "que", "e", "do", "da", "em", "um", "para",
+           "com", "não", "uma", "os", "no", "se", "na", "por", "mais"},
+    "de": {"der", "die", "und", "in", "den", "von", "zu", "das", "mit",
+           "sich", "des", "auf", "für", "ist", "im", "dem", "nicht", "ein"},
+}
+
+
+def token_count_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    t = batch["text"].fillna("").str.strip()
+    n = t.str.split().str.len().fillna(0).astype("int64")
+    n[t == ""] = 0
+    return pd.DataFrame({"doc_id": batch["doc_id"], "n_tokens": n})
+
+
+def token_counts(ds):
+    """documents -> (doc_id, n_tokens)."""
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pandas")
+
+
+def quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Quality signals: length, alpha/digit/space ratios, mean token length.
+
+    Ratios are rounded to 6 decimals so the DuckDB oracle can reproduce
+    them bit-for-bit on float64.
+    """
+    t = batch["text"].fillna("")
+    n_chars = t.str.len().astype("int64")
+    n_alpha = t.str.count(r"[A-Za-z]").astype("int64")
+    n_digit = t.str.count(r"[0-9]").astype("int64")
+    n_space = t.str.count(r" ").astype("int64")
+    denom = n_chars.where(n_chars > 0, 1)
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "n_chars": n_chars,
+        "alpha_ratio": round_half_away((n_alpha / denom).to_numpy(), 6),
+        "digit_ratio": round_half_away((n_digit / denom).to_numpy(), 6),
+        "space_ratio": round_half_away((n_space / denom).to_numpy(), 6),
+    })
+
+
+def quality_scores(ds):
+    """documents -> per-doc quality signal columns."""
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pandas")
+
+
+class LangIdStage:
+    """Stopword-overlap language heuristic. Actor-pool stage: the per-language
+    stopword sets are materialized once per actor (``__init__``), scored per
+    batch — the model-load-once pattern (reference analog: module-level
+    extractor state, ``loader.py:26``)."""
+
+    def __init__(self):
+        self.langs = sorted(_STOPWORDS)
+        self.sets = [_STOPWORDS[l] for l in self.langs]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.split()
+        scores = []
+        for words in toks:
+            ws = set(words[:500])
+            hits = [len(ws & s) for s in self.sets]
+            best = int(np.argmax(hits)) if max(hits, default=0) > 0 else -1
+            scores.append(self.langs[best] if best >= 0 else "unknown")
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "lang_pred": scores})
+
+
+def lang_id(ds):
+    """documents -> (doc_id, lang_pred) via stopword heuristic actor pool."""
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        LangIdStage, batch_format="pandas", concurrency=(1, 4))
+
+
+def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Two fingerprints per doc: md5 hex (oracle-reproducible) and a
+    rolling-hash sketch (min of 8-gram rolling hashes — order-sensitive,
+    robust to tail edits)."""
+    md5s = [hashlib.md5((t or "").encode()).hexdigest()
+            for t in batch["text"]]
+    mins = []
+    for t in batch["text"]:
+        toks = (t or "").lower().split()
+        if len(toks) >= 8:
+            rh = rolling_hash(hash_strings(np.array(toks, dtype=object)), 8)
+            mins.append(int(rh.min()))
+        else:
+            mins.append(0)
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "md5_fp": md5s,
+        "rolling_fp": pd.array(mins, dtype="uint64"),
+    })
+
+
+def fingerprints(ds):
+    """documents -> (doc_id, md5_fp, rolling_fp)."""
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pandas")

@@ -1,0 +1,107 @@
+"""TF-IDF pipeline over the documents table.
+
+Rebuild of the reference's TF-IDF scripts (SURVEY.md §2.5 A3-A6):
+
+- TF: per-doc token frequency / doc length
+  (``scripts/song_tfidf_calculation.py:82-101``)
+- IDF: ``log2(N / df)`` over per-token document frequency — a global
+  grouped aggregate (``scripts/song_tfidf_calculation.py:104-130``)
+- TF-IDF: the join of the two (``scripts/song_tfidf_calculation.py:161-186``)
+- token filtering: keep tokens with tfidf > threshold
+  (``scripts/tfidf_pitch_extraction.py:114-134``)
+
+Scale design: the token explosion happens inside ``map_batches`` with
+per-batch ``np.unique`` pre-aggregation (each (doc, token) emitted once with
+its count — the partial-aggregation discipline), the df aggregate groups the
+already-distinct (doc, token) rows, and TF ⋈ IDF is a bucketed hash join on
+the token. The reference needed a manual tf/idf/tf_idf step split beyond
+25k docs (``scripts/tfidf_exec.py:107-114``); here streaming + shuffle make
+that unnecessary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Count
+
+from lsh_ray.config import PipelineConfig
+from lsh_ray.functions.num import round_half_away
+from lsh_ray.stages.join import bucket_join
+
+
+def doc_token_rows(ds):
+    """documents -> one row per DISTINCT (doc_id, token):
+    (doc_id, token, tf_count, doc_len). Vectorized token explosion with
+    per-batch pre-aggregation."""
+    def f(batch: pd.DataFrame) -> pa.Table:
+        toks = batch["text"].fillna("").str.lower().str.split()
+        lens = toks.str.len().astype("int64").to_numpy()
+        doc_ids = batch["doc_id"].to_numpy()
+        flat = np.empty(int(lens.sum()), dtype=object)
+        pos = 0
+        for t in toks:
+            flat[pos:pos + len(t)] = t
+            pos += len(t)
+        doc_rep = np.repeat(np.arange(len(lens)), lens)
+        if len(flat) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "tf_count": pa.array([], pa.int64()),
+                             "doc_len": pa.array([], pa.int64())})
+        # distinct (doc, token) + counts in one pass
+        df = pd.DataFrame({"d": doc_rep, "token": flat})
+        g = df.groupby(["d", "token"], sort=False).size().reset_index(
+            name="tf_count")
+        return pa.table({
+            "doc_id": pa.array(doc_ids[g["d"].to_numpy()]),
+            "token": pa.array(g["token"].to_numpy(), type=pa.string()),
+            "tf_count": pa.array(g["tf_count"].to_numpy(), type=pa.int64()),
+            "doc_len": pa.array(lens[g["d"].to_numpy()], type=pa.int64()),
+        })
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        f, batch_format="pandas")
+
+
+def token_df(doc_token_ds):
+    """distinct (doc, token) rows -> (token, df) document frequency."""
+    return doc_token_ds.groupby("token").aggregate(Count(alias_name="df"))
+
+
+def tfidf(ds, config: PipelineConfig | None = None, round_to: int = 6):
+    """documents -> (doc_id, token, tfidf) with tfidf = (tf_count/doc_len) *
+    log2(N/df), rounded for float-stable oracle comparison."""
+    rows = doc_token_ds = doc_token_rows(ds)
+    n_docs = ds.map_batches(
+        lambda t: pa.table({"n": pa.array(
+            [int((pd.Series(t["text"].to_pylist()).fillna("").str.strip()
+                  != "").sum())])}),
+        batch_format="pyarrow").sum("n")
+    dfs = token_df(doc_token_ds)
+    joined = bucket_join(rows, dfs, "token", "token", ["df"],
+                         suffix="_r", num_buckets=64)
+
+    def score(t: pa.Table) -> pa.Table:
+        tf = (t["tf_count"].to_numpy(zero_copy_only=False)
+              / t["doc_len"].to_numpy(zero_copy_only=False))
+        idf = np.log2(n_docs / t["df_r"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "token": t["token"],
+            "tfidf": pa.array(round_half_away(tf * idf, round_to),
+                              type=pa.float64()),
+        })
+    return joined.map_batches(score, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def filter_tokens_by_tfidf(tfidf_ds, min_tfidf: float):
+    """Keep (doc_id, token) rows whose tfidf exceeds the threshold
+    (reference: ``obtain_remaining_pitches``,
+    ``scripts/tfidf_pitch_extraction.py:114-134``)."""
+    import pyarrow.compute as pc
+    return tfidf_ds.map_batches(
+        lambda t: t.filter(pc.greater(t["tfidf"], min_tfidf)),
+        batch_format="pyarrow", zero_copy_batch=True)
