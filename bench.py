@@ -1,0 +1,132 @@
+"""Benchmark harness.
+
+Headline: end-to-end near-duplicate pipeline (read -> normalize -> shingle
+-> MinHash-128/SimHash-64 -> band+chunk keys -> candidate pairs -> verify
+-> substring pass -> cluster) over a deterministic synthetic web corpus
+(FIXTURES.md §1, cached under /tmp), plus representative operator queries
+over $GRAFT_SF_DIR tables.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ...}
+
+--scaling: runs the same job in two fresh processes (num_cpus=8 and 32)
+and reports both throughputs + scaling efficiency (the sandbox stand-in
+for the N- vs 4N-node cluster criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "12000"))
+SEED = 42
+
+
+def _corpus_dir() -> str:
+    d = f"/tmp/lshray_bench_corpus_{BENCH_DOCS}_{SEED}"
+    if not os.path.exists(os.path.join(d, "documents")):
+        from lsh_ray.fixtures import write_corpus
+        write_corpus(d, n_docs=BENCH_DOCS, seed=SEED, n_shards=16)
+    return d
+
+
+def run_bench() -> dict:
+    import ray
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data
+
+    from lsh_ray.config import PipelineConfig
+    from lsh_ray.pipelines.dedup_pipeline import run_dedup
+
+    corpus = _corpus_dir()
+    cfg = PipelineConfig(signature_concurrency=max(2, num_cpus // 2),
+                         join_num_partitions=max(16, num_cpus))
+
+    # enough input blocks that every stage fans out across the CPUs
+    n_blocks = num_cpus * 4
+
+    # warm the page cache so we measure compute + shuffle, not first read
+    ray.data.read_parquet(corpus + "/documents",
+                          override_num_blocks=n_blocks).count()
+
+    queries: dict[str, float] = {}
+
+    t0 = time.time()
+    res = run_dedup(ray.data.read_parquet(corpus + "/documents",
+                                          override_num_blocks=n_blocks), cfg)
+    n_pairs = res.verified.count()
+    n_clustered = res.clusters.count()
+    headline = time.time() - t0
+    queries["dedup_end_to_end"] = round(headline, 3)
+
+    from lsh_ray.pipelines.queries import QUERIES
+    for name in ["tfidf", "knn_topk", "events_hourly", "lineitem_agg",
+                 "exact_dup_groups", "sessions"]:
+        t0 = time.time()
+        ds = QUERIES[name](sf_dir)
+        try:
+            ds.count()
+        except AttributeError:
+            len(ds)
+        queries[name] = round(time.time() - t0, 3)
+
+    n_docs = BENCH_DOCS
+    result = {
+        "metric": "dedup_pipeline_wall_seconds",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "bench_docs": n_docs,
+        "docs_per_sec": round(n_docs / headline, 1),
+        "verified_pairs": n_pairs,
+        "clustered_docs": n_clustered,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    lo, hi = 8, 32
+    out = {}
+    for ncpu in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True,
+                              check=True)
+        out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    t_lo, t_hi = out[lo]["value"], out[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "cpus": [lo, hi],
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": out[lo]["docs_per_sec"],
+        "docs_per_sec_32": out[hi]["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "bench_docs": out[hi]["bench_docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -46,6 +46,9 @@ class PipelineConfig:
                                  # contains >=2 boundaries w.h.p. (recall),
                                  # at ~tokens/divisor extra shuffle rows (cost).
     chunk_min_tokens: int = 4    # spans shorter than this emit no key
+    chunk_min_hits: int = 2      # pairs must share >= this many chunk keys
+                                 # (a verbatim embedded run shares many; a
+                                 # coincidental common phrase shares one)
 
     # candidate generation / skew handling
     group_size_cap: int = 256   # band groups larger than this emit a connectivity

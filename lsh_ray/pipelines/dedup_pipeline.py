@@ -27,7 +27,6 @@ import ray.data
 
 from lsh_ray.config import DEFAULT_CONFIG, PipelineConfig
 from lsh_ray.stages.banding import band_rows
-from lsh_ray.stages.candidates import candidate_pairs
 from lsh_ray.stages.cluster import clusters_table
 from lsh_ray.stages.minhash import signatures
 from lsh_ray.stages.normalize import normalize
@@ -65,11 +64,24 @@ def run_dedup(docs_ds, config: PipelineConfig = DEFAULT_CONFIG,
     shingled = shingle(normalized, config)
     sigs = _fork(signatures(shingled, config), checkpoint_dir, "signatures",
                  config)
-    bands = band_rows(sigs, config)
+    # band keys: hot groups are real dup clusters -> chain; chunk keys: hot
+    # groups are boilerplate -> drop (document-frequency noise filter), and
+    # pairs must share >= chunk_min_hits chunks (common-phrase noise filter).
+    # Both families resolve in ONE unified two-shuffle pass.
     if config.enable_chunk_keys:
-        from lsh_ray.stages.chunking import chunk_rows
-        bands = bands.union(chunk_rows(normalized, config))
-    pairs = candidate_pairs(bands, config)
+        from lsh_ray.stages.candidates import candidate_pairs_two_family
+        from lsh_ray.stages.chunking import chunk_rows_from_signatures
+        pairs = candidate_pairs_two_family(
+            band_rows(sigs, config),
+            chunk_rows_from_signatures(sigs, config), config)
+    else:
+        from lsh_ray.stages.candidates import candidate_pairs
+        pairs = candidate_pairs(band_rows(sigs, config), config,
+                                hot_policy="chain")
+    # fork: keeps the pair shuffle out of the verify-join topology (a fused
+    # read-sigs-twice + union + 4-shuffle DAG schedules far worse than the
+    # two pieces run back to back)
+    pairs = _fork(pairs, checkpoint_dir, "cand_pairs", config)
     verified = _fork(verify(pairs, sigs, config), checkpoint_dir, "verified",
                      config)
     # substring results feed both the result surface and the edge union

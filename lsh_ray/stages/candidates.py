@@ -35,12 +35,22 @@ from lsh_ray.functions.hashing import hash_pair
 _NUM_BUCKETS = 256
 
 
-def _pairs_for_band_bucket(group: pa.Table, cap: int) -> pa.Table:
+def _pairs_for_band_bucket(group: pa.Table, cap: int,
+                           hot_policy: str = "chain") -> pa.Table:
     """Candidate pairs within one bucket of band rows (vectorized).
 
     Emits pairs with per-bucket partial collision counts; global dedup and
     counting happen in the second pass (a pair colliding in two different
     bands has two different band_keys, which may land in different buckets).
+
+    ``hot_policy`` for groups larger than ``cap``:
+    - "chain": emit a sorted consecutive-doc chain (n-1 pairs) —
+      connectivity preserved for clustering. Right for MinHash band keys,
+      where a huge group IS a real duplicate cluster.
+    - "drop": emit nothing. Right for content-chunk keys, where a chunk
+      shared by hundreds of documents is boilerplate (no dup signal) —
+      the document-frequency noise filter, reference analog:
+      TF-IDF-threshold token filtering, scripts/tfidf_pitch_extraction.py:114-134.
     """
     bk = group["band_key"].to_numpy(zero_copy_only=False)
     doc = group["doc_id"].to_numpy(zero_copy_only=False)
@@ -60,9 +70,9 @@ def _pairs_for_band_bucket(group: pa.Table, cap: int) -> pa.Table:
         if m <= cap:
             iu, ju = np.triu_indices(m, k=1)
             a_parts.append(d[iu]); b_parts.append(d[ju])
-        else:
-            # hot band: connectivity chain only (skew cap)
+        elif hot_policy == "chain":
             a_parts.append(d[:-1]); b_parts.append(d[1:])
+        # "drop": skip hot group entirely
     if not a_parts:
         return _empty_pairs()
     a = np.concatenate(a_parts); b = np.concatenate(b_parts)
@@ -96,32 +106,173 @@ def _sum_pair_bucket(group: pa.Table, min_hits: int) -> pa.Table:
     })
 
 
-def candidate_pairs(band_rows_ds, config: PipelineConfig,
-                    num_buckets: int = _NUM_BUCKETS):
-    """(band_key, doc_id) Dataset -> (doc_a, doc_b, n_band_hits) Dataset.
-
-    ``doc_a < doc_b`` always (canonical orientation).
-    """
+def partial_pairs(band_rows_ds, config: PipelineConfig,
+                  hot_policy: str = "chain",
+                  num_buckets: int = _NUM_BUCKETS):
+    """(band_key, doc_id) rows -> per-bucket partial pairs (doc_a, doc_b,
+    hits). Shuffle #1 of candidate generation."""
     nb = np.uint64(num_buckets)
 
     def add_band_bucket(t: pa.Table) -> pa.Table:
         bk = t["band_key"].to_numpy(zero_copy_only=False)
         return t.append_column("bucket", pa.array((bk % nb).astype(np.int32)))
 
+    return (band_rows_ds
+            .map_batches(add_band_bucket, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(
+                lambda g: _pairs_for_band_bucket(
+                    g, config.group_size_cap, hot_policy),
+                batch_format="pyarrow"))
+
+
+def sum_pairs(partial_ds, config: PipelineConfig,
+              num_buckets: int = _NUM_BUCKETS,
+              min_hits: int | None = None):
+    """Partial pairs -> globally deduped (doc_a, doc_b, n_band_hits).
+    Shuffle #2 (pair volume << band-row volume)."""
+    nb = np.uint64(num_buckets)
+    if min_hits is None:
+        min_hits = config.min_band_hits
+
     def add_pair_bucket(t: pa.Table) -> pa.Table:
         key = hash_pair(t["doc_a"].to_numpy(zero_copy_only=False),
                         t["doc_b"].to_numpy(zero_copy_only=False))
         return t.append_column("bucket", pa.array((key % nb).astype(np.int32)))
 
-    partial = (band_rows_ds
-               .map_batches(add_band_bucket, batch_format="pyarrow",
-                            zero_copy_batch=True)
-               .groupby("bucket")
-               .map_groups(lambda g: _pairs_for_band_bucket(g, config.group_size_cap),
-                           batch_format="pyarrow"))
+    return (partial_ds
+            .map_batches(add_pair_bucket, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(lambda g: _sum_pair_bucket(g, min_hits),
+                        batch_format="pyarrow"))
+
+
+def candidate_pairs(band_rows_ds, config: PipelineConfig,
+                    num_buckets: int = _NUM_BUCKETS,
+                    hot_policy: str = "chain"):
+    """(band_key, doc_id) Dataset -> (doc_a, doc_b, n_band_hits) Dataset.
+
+    ``doc_a < doc_b`` always (canonical orientation).
+    """
+    return sum_pairs(
+        partial_pairs(band_rows_ds, config, hot_policy, num_buckets),
+        config, num_buckets)
+
+
+# ------------------------- unified two-family pass (bands + chunks) --------
+
+def _pairs_for_mixed_bucket(group: pa.Table, cap: int) -> pa.Table:
+    """Like _pairs_for_band_bucket but for rows carrying a ``family``
+    column (0 = MinHash band key -> hot policy chain; 1 = content-chunk key
+    -> hot policy drop). Key spaces are disjoint, so family is constant
+    within each key group. Emits per-family partial hit counts."""
+    bk = group["band_key"].to_numpy(zero_copy_only=False)
+    doc = group["doc_id"].to_numpy(zero_copy_only=False)
+    fam = group["family"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, bk))
+    bk, doc, fam = bk[order], doc[order], fam[order]
+    starts = np.flatnonzero(np.concatenate(([True], bk[1:] != bk[:-1])))
+    ends = np.concatenate((starts[1:], [len(bk)]))
+    a_parts, b_parts, f_parts = [], [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        d = np.unique(doc[s:e])
+        m = len(d)
+        if m < 2:
+            continue
+        f = fam[s]
+        if m <= cap:
+            iu, ju = np.triu_indices(m, k=1)
+            a_parts.append(d[iu]); b_parts.append(d[ju])
+            f_parts.append(np.full(len(iu), f, dtype=np.int8))
+        elif f == 0:  # hot band group: chain (real dup cluster)
+            a_parts.append(d[:-1]); b_parts.append(d[1:])
+            f_parts.append(np.full(m - 1, 0, dtype=np.int8))
+        # hot chunk group: boilerplate -> drop
+    if not a_parts:
+        return pa.table({"doc_a": pa.array([], pa.uint64()),
+                         "doc_b": pa.array([], pa.uint64()),
+                         "band_hits": pa.array([], pa.int32()),
+                         "chunk_hits": pa.array([], pa.int32())})
+    a = np.concatenate(a_parts); b = np.concatenate(b_parts)
+    f = np.concatenate(f_parts)
+    pairs = np.stack([a, b], axis=1)
+    uniq, inverse = np.unique(pairs, axis=0, return_inverse=True)
+    band_hits = np.bincount(inverse, weights=(f == 0)).astype(np.int32)
+    chunk_hits = np.bincount(inverse, weights=(f == 1)).astype(np.int32)
+    return pa.table({
+        "doc_a": pa.array(uniq[:, 0], type=pa.uint64()),
+        "doc_b": pa.array(uniq[:, 1], type=pa.uint64()),
+        "band_hits": pa.array(band_hits, type=pa.int32()),
+        "chunk_hits": pa.array(chunk_hits, type=pa.int32()),
+    })
+
+
+def _sum_mixed_bucket(group: pa.Table, min_band: int,
+                      min_chunk: int) -> pa.Table:
+    a = group["doc_a"].to_numpy(zero_copy_only=False)
+    b = group["doc_b"].to_numpy(zero_copy_only=False)
+    bh = group["band_hits"].to_numpy(zero_copy_only=False)
+    ch = group["chunk_hits"].to_numpy(zero_copy_only=False)
+    pairs = np.stack([a, b], axis=1)
+    uniq, inverse = np.unique(pairs, axis=0, return_inverse=True)
+    band_sum = np.bincount(inverse, weights=bh).astype(np.int32)
+    chunk_sum = np.bincount(inverse, weights=ch).astype(np.int32)
+    keep = (band_sum >= min_band) | (chunk_sum >= min_chunk)
+    return pa.table({
+        "doc_a": pa.array(uniq[keep, 0], type=pa.uint64()),
+        "doc_b": pa.array(uniq[keep, 1], type=pa.uint64()),
+        "n_band_hits": pa.array((band_sum + chunk_sum)[keep],
+                                type=pa.int32()),
+    })
+
+
+def candidate_pairs_two_family(band_rows_ds, chunk_rows_ds,
+                               config: PipelineConfig,
+                               num_buckets: int = _NUM_BUCKETS):
+    """Band rows + chunk rows -> candidate pairs in exactly TWO shuffles.
+
+    Keep rule: band collisions >= min_band_hits OR chunk collisions >=
+    chunk_min_hits (shared verbatim runs; one shared chunk is common-phrase
+    noise). Hot groups: bands chain, chunks drop — see
+    ``_pairs_for_mixed_bucket``.
+    """
+    nb = np.uint64(num_buckets)
+
+    def tag(family: int):
+        def f(t: pa.Table) -> pa.Table:
+            bk = t["band_key"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "band_key": t["band_key"],
+                "doc_id": t["doc_id"],
+                "family": pa.array(
+                    np.full(t.num_rows, family, dtype=np.int8)),
+                "bucket": pa.array((bk % nb).astype(np.int32)),
+            })
+        return f
+
+    rows = band_rows_ds.map_batches(
+        tag(0), batch_format="pyarrow", zero_copy_batch=True).union(
+        chunk_rows_ds.map_batches(tag(1), batch_format="pyarrow",
+                                  zero_copy_batch=True))
+    partial = rows.groupby("bucket").map_groups(
+        lambda g: _pairs_for_mixed_bucket(g, config.group_size_cap),
+        batch_format="pyarrow")
+
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        key = hash_pair(t["doc_a"].to_numpy(zero_copy_only=False),
+                        t["doc_b"].to_numpy(zero_copy_only=False))
+        return t.append_column("bucket",
+                               pa.array((key % nb).astype(np.int32)))
+
     return (partial
             .map_batches(add_pair_bucket, batch_format="pyarrow",
                          zero_copy_batch=True)
             .groupby("bucket")
-            .map_groups(lambda g: _sum_pair_bucket(g, config.min_band_hits),
-                        batch_format="pyarrow"))
+            .map_groups(
+                lambda g: _sum_mixed_bucket(g, config.min_band_hits,
+                                            config.chunk_min_hits),
+                batch_format="pyarrow"))

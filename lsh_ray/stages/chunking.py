@@ -147,3 +147,28 @@ def chunk_rows(normalized_ds, config: PipelineConfig):
     return normalized_ds.map_batches(
         ChunkKeyStage(config), batch_format="pyarrow", zero_copy_batch=True,
         batch_size=config.batch_size)
+
+
+def _chunk_rows_batch(batch: pa.Table, config: PipelineConfig) -> pa.Table:
+    th = batch["token_hashes"].combine_chunks()
+    offsets = th.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    tok_h = th.values.to_numpy(zero_copy_only=False)
+    keys, doc_idx = chunk_keys_for_batch(
+        tok_h, offsets, config.chunk_divisor, config.chunk_min_tokens)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "band_key": pa.array(keys, type=pa.uint64()),
+        "doc_id": pa.array(doc_ids[doc_idx], type=pa.uint64()),
+    })
+
+
+def chunk_rows_from_signatures(sigs_ds, config: PipelineConfig):
+    """signatures Dataset (carries token_hashes) -> chunk-key rows.
+
+    Reuses the shingle stage's single tokenization pass — no re-read,
+    no re-tokenize of the corpus.
+    """
+    return sigs_ds.map_batches(
+        lambda t: _chunk_rows_batch(t, config),
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -48,9 +48,14 @@ def shingle_sets_from_token_lists(
         flat[pos:pos + len(t)] = t
         pos += len(t)
     tok_h = hash_strings(flat) if total else np.empty(0, dtype=np.uint64)
+    return _shingles_from_hashes(tok_h, lens, k, stride)
 
+
+def _shingles_from_hashes(tok_h: np.ndarray, lens: np.ndarray, k: int,
+                          stride: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenated token hashes + per-doc lengths -> per-doc shingle sets."""
     # k-step polynomial roll over the concatenated token hashes
-    n = total
+    n = len(tok_h)
     n_win = max(0, n - k + 1)
     if n_win:
         roll = np.zeros(n_win, dtype=np.uint64)
@@ -88,18 +93,39 @@ def shingle_sets_from_token_lists(
 
 
 def shingle_batch(batch: pa.Table, config: PipelineConfig) -> pa.Table:
+    """Emits per-doc shingle SET plus the raw token-hash SEQUENCE.
+
+    ``token_hashes`` rides along so the chunk-key stage (substring
+    candidates) derives from the same single tokenization pass instead of
+    re-tokenizing the corpus — at 100 TB the second tokenization is the
+    cost of a full extra read.
+    """
     texts = pd.Series(batch["text"].to_pylist())
     tok_lists = tokenize_text_series(texts).tolist()
-    vals, offsets = shingle_sets_from_token_lists(
-        tok_lists, config.shingle_k, config.shingle_stride)
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                       count=len(tok_lists))
+    total = int(lens.sum())
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for t in tok_lists:
+        flat[pos:pos + len(t)] = t
+        pos += len(t)
+    tok_h = hash_strings(flat) if total else np.empty(0, dtype=np.uint64)
+    vals, offsets = _shingles_from_hashes(
+        tok_h, lens, config.shingle_k, config.shingle_stride)
     shingles = pa.ListArray.from_arrays(
         pa.array(offsets, type=pa.int32()), pa.array(vals, type=pa.uint64()))
+    tok_offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+    token_hashes = pa.ListArray.from_arrays(
+        pa.array(tok_offsets, type=pa.int32()),
+        pa.array(tok_h, type=pa.uint64()))
     n_shingles = (offsets[1:] - offsets[:-1]).astype(np.int32)
     out = pa.table({
         "doc_id": batch["doc_id"],
         "url": batch["url"],
         "shingles": shingles,
         "n_shingles": pa.array(n_shingles, type=pa.int32()),
+        "token_hashes": token_hashes,
     })
     # docs too short to produce a single shingle can never match: drop here
     return out.filter(pa.array(n_shingles > 0))

@@ -55,9 +55,33 @@ def substring_pass(verified_ds, normalized_ds, config: PipelineConfig,
     cands = verified_ds.map_batches(
         lambda t: t.filter(t["is_substring_candidate"])
                    .select(["doc_a", "doc_b"]),
-        batch_format="pyarrow", zero_copy_batch=True)
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    # semi-join prefilter: broadcast the candidate doc_id set (tiny — two
+    # ids per substring-candidate pair) and ship ONLY those texts into the
+    # join, instead of shuffling the whole corpus's text twice
+    import ray
+
+    id_parts = [np.concatenate([
+        b["doc_a"].to_numpy(zero_copy_only=False),
+        b["doc_b"].to_numpy(zero_copy_only=False)])
+        for b in cands.iter_batches(batch_size=65536,
+                                    batch_format="pyarrow")]
+    cand_ids = (np.unique(np.concatenate(id_parts)) if id_parts
+                else np.empty(0, dtype=np.uint64))
+    ids_ref = ray.put(cand_ids)
+
+    def only_candidates(t: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ids, doc)
+        idx[idx == len(ids)] = max(len(ids) - 1, 0)
+        hit = ids[idx] == doc if len(ids) else np.zeros(len(doc), bool)
+        return t.filter(pa.array(hit))
+
     from lsh_ray.stages.join import bucket_join
-    texts = normalized_ds.select_columns(["doc_id", "text"])
+    texts = normalized_ds.select_columns(["doc_id", "text"]).map_batches(
+        only_candidates, batch_format="pyarrow",
+        zero_copy_batch=True).materialize()  # tiny; feeds both joins
     nb = config.join_num_partitions
     j = bucket_join(cands, texts, "doc_a", "doc_id", ["text"],
                     suffix="_a", num_buckets=nb)
