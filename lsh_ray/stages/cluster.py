@@ -52,62 +52,121 @@ def connected_components(edges_ds) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": nodes[order], "cluster_id": labels[order]})
 
 
-def connected_components_distributed(edges_ds, num_partitions: int = 32,
-                                     max_rounds: int = 16):
-    """Edge Dataset -> Dataset (doc_id, cluster_id) via min-label propagation.
+def _star_round(edges_ds, large: bool, num_buckets: int):
+    """One large-star or small-star round (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"). Edges are undirected (a, b);
+    each round is ONE bucketed groupby; per-bucket work is vectorized.
 
-    Each round: every node adopts min(own label, labels of neighbors).
-    Implemented with hash joins + groupby-min only — no driver state.
+    large-star(u): for m = min(N(u) + {u}), emit (v, m) for v in N(u), v > u
+    small-star(u): emit (v, m) for v in N(u), v <= u, plus (u, m)
     """
+    nb = np.uint64(num_buckets)
+
+    def emit_directed(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table({
+            "src": pa.array(src, type=pa.uint64()),
+            "dst": pa.array(dst, type=pa.uint64()),
+            "bucket": pa.array((src % nb).astype(np.int32)),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        src = g["src"].to_numpy(zero_copy_only=False)
+        dst = g["dst"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], src[1:] != src[:-1])))
+        ends = np.concatenate((starts[1:], [len(src)]))
+        a_out, b_out = [], []
+        for s0, e0 in zip(starts, ends):
+            u = src[s0]
+            nbrs = dst[s0:e0]
+            m = min(u, nbrs[0])  # nbrs sorted ascending
+            if large:
+                v = nbrs[nbrs > u]
+            else:
+                v = nbrs[nbrs <= u]
+                v = np.concatenate([v, np.array([u], dtype=np.uint64)])
+            v = v[v != m]
+            if len(v):
+                a_out.append(np.minimum(v, m))
+                b_out.append(np.maximum(v, m))
+        if not a_out:
+            return pa.table({"doc_a": pa.array([], pa.uint64()),
+                             "doc_b": pa.array([], pa.uint64())})
+        a = np.concatenate(a_out); b = np.concatenate(b_out)
+        uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table({
+            "doc_a": pa.array(uniq[:, 0], type=pa.uint64()),
+            "doc_b": pa.array(uniq[:, 1], type=pa.uint64()),
+        })
+
+    return (edges_ds.map_batches(emit_directed, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def _edge_fingerprint(edges_ds) -> tuple[int, float]:
+    """Cheap order-insensitive fingerprint of an edge set."""
+    from lsh_ray.functions.hashing import hash_pair
+    total = 0
+    acc = 0.0
+    for b in edges_ds.iter_batches(batch_size=65536,
+                                   batch_format="pyarrow"):
+        a = b["doc_a"].to_numpy(zero_copy_only=False)
+        d = b["doc_b"].to_numpy(zero_copy_only=False)
+        total += len(a)
+        acc += float(hash_pair(a, d).astype(np.float64).sum())
+    return total, acc
+
+
+def connected_components_distributed(edges_ds, num_partitions: int = 32,
+                                     max_rounds: int = 64):
+    """Edge Dataset -> Dataset (doc_id, cluster_id) with NO driver state:
+    alternating large-star / small-star rounds (each ONE bucketed groupby
+    shuffle) until the edge set stabilizes as stars, then one final
+    min-neighbor pass labels every node. Converges in O(log^2 n) rounds
+    even on pathological chains (hot-band chain pairs)."""
+    edges = edges_ds.select_columns(["doc_a", "doc_b"]).materialize()
+    prev_fp = None
+    for r in range(max_rounds):
+        large = (r % 2 == 0)
+        edges = _star_round(edges, large, num_partitions).materialize()
+        fp = _edge_fingerprint(edges)
+        if not large and fp == prev_fp:
+            break
+        if not large:
+            prev_fp = fp
+
+    # stars: label(u) = min(u, neighbors)
     def both_dirs(t: pa.Table) -> pa.Table:
-        a = t["doc_a"].to_numpy(zero_copy_only=False)
-        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
         return pa.table({
             "src": pa.array(np.concatenate([a, b]), type=pa.uint64()),
             "dst": pa.array(np.concatenate([b, a]), type=pa.uint64()),
         })
 
-    edges = edges_ds.select_columns(["doc_a", "doc_b"]).map_batches(
-        both_dirs, batch_format="pyarrow", zero_copy_batch=True).materialize()
-
-    labels = edges.groupby("src").aggregate(Min("dst", alias_name="nbr_min"))
-    labels = labels.map_batches(
+    directed = edges.map_batches(both_dirs, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    labels = directed.groupby("src").aggregate(
+        Min("dst", alias_name="nbr_min"))
+    return labels.map_batches(
         lambda t: pa.table({
-            "doc_id": t["src"],
+            "doc_id": t["src"].cast(pa.uint64()),
             "cluster_id": pa.array(
-                np.minimum(t["src"].to_numpy(zero_copy_only=False),
-                           t["nbr_min"].to_numpy(zero_copy_only=False)),
+                np.minimum(
+                    t["src"].to_numpy(zero_copy_only=False)
+                    .astype(np.uint64),
+                    t["nbr_min"].to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)),
                 type=pa.uint64())}),
-        batch_format="pyarrow", zero_copy_batch=True).materialize()
-
-    for _ in range(max_rounds):
-        # propagate: each edge carries src's label to dst
-        msgs = edges.join(labels, join_type="inner",
-                          num_partitions=num_partitions,
-                          on=("src",), right_on=("doc_id",))
-        msgs = msgs.map_batches(
-            lambda t: pa.table({"doc_id": t["dst"],
-                                "cluster_id": t["cluster_id"]}),
-            batch_format="pyarrow", zero_copy_batch=True)
-        new_labels = (labels.union(msgs)
-                      .groupby("doc_id")
-                      .aggregate(Min("cluster_id", alias_name="cluster_id"))
-                      ).materialize()
-        # converged when total label sum stops decreasing (labels only shrink)
-        old_sum = labels.map_batches(
-            lambda t: pa.table({"s": pa.array(
-                [t["cluster_id"].to_numpy(zero_copy_only=False)
-                 .astype(np.float64).sum()])}),
-            batch_format="pyarrow").sum("s")
-        new_sum = new_labels.map_batches(
-            lambda t: pa.table({"s": pa.array(
-                [t["cluster_id"].to_numpy(zero_copy_only=False)
-                 .astype(np.float64).sum()])}),
-            batch_format="pyarrow").sum("s")
-        labels = new_labels
-        if old_sum == new_sum:
-            break
-    return labels
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 def clusters_table(edges_ds, distributed: bool = False):

@@ -28,7 +28,10 @@ def _null_array(dtype: pa.DataType, n: int) -> pa.Array:
 
 
 def _join_bucket(group: pa.Table, left_cols: list[str],
-                 right_cols: list[str], rename: dict[str, str]) -> pa.Table:
+                 right_cols: list[str], how: str = "inner") -> pa.Table:
+    """``right_cols`` here are the ALREADY-SUFFIXED output names (renamed
+    before the union so a right payload column may share its original name
+    with a left column without clobbering it)."""
     side = group[_SIDE_COL].to_numpy(zero_copy_only=False)
     left = group.filter(pa.array(side == 0))
     right = group.filter(pa.array(side == 1))
@@ -42,30 +45,56 @@ def _join_bucket(group: pa.Table, left_cols: list[str],
         hit = np.zeros(len(lk), dtype=bool)
     else:
         hit = rk_sorted[idx] == lk
-    left_hit = left.filter(pa.array(hit))
-    take_idx = order[idx[hit]]
+    keep = np.ones(len(lk), dtype=bool) if how == "left" else hit
+    left_kept = left.filter(pa.array(keep))
     cols: dict[str, pa.ChunkedArray | pa.Array] = {}
     for c in left_cols:
-        cols[c] = left_hit[c]
-    right_taken = right.take(pa.array(take_idx, type=pa.int64()))
-    for c in right_cols:
-        cols[rename.get(c, c)] = right_taken[c]
+        cols[c] = left_kept[c]
+    if how == "left":
+        # matched rows take the right payload; unmatched get nulls
+        take_pos = np.where(hit, order[np.where(hit, idx, 0)], -1)
+        null_mask = take_pos < 0
+        if len(rk_sorted):
+            right_taken = right.take(
+                pa.array(np.maximum(take_pos, 0), type=pa.int64()))
+        for c in right_cols:
+            if len(rk_sorted):
+                arr = right_taken[c].combine_chunks()
+                if null_mask.any():
+                    pylist = arr.to_pylist()
+                    for i in np.flatnonzero(null_mask):
+                        pylist[i] = None
+                    arr = pa.array(pylist, type=arr.type)
+                cols[c] = arr
+            else:
+                cols[c] = pa.nulls(left_kept.num_rows,
+                                   group.schema.field(c).type)
+    else:
+        take_idx = order[idx[hit]]
+        right_taken = right.take(pa.array(take_idx, type=pa.int64()))
+        for c in right_cols:
+            cols[c] = right_taken[c]
     return pa.table(cols)
 
 
 def bucket_join(left_ds, right_ds, left_key: str, right_key: str,
                 right_columns: list[str], suffix: str = "",
-                num_buckets: int = _NUM_BUCKETS):
-    """Inner-join ``left_ds`` with unique-keyed ``right_ds``.
+                num_buckets: int = _NUM_BUCKETS, how: str = "inner"):
+    """Join ``left_ds`` with unique-keyed ``right_ds`` (inner or left outer).
 
     Output = all left columns + ``right_columns`` (each renamed with
-    ``suffix``). Keys must be uint64-compatible integers.
+    ``suffix``; null-filled for unmatched left rows when ``how="left"``).
+    Keys are uint64-compatible integers or strings (hashed).
     """
     left_schema = left_ds.schema()
     right_sel = right_ds.select_columns([right_key, *right_columns])
     right_schema = right_sel.schema()
     left_cols = list(left_schema.names)
     rename = {c: c + suffix for c in right_columns}
+    out_right_cols = [rename[c] for c in right_columns]
+    clash = set(out_right_cols) & set(left_cols)
+    if clash:
+        raise ValueError(f"suffixed right columns clash with left: {clash}")
 
     left_types = dict(zip(left_schema.names, left_schema.types))
     right_types = dict(zip(right_schema.names, right_schema.types))
@@ -82,7 +111,7 @@ def bucket_join(left_ds, right_ds, left_key: str, right_key: str,
         k = _key_u64(t[left_key])
         cols = {c: t[c] for c in left_cols}
         for c in right_columns:
-            cols[c] = _null_array(right_types[c], t.num_rows)
+            cols[rename[c]] = _null_array(right_types[c], t.num_rows)
         cols[_KEY_COL] = pa.array(k, type=pa.uint64())
         cols[_BUCKET_COL] = pa.array((k % nb).astype(np.int32))
         cols[_SIDE_COL] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
@@ -92,7 +121,7 @@ def bucket_join(left_ds, right_ds, left_key: str, right_key: str,
         k = _key_u64(t[right_key])
         cols = {c: _null_array(left_types[c], t.num_rows) for c in left_cols}
         for c in right_columns:
-            cols[c] = t[c]
+            cols[rename[c]] = t[c]
         cols[_KEY_COL] = pa.array(k, type=pa.uint64())
         cols[_BUCKET_COL] = pa.array((k % nb).astype(np.int32))
         cols[_SIDE_COL] = pa.array(np.ones(t.num_rows, dtype=np.int8))
@@ -104,5 +133,5 @@ def bucket_join(left_ds, right_ds, left_key: str, right_key: str,
                                          zero_copy_batch=True)
     both = tagged_left.union(tagged_right)
     return both.groupby(_BUCKET_COL).map_groups(
-        lambda g: _join_bucket(g, left_cols, list(right_columns), rename),
+        lambda g: _join_bucket(g, left_cols, out_right_cols, how),
         batch_format="pyarrow")

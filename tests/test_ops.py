@@ -1,0 +1,206 @@
+"""Tests for the operator family: dedup variants, text stats, tfidf,
+windows, similarity, multimodal plumbing, bucket join."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data
+    return ray.data
+
+
+def test_bucket_join_basic(rd):
+    from lsh_ray.stages.join import bucket_join
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 99], type=pa.uint64()),
+        "x": ["a", "b", "c", "d"]}))
+    right = rd.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4], type=pa.uint64()),
+        "payload": pa.array([[1, 2], [3], [], [9]],
+                            type=pa.list_(pa.uint64()))}))
+    out = bucket_join(left, right, "k", "id", ["payload"],
+                      suffix="_r", num_buckets=4).to_pandas()
+    assert len(out) == 3  # 99 has no match (inner join)
+    got = {row.k: list(row.payload_r) for row in out.itertuples()}
+    assert got == {1: [1, 2], 2: [3], 3: []}
+
+
+def test_bucket_join_string_keys(rd):
+    from lsh_ray.stages.join import bucket_join
+    left = rd.from_items([{"token": "foo", "n": 1}, {"token": "bar", "n": 2}])
+    right = rd.from_items([{"token": "foo", "df": 10},
+                           {"token": "baz", "df": 5}])
+    out = bucket_join(left, right, "token", "token", ["df"],
+                      num_buckets=4).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0].token == "foo" and out.iloc[0].df == 10
+
+
+def test_exact_dedup(rd):
+    from lsh_ray.stages.dedup import exact_dup_groups
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "same text"},
+        {"doc_id": 2, "text": "same text"},
+        {"doc_id": 3, "text": "other"},
+    ])
+    out = exact_dup_groups(ds).to_pandas()
+    assert len(out) == 2
+    dup = out[out.n_docs == 2].iloc[0]
+    assert dup.rep_doc_id == 1
+
+
+def test_simhash_near_dups(rd):
+    from lsh_ray.config import PipelineConfig
+    from lsh_ray.stages.dedup import simhash_near_dup_pairs
+    cfg = PipelineConfig()
+    sigs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 20, 30], type=pa.uint64()),
+        "simhash": pa.array([0xFFFF0000FFFF0000, 0xFFFF0000FFFF0001,
+                             0x1234567812345678], type=pa.uint64()),
+    }))
+    out = simhash_near_dup_pairs(sigs, cfg).to_pandas()
+    assert len(out) == 1
+    assert {out.iloc[0].doc_a, out.iloc[0].doc_b} == {10, 20}
+    assert out.iloc[0].hamming == 1
+
+
+def test_knn_brute_force_matches_numpy(rd):
+    from lsh_ray.stages.similarity import knn_brute_force
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((100, 16)).astype(np.float32)
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(100), type=pa.int64()),
+        "embedding": pa.array([list(v) for v in vecs],
+                              type=pa.list_(pa.float32()))}))
+    q = vecs[:2].astype(np.float64)
+    out = knn_brute_force(emb, q, np.array([0, 1]), k=5).to_pandas()
+    # numpy oracle
+    vn = vecs.astype(np.float64)
+    vn = vn / np.linalg.norm(vn, axis=1, keepdims=True)
+    sims = vn @ vn[:2].T
+    for qid in (0, 1):
+        s = sims[:, qid].copy()
+        s[qid] = -np.inf
+        expect = set(np.argsort(-s)[:5].tolist())
+        got = set(out[out.query_id == qid].neighbor_id.tolist())
+        assert got == expect, (qid, got, expect)
+
+
+def test_knn_lsh_high_recall_on_clustered_data(rd):
+    from lsh_ray.stages.similarity import knn_brute_force, knn_lsh
+    rng = np.random.default_rng(6)
+    centers = rng.standard_normal((5, 32)) * 5
+    pts = np.concatenate([c + rng.standard_normal((40, 32)) * 0.3
+                          for c in centers]).astype(np.float32)
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(pts)), type=pa.int64()),
+        "embedding": pa.array([list(v) for v in pts],
+                              type=pa.list_(pa.float32()))}))
+    q = pts[:3].astype(np.float64)
+    ids = np.array([0, 1, 2])
+    bf = knn_brute_force(emb, q, ids, k=10).to_pandas()
+    al = knn_lsh(emb, q, ids, dim=32, k=10).to_pandas()
+    recalls = []
+    for qid in ids:
+        truth = set(bf[bf.query_id == qid].neighbor_id)
+        got = set(al[al.query_id == qid].neighbor_id)
+        recalls.append(len(truth & got) / len(truth))
+    assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_tumbling_windows(rd):
+    from lsh_ray.stages.windows import tumbling_window_counts
+    ts = pa.array([0, 1800_000_000, 3600_000_000, 3605_000_000],
+                  type=pa.timestamp("us"))
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2]), "ts": ts,
+        "value": pa.array([1.0, 2.0, 3.0, 4.0])}))
+    out = tumbling_window_counts(ev, 3600).to_pandas().sort_values(
+        ["user_id", "window_start"]).reset_index(drop=True)
+    assert out.n_events.tolist() == [2, 1, 1]
+    assert out.max_value.tolist() == [2.0, 3.0, 4.0]
+
+
+def test_sessionize(rd):
+    from lsh_ray.stages.windows import sessionize
+    ts = pa.array([0, 60_000_000, 10_000_000_000], type=pa.timestamp("us"))
+    ev = rd.from_arrow(pa.table({"user_id": pa.array([1, 1, 1]), "ts": ts}))
+    out = sessionize(ev, gap_s=1800).to_pandas()
+    assert len(out) == 2
+    assert sorted(out.n_events.tolist()) == [1, 2]
+
+
+def test_multimodal_fake_decode(rd):
+    from lsh_ray.stages.multimodal import decode_binary
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.uint64()),
+        "payload": pa.array([b"hello world", b"other bytes"],
+                            type=pa.binary()),
+        "mime": ["image/png", "image/jpeg"],
+    }))
+    out = decode_binary(ds, use_fake_decoder=True).to_pandas()
+    assert len(out) == 2
+    assert out.n_bytes.tolist() == [11, 11]
+    assert all(len(f) == 16 for f in out.features)
+    # deterministic
+    out2 = decode_binary(ds, use_fake_decoder=True).to_pandas()
+    assert np.allclose(np.stack(out.features.values),
+                       np.stack(out2.features.values))
+
+
+def test_multimodal_real_decoder_is_stubbed():
+    from lsh_ray.stages.multimodal import BinaryDecodeStage
+    stage = BinaryDecodeStage(use_fake_decoder=False)
+    with pytest.raises(NotImplementedError):
+        stage._decode_one(b"payload")
+
+
+def test_tfidf_reference_formula(rd):
+    """TF-IDF matches the reference formula tf/len * log2(N/df)
+    (song_tfidf_calculation.py:82-186 semantics)."""
+    from lsh_ray.stages.tfidf import tfidf
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "a a b"},
+        {"doc_id": 2, "text": "a c"},
+    ])
+    out = tfidf(ds).to_pandas()
+    got = {(r.doc_id, r.token): r.tfidf for r in out.itertuples()}
+    assert got[(1, "a")] == 0.0  # df=2, N=2 -> idf 0
+    assert abs(got[(1, "b")] - round((1 / 3) * np.log2(2), 6)) < 1e-9
+    assert abs(got[(2, "c")] - round((1 / 2) * np.log2(2), 6)) < 1e-9
+
+
+def test_metrics_reference_parity():
+    from lsh_ray.functions.metrics import (confidence_measurement,
+                                           mean_absolute_error,
+                                           mean_reciprocal_rank,
+                                           normalize_distance_to_similarity,
+                                           root_mean_squared_error)
+    assert mean_reciprocal_rank(np.array([1, 2, 0])) == pytest.approx(
+        (1 + 0.5 + 0) / 3)
+    # equal distances -> confidence exactly 1
+    assert confidence_measurement(np.array([2.0, 2.0, 2.0])) == 1.0
+    # smaller relative distance -> lower confidence for index 0
+    assert confidence_measurement(np.array([1.0, 10.0, 10.0])) < 1.0
+    assert mean_absolute_error(np.array([1, 2]), np.array([2, 4])) == 1.5
+    assert root_mean_squared_error(np.array([0, 0]), np.array([3, 4])) == \
+        pytest.approx(np.sqrt(12.5))
+    s = normalize_distance_to_similarity(np.array([0.0, 1.0, 1e9]))
+    assert s[0] == 100.0
+    assert s[1] == pytest.approx(np.e - 1)
+    assert s[2] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_lang_id(rd):
+    from lsh_ray.stages.text_stats import lang_id
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "the cat and the dog of a house is it"},
+        {"doc_id": 2, "text": "der hund und die katze mit dem haus"},
+        {"doc_id": 3, "text": "o gato e que de um para com mais"},
+    ])
+    out = lang_id(ds).to_pandas().sort_values("doc_id")
+    assert out.lang_pred.tolist() == ["en", "de", "pt"]
