@@ -1,0 +1,65 @@
+"""Sources: read the corpus tables into canonical Datasets.
+
+Rebuild of the reference's loader/serialization layer (SURVEY.md §2.1
+S1-S17): the reference hand-rolls JSON shard files + manifests
+(``json_manipulator.py:84-192``); here Parquet + Ray Data give sharding,
+schema, and parallel reads for free. Column pruning happens AT THE READ
+(``columns=[...]``) so a 2-column transform never lifts the html payload
+off storage.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+
+def read_documents(path: str | list[str], columns: list[str] | None = None,
+                   lang: str | None = None, limit: int | None = None,
+                   override_num_blocks: int | None = None):
+    """Read a documents table (web shape or testdata shape) from Parquet.
+
+    - ``lang``: row-group-pushdown language filter (reference analog:
+      skip-list predicate, ``loader.py:148-154``)
+    - ``limit``: corpus truncation (reference: ``--num_audios``,
+      ``main.py:144-153``)
+    """
+    import pyarrow.compute as pc
+    kwargs = {}
+    if columns:
+        kwargs["columns"] = columns
+    if lang:
+        kwargs["filter"] = pc.field("lang") == lang
+    if override_num_blocks:
+        kwargs["override_num_blocks"] = override_num_blocks
+    ds = ray.data.read_parquet(path, **kwargs)
+    if limit:
+        ds = ds.limit(limit)
+    return ds
+
+
+def read_text_documents(paths: str | list[str]):
+    """Plain text files -> (url, text) rows (one doc per line).
+
+    Reference analog: newline dataset lists, ``loader.py:44-52``.
+    """
+    ds = ray.data.read_text(paths)
+
+    def to_doc(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "url": pa.array([f"text://{i}" for i in range(n)]),
+            "text": t["text"],
+        })
+    return ds.map_batches(to_doc, batch_format="pyarrow")
+
+
+def write_partitioned(ds, out_dir: str, min_rows_per_file: int | None = None):
+    """Partitioned Parquet sink (a directory of part files — resumable
+    layout; never one giant file)."""
+    kwargs = {}
+    if min_rows_per_file:
+        kwargs["min_rows_per_file"] = min_rows_per_file
+    ds.write_parquet(out_dir, **kwargs)
+    return out_dir

@@ -120,6 +120,7 @@ def partial_pairs(band_rows_ds, config: PipelineConfig,
     return (band_rows_ds
             .map_batches(add_band_bucket, batch_format="pyarrow",
                          zero_copy_batch=True)
+            .repartition(64)
             .groupby("bucket")
             .map_groups(
                 lambda g: _pairs_for_band_bucket(
@@ -144,6 +145,7 @@ def sum_pairs(partial_ds, config: PipelineConfig,
     return (partial_ds
             .map_batches(add_pair_bucket, batch_format="pyarrow",
                          zero_copy_batch=True)
+            .repartition(64)
             .groupby("bucket")
             .map_groups(lambda g: _sum_pair_bucket(g, min_hits),
                         batch_format="pyarrow"))
@@ -258,6 +260,10 @@ def candidate_pairs_two_family(band_rows_ds, chunk_rows_ds,
         tag(0), batch_format="pyarrow", zero_copy_batch=True).union(
         chunk_rows_ds.map_batches(tag(1), batch_format="pyarrow",
                                   zero_copy_batch=True))
+    # coalesce before the sort shuffle: merge cost grows superlinearly
+    # with input block count, and the bucketed groupby cannot exceed
+    # 64-way reduce parallelism here anyway
+    rows = rows.repartition(64)
     partial = rows.groupby("bucket").map_groups(
         lambda g: _pairs_for_mixed_bucket(g, config.group_size_cap),
         batch_format="pyarrow")
@@ -271,6 +277,7 @@ def candidate_pairs_two_family(band_rows_ds, chunk_rows_ds,
     return (partial
             .map_batches(add_pair_bucket, batch_format="pyarrow",
                          zero_copy_batch=True)
+            .repartition(64)
             .groupby("bucket")
             .map_groups(
                 lambda g: _sum_mixed_bucket(g, config.min_band_hits,

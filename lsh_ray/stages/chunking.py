@@ -149,26 +149,23 @@ def chunk_rows(normalized_ds, config: PipelineConfig):
         batch_size=config.batch_size)
 
 
-def _chunk_rows_batch(batch: pa.Table, config: PipelineConfig) -> pa.Table:
-    th = batch["token_hashes"].combine_chunks()
-    offsets = th.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    offsets = offsets - offsets[0]
-    tok_h = th.values.to_numpy(zero_copy_only=False)
-    keys, doc_idx = chunk_keys_for_batch(
-        tok_h, offsets, config.chunk_divisor, config.chunk_min_tokens)
+def _chunk_rows_batch(batch: pa.Table) -> pa.Table:
+    ck = batch["chunk_keys"].combine_chunks()
+    offsets = ck.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = offsets[1:] - offsets[:-1]
+    keys = ck.values.to_numpy(zero_copy_only=False)
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
     return pa.table({
         "band_key": pa.array(keys, type=pa.uint64()),
-        "doc_id": pa.array(doc_ids[doc_idx], type=pa.uint64()),
+        "doc_id": pa.array(np.repeat(doc_ids, counts), type=pa.uint64()),
     })
 
 
 def chunk_rows_from_signatures(sigs_ds, config: PipelineConfig):
-    """signatures Dataset (carries token_hashes) -> chunk-key rows.
+    """signatures Dataset (carries per-doc ``chunk_keys``) -> chunk rows.
 
-    Reuses the shingle stage's single tokenization pass — no re-read,
-    no re-tokenize of the corpus.
+    The keys were computed in the shingle stage's single tokenization
+    pass — this is a pure explode, no re-read, no re-tokenize.
     """
-    return sigs_ds.map_batches(
-        lambda t: _chunk_rows_batch(t, config),
-        batch_format="pyarrow", zero_copy_batch=True)
+    return sigs_ds.map_batches(_chunk_rows_batch, batch_format="pyarrow",
+                               zero_copy_batch=True)

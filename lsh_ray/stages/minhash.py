@@ -118,8 +118,8 @@ class SignatureStage:
             "minhash": minhash,
             "simhash": pa.array(sh, type=pa.uint64()),
         }
-        if "token_hashes" in batch.column_names:
-            cols["token_hashes"] = batch["token_hashes"]
+        if "chunk_keys" in batch.column_names:
+            cols["chunk_keys"] = batch["chunk_keys"]
         return pa.table(cols)
 
     def _empty_guard(self, batch: pa.Table) -> pa.Table:
@@ -146,7 +146,9 @@ def _signature_fn(batch: pa.Table, config: PipelineConfig) -> pa.Table:
 
 def signatures(ds, config: PipelineConfig):
     """shingled Dataset -> signatures Dataset (adds minhash + simhash columns)."""
+    # no explicit batch_size: one batch per block keeps task fan-out equal
+    # to the block count (a fixed batch_size coalesces blocks and caps
+    # parallelism at n_rows/batch_size tasks)
     return ds.map_batches(
         lambda t: _signature_fn(t, config),
-        batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=min(config.batch_size, 1024))
+        batch_format="pyarrow", zero_copy_batch=True)

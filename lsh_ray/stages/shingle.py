@@ -93,12 +93,13 @@ def _shingles_from_hashes(tok_h: np.ndarray, lens: np.ndarray, k: int,
 
 
 def shingle_batch(batch: pa.Table, config: PipelineConfig) -> pa.Table:
-    """Emits per-doc shingle SET plus the raw token-hash SEQUENCE.
+    """Emits per-doc shingle SET plus per-doc content-defined CHUNK KEYS.
 
-    ``token_hashes`` rides along so the chunk-key stage (substring
-    candidates) derives from the same single tokenization pass instead of
+    ``chunk_keys`` (substring-candidate fingerprints) ride along so the
+    chunk stage derives from the same single tokenization pass instead of
     re-tokenizing the corpus — at 100 TB the second tokenization is the
-    cost of a full extra read.
+    cost of a full extra read. Chunk keys are ~tokens/chunk_divisor per
+    doc, an order of magnitude smaller than carrying raw token hashes.
     """
     texts = pd.Series(batch["text"].to_pylist())
     tok_lists = tokenize_text_series(texts).tolist()
@@ -115,25 +116,36 @@ def shingle_batch(batch: pa.Table, config: PipelineConfig) -> pa.Table:
         tok_h, lens, config.shingle_k, config.shingle_stride)
     shingles = pa.ListArray.from_arrays(
         pa.array(offsets, type=pa.int32()), pa.array(vals, type=pa.uint64()))
-    tok_offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
-    token_hashes = pa.ListArray.from_arrays(
-        pa.array(tok_offsets, type=pa.int32()),
-        pa.array(tok_h, type=pa.uint64()))
+    from lsh_ray.stages.chunking import chunk_keys_for_batch
+    tok_offsets = np.concatenate(([0], np.cumsum(lens)))
+    ck_vals, ck_doc = chunk_keys_for_batch(
+        tok_h, tok_offsets, config.chunk_divisor, config.chunk_min_tokens)
+    ck_counts = np.bincount(ck_doc, minlength=len(lens)) if len(ck_doc) \
+        else np.zeros(len(lens), dtype=np.int64)
+    ck_offsets = np.concatenate(([0], np.cumsum(ck_counts))).astype(np.int32)
+    chunk_keys = pa.ListArray.from_arrays(
+        pa.array(ck_offsets, type=pa.int32()),
+        pa.array(ck_vals, type=pa.uint64()))
     n_shingles = (offsets[1:] - offsets[:-1]).astype(np.int32)
     out = pa.table({
         "doc_id": batch["doc_id"],
         "url": batch["url"],
         "shingles": shingles,
         "n_shingles": pa.array(n_shingles, type=pa.int32()),
-        "token_hashes": token_hashes,
+        "chunk_keys": chunk_keys,
     })
     # docs too short to produce a single shingle can never match: drop here
     return out.filter(pa.array(n_shingles > 0))
 
 
 def shingle(ds, config: PipelineConfig):
-    """normalized Dataset -> shingled Dataset (doc_id, url, shingles, n_shingles)."""
+    """normalized Dataset -> shingled Dataset (doc_id, url, shingles,
+    n_shingles, chunk_keys).
+
+    No explicit ``batch_size``: one batch per input block, so task
+    parallelism follows the block count (an explicit batch_size makes Ray
+    coalesce blocks into n_rows/batch_size tasks and strangles fan-out).
+    """
     return ds.map_batches(
         lambda t: shingle_batch(t, config),
-        batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=config.batch_size)
+        batch_format="pyarrow", zero_copy_batch=True)
