@@ -27,6 +27,12 @@ class PipelineConfig:
     # shingling (analog of the reference's PLSH window config, lsh.py:46-48)
     shingle_k: int = 5          # tokens per shingle
     shingle_stride: int = 1     # step between shingle starts
+    shingle_hash_bits: int = 32  # stored width of shingle fingerprints.
+                                 # 32 halves the bytes through the verify
+                                 # shuffle; within-pair collision odds
+                                 # (|A||B|/2^32 ~ 2e-4) shift Jaccard far
+                                 # below the threshold granularity. The
+                                 # brute-force oracle uses the same width.
     min_tokens: int = 1         # docs with fewer tokens are dropped (empty-doc filter)
 
     # MinHash (reference: permutation sketch, lsh.py:213-255; 128 perms per north star)

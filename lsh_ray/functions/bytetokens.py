@@ -1,0 +1,117 @@
+"""Fully-vectorized byte-level tokenization + token hashing.
+
+The hot path of the shingle stage. Tokenizing with pandas ``str.split``
+materializes millions of Python string objects per batch and SipHash over
+an object array is pointer-chasing-bound; this module never creates a
+Python object per token. Text bytes are concatenated into one uint8 array,
+ASCII-lowercased with a 256-entry lookup table, token spans are found with
+a vectorized whitespace mask, and each token's hash is a polynomial hash
+of its bytes computed in O(1) per token from prefix hashes
+(``H[r] - H[l] * P^(r-l)``, uint64 wraparound).
+
+Tokenizer semantics (pinned; identical for the pipeline and the
+brute-force test oracle): split on ASCII whitespace, ASCII-only casefold.
+(`str.lower().split()` additionally folds non-ASCII case and splits on
+unicode whitespace — the SQL-parity operators in text_stats/tfidf keep
+those exact semantics; the dedup engine uses this byte path on both sides
+of every comparison, so results are self-consistent.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lsh_ray.functions.hashing import _P1, splitmix64
+
+_U64 = np.uint64
+
+_LOWER = np.arange(256, dtype=np.uint8)
+_LOWER[65:91] += 32  # A-Z -> a-z
+
+_WS = np.zeros(256, dtype=bool)
+for _b in (9, 10, 11, 12, 13, 32):
+    _WS[_b] = True
+
+# modular inverse of _P1 mod 2^64 (odd -> invertible), Newton iteration
+_x = int(_P1)
+_inv = _x
+for _ in range(5):
+    _inv = (_inv * (2 - _x * _inv)) % (1 << 64)
+_P1_INV = np.uint64(_inv)
+
+_CHUNK_DOCS = 256  # docs per inner chunk: bounds temp arrays
+
+
+def _span_hashes(data: np.ndarray, starts: np.ndarray,
+                 ends: np.ndarray) -> np.ndarray:
+    """Polynomial hash of byte spans [start, end) of ``data``, O(1)/span."""
+    n = len(data)
+    with np.errstate(over="ignore"):
+        pw = np.ones(n + 1, dtype=np.uint64)
+        if n:
+            pw[1:] = np.cumprod(np.full(n, _P1, dtype=np.uint64))
+        pwinv = np.ones(n, dtype=np.uint64)
+        if n > 1:
+            pwinv[1:] = np.cumprod(np.full(n - 1, _P1_INV, dtype=np.uint64))
+        H = np.zeros(n + 1, dtype=np.uint64)
+        if n:
+            # H[i] = sum_{j<i} (data[j]+1) * P^(i-1-j)
+            H[1:] = np.cumsum((data.astype(np.uint64) + _U64(1)) * pwinv,
+                              dtype=np.uint64) * pw[:n]
+        span = H[ends] - H[starts] * pw[ends - starts]
+    return splitmix64(span)
+
+
+def token_hashes_from_texts(texts: list,
+                            ) -> tuple[np.ndarray, np.ndarray]:
+    """List of strings -> (flat token hashes uint64, per-doc token counts).
+
+    Vectorized in chunks of ``_CHUNK_DOCS`` documents (bounds temporary
+    array memory at ~tens of MB regardless of batch size).
+    """
+    n_docs = len(texts)
+    counts = np.zeros(n_docs, dtype=np.int64)
+    out_parts: list[np.ndarray] = []
+    for c0 in range(0, n_docs, _CHUNK_DOCS):
+        chunk = texts[c0:c0 + _CHUNK_DOCS]
+        bufs = [(t or "").encode("utf-8", "replace") for t in chunk]
+        doc_lens = np.fromiter((len(b) + 1 for b in bufs), dtype=np.int64,
+                               count=len(bufs))
+        data = np.frombuffer(b" ".join(bufs) + b" ", dtype=np.uint8)
+        data = _LOWER[data]
+        ws = _WS[data]
+        # token starts: non-ws whose predecessor is ws (or position 0)
+        nonws = ~ws
+        starts = np.flatnonzero(nonws & np.concatenate(([True], ws[:-1])))
+        ends_all = np.flatnonzero(ws & np.concatenate(([False], nonws[:-1])))
+        # every token ends before the trailing sentinel space, so
+        # len(starts) == len(ends_all) and they align 1:1
+        tok_h = _span_hashes(data, starts, ends_all)
+        # assign tokens to docs by start position
+        doc_bounds = np.cumsum(doc_lens)
+        doc_of_tok = np.searchsorted(doc_bounds, starts, side="right")
+        counts[c0:c0 + len(chunk)] = np.bincount(
+            doc_of_tok, minlength=len(chunk))
+        out_parts.append(tok_h)
+    flat = (np.concatenate(out_parts) if out_parts
+            else np.empty(0, dtype=np.uint64))
+    return flat, counts
+
+
+def hash_token_array(tokens: np.ndarray | list) -> np.ndarray:
+    """Token strings -> uint64 hashes, identical to the byte path.
+
+    Used by the test oracle so oracle and pipeline share one definition.
+    """
+    toks = list(tokens)
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    bufs = [t.encode("utf-8", "replace") for t in toks]
+    lens = np.fromiter((len(b) + 1 for b in bufs), dtype=np.int64,
+                       count=len(bufs))
+    data = np.frombuffer(b" ".join(bufs) + b" ", dtype=np.uint8)
+    data = _LOWER[data]
+    bounds = np.cumsum(lens)
+    starts = np.concatenate(([0], bounds[:-1]))
+    ends = bounds - 1
+    return _span_hashes(data, starts, ends)

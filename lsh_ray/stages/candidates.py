@@ -32,7 +32,7 @@ import pyarrow as pa
 from lsh_ray.config import PipelineConfig
 from lsh_ray.functions.hashing import hash_pair
 
-_NUM_BUCKETS = 256
+_NUM_BUCKETS = 4096
 
 
 def _pairs_for_band_bucket(group: pa.Table, cap: int,

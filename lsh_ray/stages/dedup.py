@@ -85,11 +85,9 @@ def simhash_near_dup_pairs(signatures_ds, config: PipelineConfig):
         _simhash_piece_rows, batch_format="pyarrow", zero_copy_batch=True)
     pairs = candidate_pairs(rows, config)
     joined = bucket_join(pairs, signatures_ds, "doc_a", "doc_id",
-                         ["simhash"], suffix="_a",
-                         num_buckets=config.join_num_partitions)
+                         ["simhash"], suffix="_a")
     joined = bucket_join(joined, signatures_ds, "doc_b", "doc_id",
-                         ["simhash"], suffix="_b",
-                         num_buckets=config.join_num_partitions)
+                         ["simhash"], suffix="_b")
 
     def verify(t: pa.Table) -> pa.Table:
         a = t["simhash_a"].to_numpy(zero_copy_only=False)
@@ -153,9 +151,9 @@ def embedding_near_dup_pairs(embeddings_ds, dim: int,
                             "embedding": t["embedding"]}),
         batch_format="pyarrow", zero_copy_batch=True)
     joined = bucket_join(pairs, emb, "doc_a", "doc_id", ["embedding"],
-                         suffix="_a", num_buckets=config.join_num_partitions)
+                         suffix="_a")
     joined = bucket_join(joined, emb, "doc_b", "doc_id", ["embedding"],
-                         suffix="_b", num_buckets=config.join_num_partitions)
+                         suffix="_b")
 
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

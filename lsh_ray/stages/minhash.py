@@ -61,7 +61,7 @@ def minhash_of_values(values: np.ndarray, offsets: np.ndarray,
     num_perms = a.shape[0]
     out = np.empty((num_perms, n_docs), dtype=np.uint64)
     starts = offsets[:-1]
-    v = values.astype(np.uint64, copy=False)
+    v = values.astype(np.uint64)  # 32-bit stored fingerprints widen here
     with np.errstate(over="ignore"):
         for i in range(num_perms):
             hv = v * a[i]
@@ -76,7 +76,8 @@ def simhash_of_values(values: np.ndarray, offsets: np.ndarray,
     n_docs = len(offsets) - 1
     starts = offsets[:-1]
     counts = (offsets[1:] - offsets[:-1]).astype(np.int64)
-    v = values.astype(np.uint64, copy=False)
+    # re-mix so all 64 sketch bits carry signal even for 32-bit inputs
+    v = splitmix64(values.astype(np.uint64))
     out = np.zeros(n_docs, dtype=np.uint64)
     # per-bit 1-D segmented sums (2-D reduceat is far slower)
     for bit in range(bits):

@@ -32,13 +32,15 @@ def tokenize_text_series(texts: pd.Series) -> pd.Series:
 
 
 def shingle_sets_from_token_lists(
-    token_lists: list[list[str]], k: int, stride: int = 1
+    token_lists: list[list[str]], k: int, stride: int = 1,
+    hash_bits: int = 32
 ) -> tuple[np.ndarray, np.ndarray]:
     """Token lists -> (flat sorted-unique shingle hashes, list offsets).
 
     Returns values + int32 offsets suitable for
     ``pa.ListArray.from_arrays(offsets, values)``.
     """
+    from lsh_ray.functions.bytetokens import hash_token_array
     lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64,
                        count=len(token_lists))
     total = int(lens.sum())
@@ -47,12 +49,14 @@ def shingle_sets_from_token_lists(
     for t in token_lists:
         flat[pos:pos + len(t)] = t
         pos += len(t)
-    tok_h = hash_strings(flat) if total else np.empty(0, dtype=np.uint64)
-    return _shingles_from_hashes(tok_h, lens, k, stride)
+    # same token-hash definition as the production byte path
+    tok_h = hash_token_array(flat) if total else np.empty(0, dtype=np.uint64)
+    return _shingles_from_hashes(tok_h, lens, k, stride, hash_bits)
 
 
 def _shingles_from_hashes(tok_h: np.ndarray, lens: np.ndarray, k: int,
-                          stride: int = 1) -> tuple[np.ndarray, np.ndarray]:
+                          stride: int = 1,
+                          hash_bits: int = 32) -> tuple[np.ndarray, np.ndarray]:
     """Concatenated token hashes + per-doc lengths -> per-doc shingle sets."""
     # k-step polynomial roll over the concatenated token hashes
     n = len(tok_h)
@@ -63,8 +67,10 @@ def _shingles_from_hashes(tok_h: np.ndarray, lens: np.ndarray, k: int,
             for j in range(k):
                 roll = roll * _P1 + tok_h[j : n_win + j]
         roll = splitmix64(roll)
+        if hash_bits == 32:
+            roll = (roll >> _U64(32)).astype(np.uint32)
     else:
-        roll = np.empty(0, dtype=np.uint64)
+        roll = np.empty(0, dtype=np.uint64 if hash_bits == 64 else np.uint32)
 
     # valid window starts: within one document, honoring stride
     doc_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
@@ -79,14 +85,24 @@ def _shingles_from_hashes(tok_h: np.ndarray, lens: np.ndarray, k: int,
 
     # per-document sorted dedup (set semantics, like the binary td_matrix)
     if total_sh:
-        order = np.lexsort((vals, win_doc))
-        sv, sd = vals[order], win_doc[order]
-        keep = np.ones(total_sh, dtype=bool)
-        keep[1:] = (sv[1:] != sv[:-1]) | (sd[1:] != sd[:-1])
-        sv, sd = sv[keep], sd[keep]
+        if hash_bits == 32:
+            # pack (doc, value) into one uint64: single sort beats lexsort
+            packed = (win_doc.astype(np.uint64) << _U64(32)) | vals.astype(np.uint64)
+            packed = np.sort(packed)
+            keep = np.ones(total_sh, dtype=bool)
+            keep[1:] = packed[1:] != packed[:-1]
+            packed = packed[keep]
+            sv = (packed & _U64(0xFFFFFFFF)).astype(np.uint32)
+            sd = (packed >> _U64(32)).astype(np.int64)
+        else:
+            order = np.lexsort((vals, win_doc))
+            sv, sd = vals[order], win_doc[order]
+            keep = np.ones(total_sh, dtype=bool)
+            keep[1:] = (sv[1:] != sv[:-1]) | (sd[1:] != sd[:-1])
+            sv, sd = sv[keep], sd[keep]
         counts = np.bincount(sd, minlength=len(lens))
     else:
-        sv = np.empty(0, dtype=np.uint64)
+        sv = np.empty(0, dtype=roll.dtype)
         counts = np.zeros(len(lens), dtype=np.int64)
     offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
     return sv, offsets
@@ -101,21 +117,14 @@ def shingle_batch(batch: pa.Table, config: PipelineConfig) -> pa.Table:
     cost of a full extra read. Chunk keys are ~tokens/chunk_divisor per
     doc, an order of magnitude smaller than carrying raw token hashes.
     """
-    texts = pd.Series(batch["text"].to_pylist())
-    tok_lists = tokenize_text_series(texts).tolist()
-    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
-                       count=len(tok_lists))
-    total = int(lens.sum())
-    flat = np.empty(total, dtype=object)
-    pos = 0
-    for t in tok_lists:
-        flat[pos:pos + len(t)] = t
-        pos += len(t)
-    tok_h = hash_strings(flat) if total else np.empty(0, dtype=np.uint64)
+    from lsh_ray.functions.bytetokens import token_hashes_from_texts
+    tok_h, lens = token_hashes_from_texts(batch["text"].to_pylist())
     vals, offsets = _shingles_from_hashes(
-        tok_h, lens, config.shingle_k, config.shingle_stride)
+        tok_h, lens, config.shingle_k, config.shingle_stride,
+        config.shingle_hash_bits)
+    sh_type = pa.uint64() if config.shingle_hash_bits == 64 else pa.uint32()
     shingles = pa.ListArray.from_arrays(
-        pa.array(offsets, type=pa.int32()), pa.array(vals, type=pa.uint64()))
+        pa.array(offsets, type=pa.int32()), pa.array(vals, type=sh_type))
     from lsh_ray.stages.chunking import chunk_keys_for_batch
     tok_offsets = np.concatenate(([0], np.cumsum(lens)))
     ck_vals, ck_doc = chunk_keys_for_batch(

@@ -84,9 +84,9 @@ def substring_pass(verified_ds, normalized_ds, config: PipelineConfig,
         zero_copy_batch=True).materialize()  # tiny; feeds both joins
     nb = config.join_num_partitions
     j = bucket_join(cands, texts, "doc_a", "doc_id", ["text"],
-                    suffix="_a", num_buckets=nb)
+                    suffix="_a")
     j = bucket_join(j, texts, "doc_b", "doc_id", ["text"],
-                    suffix="_b", num_buckets=nb)
+                    suffix="_b")
     out = j.map_batches(lambda t: _substring_batch(t, min_lcs),
                         batch_format="pyarrow", zero_copy_batch=True)
     return out.map_batches(lambda t: t.filter(t["is_substring"]),

@@ -106,11 +106,9 @@ def attach_signatures(pairs_ds, signatures_ds, config: PipelineConfig,
     from lsh_ray.stages.join import bucket_join
     cols = list(columns)
     joined = bucket_join(pairs_ds, signatures_ds, "doc_a", "doc_id",
-                         cols, suffix="_a",
-                         num_buckets=config.join_num_partitions)
+                         cols, suffix="_a")
     return bucket_join(joined, signatures_ds, "doc_b", "doc_id",
-                       cols, suffix="_b",
-                       num_buckets=config.join_num_partitions)
+                       cols, suffix="_b")
 
 
 def verify_via_joins(pairs_ds, signatures_ds, config: PipelineConfig):
@@ -133,8 +131,12 @@ def verify(pairs_ds, signatures_ds, config: PipelineConfig):
     """
     from lsh_ray.functions.hashing import hash_pair
     nb = config.join_num_partitions
-    nbu = np.uint64(nb)
-    shingle_type = pa.list_(pa.uint64())
+    # fine-grained group key: the sort shuffle range-partitions on sampled
+    # key values, so the bucket space must be much larger than the
+    # partition count or partitions collapse onto stragglers
+    nbu = np.uint64(1024)
+    shingle_type = pa.list_(
+        pa.uint64() if config.shingle_hash_bits == 64 else pa.uint32())
 
     def pair_endpoints(t: pa.Table) -> pa.Table:
         a = t["doc_a"].to_numpy(zero_copy_only=False)
