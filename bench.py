@@ -26,7 +26,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "12000"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "50000"))
 SEED = 42
 
 

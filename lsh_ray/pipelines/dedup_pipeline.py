@@ -78,10 +78,11 @@ def run_dedup(docs_ds, config: PipelineConfig = DEFAULT_CONFIG,
         from lsh_ray.stages.candidates import candidate_pairs
         pairs = candidate_pairs(band_rows(sigs, config), config,
                                 hot_policy="chain")
-    # fork: keeps the pair shuffle out of the verify-join topology (a fused
-    # read-sigs-twice + union + 4-shuffle DAG schedules far worse than the
-    # two pieces run back to back)
-    pairs = _fork(pairs, checkpoint_dir, "cand_pairs", config)
+    # checkpoint the pair set when resumability is requested; otherwise let
+    # the pair shuffle flow lazily into verify (one execution, fewer
+    # barriers — fine-grained shuffle buckets keep the fused DAG balanced)
+    if checkpoint_dir:
+        pairs = _fork(pairs, checkpoint_dir, "cand_pairs", config)
     verified = _fork(verify(pairs, sigs, config), checkpoint_dir, "verified",
                      config)
     # substring results feed both the result surface and the edge union

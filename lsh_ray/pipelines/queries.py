@@ -95,10 +95,17 @@ def q_simhash_near_dups(sf_dir: str):
 
 
 def q_embedding_near_dups(sf_dir: str):
+    import pandas as pd
+
     from lsh_ray.stages.dedup import embedding_near_dup_pairs
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dup_pairs(emb, dim=64, config=CFG,
-                                    cosine_threshold=0.55)
+    df = embedding_near_dup_pairs(emb, dim=64, config=CFG,
+                                  cosine_threshold=0.4).to_pandas()
+    if df.empty:  # keep a typed schema even when no pair clears the gate
+        df = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                           "vec_b": pd.Series(dtype="int64"),
+                           "cosine": pd.Series(dtype="float64")})
+    return df
 
 
 # ---------------------------------------------------------- text stats ----

@@ -78,11 +78,38 @@ def substring_pass(verified_ds, normalized_ds, config: PipelineConfig,
         hit = ids[idx] == doc if len(ids) else np.zeros(len(doc), bool)
         return t.filter(pa.array(hit))
 
-    from lsh_ray.stages.join import bucket_join
     texts = normalized_ds.select_columns(["doc_id", "text"]).map_batches(
-        only_candidates, batch_format="pyarrow",
-        zero_copy_batch=True).materialize()  # tiny; feeds both joins
-    nb = config.join_num_partitions
+        only_candidates, batch_format="pyarrow", zero_copy_batch=True)
+
+    if len(cand_ids) <= 200_000:
+        # broadcast fast path: the filtered text table is small, so pin it
+        # in the object store once and attach texts map-side — one
+        # execution, zero shuffle barriers
+        tmap: dict[int, str] = {}
+        for b in texts.iter_batches(batch_size=65536,
+                                    batch_format="pyarrow"):
+            tmap.update(zip(b["doc_id"].to_numpy(zero_copy_only=False)
+                            .tolist(), b["text"].to_pylist()))
+        tmap_ref = ray.put(tmap)
+
+        def attach_and_check(t: pa.Table) -> pa.Table:
+            m = ray.get(tmap_ref)
+            a = t["doc_a"].to_numpy(zero_copy_only=False).tolist()
+            b = t["doc_b"].to_numpy(zero_copy_only=False).tolist()
+            withtext = pa.table({
+                "doc_a": t["doc_a"], "doc_b": t["doc_b"],
+                "text_a": pa.array([m.get(x, "") for x in a]),
+                "text_b": pa.array([m.get(x, "") for x in b]),
+            })
+            out = _substring_batch(withtext, min_lcs)
+            return out.filter(out["is_substring"])
+
+        return cands.map_batches(attach_and_check, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    # scale path: partitioned joins (candidate set too large to broadcast)
+    from lsh_ray.stages.join import bucket_join
+    texts = texts.materialize()  # feeds both joins
     j = bucket_join(cands, texts, "doc_a", "doc_id", ["text"],
                     suffix="_a")
     j = bucket_join(j, texts, "doc_b", "doc_id", ["text"],
