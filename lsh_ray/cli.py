@@ -1,0 +1,121 @@
+"""CLI entry point — the rebuild of the reference's ``main.py`` command
+surface (``main.py:48-182``: create_index / search / serialize flags become
+dedup-pipeline stages and config flags).
+
+Usage:
+    python -m lsh_ray.cli dedup --input DIR --output DIR [--checkpoint DIR]
+        [--num-perms 128] [--bands 32] [--rows 4] [--jaccard 0.8]
+        [--seed 42] [--limit N] [--num-cpus N] [--distributed-cc]
+    python -m lsh_ray.cli signatures --input DIR --output DIR ...
+    python -m lsh_ray.cli gen-corpus --output DIR --docs 50000 [--seed 42]
+
+Owns its Ray session (guarded init), per the driver contract: library code
+never calls ray.init, the CLI does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_config_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--num-perms", type=int, default=128)
+    p.add_argument("--bands", type=int, default=32)
+    p.add_argument("--rows", type=int, default=4)
+    p.add_argument("--shingle-k", type=int, default=5)
+    p.add_argument("--jaccard", type=float, default=0.8)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--limit", type=int, default=None,
+                   help="corpus truncation (reference --num_audios analog)")
+    p.add_argument("--num-cpus", type=int, default=None)
+
+
+def _config(args):
+    from lsh_ray.config import PipelineConfig
+    return PipelineConfig(seed=args.seed, shingle_k=args.shingle_k,
+                          num_perms=args.num_perms, bands=args.bands,
+                          rows_per_band=args.rows,
+                          jaccard_threshold=args.jaccard)
+
+
+def _init_ray(args) -> None:
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "logging_level": "ERROR"}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(**kwargs)
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="lsh_ray")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("dedup", help="full near-duplicate pipeline")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--distributed-cc", action="store_true")
+    _add_config_flags(p)
+
+    p = sub.add_parser("signatures", help="build the signature table only")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    _add_config_flags(p)
+
+    p = sub.add_parser("gen-corpus", help="deterministic synthetic corpus")
+    p.add_argument("--output", required=True)
+    p.add_argument("--docs", type=int, default=50_000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--shards", type=int, default=16)
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "gen-corpus":
+        from lsh_ray.fixtures import write_corpus
+        write_corpus(args.output, n_docs=args.docs, seed=args.seed,
+                     n_shards=args.shards)
+        print(json.dumps({"corpus": args.output, "docs": args.docs}))
+        return 0
+
+    import ray
+
+    import ray.data
+    _init_ray(args)
+    cfg = _config(args)
+    t0 = time.time()
+    try:
+        docs = ray.data.read_parquet(args.input)
+        if args.limit:
+            docs = docs.limit(args.limit)
+        if args.cmd == "signatures":
+            from lsh_ray.stages.minhash import signatures
+            from lsh_ray.stages.normalize import normalize
+            from lsh_ray.stages.shingle import shingle
+            signatures(shingle(normalize(docs, cfg), cfg),
+                       cfg).write_parquet(args.output)
+            print(json.dumps({"output": args.output,
+                              "wall_s": round(time.time() - t0, 2)}))
+            return 0
+        from lsh_ray.pipelines.dedup_pipeline import run_dedup
+        res = run_dedup(docs, cfg, checkpoint_dir=args.checkpoint,
+                        distributed_cc=args.distributed_cc)
+        res.clusters.write_parquet(args.output + "/clusters")
+        res.verified.write_parquet(args.output + "/verified_pairs")
+        print(json.dumps({
+            "output": args.output,
+            "verified_pairs": res.verified.count(),
+            "clustered_docs": res.clusters.count(),
+            "wall_s": round(time.time() - t0, 2),
+        }))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

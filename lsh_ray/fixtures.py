@@ -186,3 +186,30 @@ def write_corpus(out_dir: str, n_docs: int = 5_000, seed: int = 42,
     pq.write_table(tables["truth_pairs"], os.path.join(out_dir, "truth_pairs.parquet"))
     pq.write_table(tables["truth_clusters"], os.path.join(out_dir, "truth_clusters.parquet"))
     return out_dir
+
+
+def generate_sequences(n_seqs: int = 500, seed: int = 42) -> pa.Table:
+    """Reference-shaped conformance fixture (FIXTURES.md §2): integer-valued
+    float sequences with onsets/durations, mirroring the reference's pitch
+    contour tuples (``loader.py:126``)."""
+    rng = np.random.default_rng(seed)
+    ids, values, onsets, durations = [], [], [], []
+    for i in range(n_seqs):
+        n = int(rng.integers(30, 600))
+        vals = rng.integers(40, 80, size=n).astype(np.float32)  # MIDI-ish
+        durs = rng.exponential(0.5, size=n).astype(np.float32) + 0.05
+        # occasional null durations (reference emits None, loader.py:117)
+        durs_list = durs.tolist()
+        for j in rng.integers(0, n, size=max(1, n // 50)):
+            durs_list[int(j)] = None
+        ons = np.concatenate(([0.0], np.cumsum(durs[:-1]))).astype(np.float32)
+        ids.append(f"seq://{i:05d}.mid")
+        values.append(vals.tolist())
+        onsets.append(ons.tolist())
+        durations.append(durs_list)
+    return pa.table({
+        "doc_id": pa.array(ids),
+        "values": pa.array(values, type=pa.list_(pa.float32())),
+        "onsets": pa.array(onsets, type=pa.list_(pa.float32())),
+        "durations": pa.array(durations, type=pa.list_(pa.float32())),
+    })
