@@ -268,7 +268,25 @@ def q_knn_lsh(sf_dir: str):
     return knn_lsh(emb, vecs, ids, dim=64, k=10, seed=CFG.seed)
 
 
+def q_text_search(sf_dir: str):
+    """Retrieval flow (reference search, rows-only): first 5 docs are
+    queries against the remaining corpus."""
+    import pyarrow.compute as pc
+
+    from lsh_ray.pipelines.search import search
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+    queries = docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 5)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    corpus = docs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], 5)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return search(corpus, queries, CFG, top_k=5)
+
+
 QUERIES = {
+    "text_search": q_text_search,
     "exact_dup_groups": q_exact_dup_groups,
     "exact_dedup": q_exact_dedup,
     "dedup_pairs": q_dedup_pairs,
