@@ -271,18 +271,22 @@ def q_knn_lsh(sf_dir: str):
 def q_text_search(sf_dir: str):
     """Retrieval flow (reference search, rows-only): first 5 docs are
     queries against the remaining corpus."""
+    import pyarrow as pa
     import pyarrow.compute as pc
 
     from lsh_ray.pipelines.search import search
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text", "lang"])
     queries = docs.map_batches(
-        lambda t: t.filter(pc.less(t["doc_id"], 5)),
+        lambda t: pa.table({
+            # distinct query identity so the tagged self-join can orient
+            "doc_id": pc.add(t.filter(pc.less(t["doc_id"], 5))["doc_id"],
+                             10_000_000),
+            "text": t.filter(pc.less(t["doc_id"], 5))["text"],
+            "lang": t.filter(pc.less(t["doc_id"], 5))["lang"],
+        }),
         batch_format="pyarrow", zero_copy_batch=True)
-    corpus = docs.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["doc_id"], 5)),
-        batch_format="pyarrow", zero_copy_batch=True)
-    return search(corpus, queries, CFG, top_k=5)
+    return search(docs, queries, CFG, top_k=5)
 
 
 QUERIES = {
