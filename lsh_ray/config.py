@@ -57,8 +57,13 @@ class PipelineConfig:
                                  # coincidental common phrase shares one)
 
     # candidate generation / skew handling
-    group_size_cap: int = 256   # band groups larger than this emit a connectivity
-                                # chain + capped extra pairs instead of all O(n^2) pairs
+    group_size_cap: int = 256   # band groups larger than this stop emitting
+                                # all O(n^2) pairs (salted split, then chain)
+    salt_buckets: int = 8       # hot band groups of size (cap, cap*salt] are
+                                # split by salt = h(doc_id) % S: full pairs
+                                # within each salt bucket + a chain across
+                                # bucket minima — bounded work, connectivity
+                                # preserved. Beyond cap*salt: pure chain.
     min_band_hits: int = 1      # pairs must collide in >= this many bands
 
     # verification

@@ -165,11 +165,40 @@ def candidate_pairs(band_rows_ds, config: PipelineConfig,
 
 # ------------------------- unified two-family pass (bands + chunks) --------
 
-def _pairs_for_mixed_bucket(group: pa.Table, cap: int) -> pa.Table:
+def _salted_pairs(d: np.ndarray, salt_buckets: int
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Hot-group pair emission via SALTED band keys (north_rule mechanism):
+    split the group's docs by ``salt = h(doc_id) % S``, emit all pairs
+    within each salt bucket (bounded at ~ (m/S)^2 * S work) plus a chain
+    across the salt buckets' minimum members so the group stays one
+    connected component for clustering."""
+    from lsh_ray.functions.hashing import splitmix64
+    salt = (splitmix64(d) % np.uint64(salt_buckets)).astype(np.int64)
+    a_parts, b_parts, reps = [], [], []
+    for s in range(salt_buckets):
+        sub = d[salt == s]
+        if len(sub) == 0:
+            continue
+        reps.append(sub[0])  # d sorted => sub sorted => min member
+        if len(sub) >= 2:
+            iu, ju = np.triu_indices(len(sub), k=1)
+            a_parts.append(sub[iu]); b_parts.append(sub[ju])
+    reps = np.sort(np.array(reps, dtype=np.uint64))
+    if len(reps) >= 2:
+        a_parts.append(reps[:-1]); b_parts.append(reps[1:])
+    if not a_parts:
+        return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64))
+    a = np.concatenate(a_parts); b = np.concatenate(b_parts)
+    return np.minimum(a, b), np.maximum(a, b)
+
+
+def _pairs_for_mixed_bucket(group: pa.Table, cap: int,
+                            salt_buckets: int = 8) -> pa.Table:
     """Like _pairs_for_band_bucket but for rows carrying a ``family``
-    column (0 = MinHash band key -> hot policy chain; 1 = content-chunk key
-    -> hot policy drop). Key spaces are disjoint, so family is constant
-    within each key group. Emits per-family partial hit counts."""
+    column (0 = MinHash band key -> hot policy salt-then-chain; 1 =
+    content-chunk key -> hot policy drop). Key spaces are disjoint, so
+    family is constant within each key group. Emits per-family partial hit
+    counts."""
     bk = group["band_key"].to_numpy(zero_copy_only=False)
     doc = group["doc_id"].to_numpy(zero_copy_only=False)
     fam = group["family"].to_numpy(zero_copy_only=False)
@@ -190,7 +219,12 @@ def _pairs_for_mixed_bucket(group: pa.Table, cap: int) -> pa.Table:
             iu, ju = np.triu_indices(m, k=1)
             a_parts.append(d[iu]); b_parts.append(d[ju])
             f_parts.append(np.full(len(iu), f, dtype=np.int8))
-        elif f == 0:  # hot band group: chain (real dup cluster)
+        elif f == 0 and m <= cap * salt_buckets:
+            # hot band group: salted split (bounded pairs, full connectivity)
+            sa, sb = _salted_pairs(d, salt_buckets)
+            a_parts.append(sa); b_parts.append(sb)
+            f_parts.append(np.full(len(sa), 0, dtype=np.int8))
+        elif f == 0:  # extreme band group: connectivity chain only
             a_parts.append(d[:-1]); b_parts.append(d[1:])
             f_parts.append(np.full(m - 1, 0, dtype=np.int8))
         # hot chunk group: boilerplate -> drop
@@ -265,7 +299,8 @@ def candidate_pairs_two_family(band_rows_ds, chunk_rows_ds,
     # 64-way reduce parallelism here anyway
     rows = rows.repartition(64)
     partial = rows.groupby("bucket").map_groups(
-        lambda g: _pairs_for_mixed_bucket(g, config.group_size_cap),
+        lambda g: _pairs_for_mixed_bucket(g, config.group_size_cap,
+                                          config.salt_buckets),
         batch_format="pyarrow")
 
     def add_pair_bucket(t: pa.Table) -> pa.Table:

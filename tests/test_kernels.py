@@ -102,3 +102,24 @@ def test_lcs_len():
 def test_is_exact_substring():
     assert is_exact_substring("abc", "xxabcyy")
     assert not is_exact_substring("abd", "xxabcyy")
+
+
+def test_salted_hot_group_pairs():
+    """Hot band groups use salted splits: bounded pair count, full
+    connectivity (north_rule's salted-band-key mechanism)."""
+    from lsh_ray.functions.unionfind import UnionFind
+    from lsh_ray.stages.candidates import _salted_pairs
+    rng = np.random.default_rng(7)
+    d = np.unique(rng.integers(0, 2**63, size=500, dtype=np.uint64))
+    a, b = _salted_pairs(d, 8)
+    # bounded: far fewer than the m^2/2 full cross product
+    assert len(a) < len(d) ** 2 / 8
+    # canonical orientation
+    assert (a < b).all()
+    # connectivity: every doc reachable in one component
+    uf = UnionFind()
+    for x, y in zip(a.tolist(), b.tolist()):
+        uf.union(x, y)
+    comp = uf.components()
+    assert len(set(comp.values())) == 1
+    assert set(comp) == set(d.tolist())
