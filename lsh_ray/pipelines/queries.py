@@ -155,6 +155,16 @@ def q_tfidf(sf_dir: str):
     return tfidf(_docs_text(sf_dir))
 
 
+def q_token_max_tfidf(sf_dir: str):
+    from lsh_ray.stages.tfidf import tfidf, token_max_tfidf
+    return token_max_tfidf(tfidf(_docs_text(sf_dir)))
+
+
+def q_tfidf_filter_stats(sf_dir: str):
+    from lsh_ray.stages.tfidf import tfidf_filter_stats
+    return tfidf_filter_stats(_docs_text(sf_dir), min_tfidf=0.01)
+
+
 # -------------------------------------------------------------- events ----
 
 def q_events_hourly(sf_dir: str):
@@ -306,6 +316,8 @@ QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "token_df": q_token_df,
     "tfidf": q_tfidf,
+    "token_max_tfidf": q_token_max_tfidf,
+    "tfidf_filter_stats": q_tfidf_filter_stats,
     "events_hourly": q_events_hourly,
     "event_type_counts": q_event_type_counts,
     "sessions": q_sessions,
@@ -404,6 +416,35 @@ ORACLE_SQL = {
         "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY "
         "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
         "CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id ASC) <= 10"),
+    "token_max_tfidf": (
+        "WITH toks AS " + _TOKS + ", "
+        "tf AS (SELECT doc_id, token, COUNT(*) AS tf_count, "
+        "SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS doc_len "
+        "FROM toks GROUP BY doc_id, token), "
+        "df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks "
+        "GROUP BY token), "
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents "
+        "WHERE trim(text) <> '') "
+        "SELECT token, MAX(ROUND((tf.tf_count * 1.0 / tf.doc_len) * "
+        "log2(n.n_docs * 1.0 / df.df), 6)) AS max_tfidf "
+        "FROM tf JOIN df USING (token) CROSS JOIN n GROUP BY token"),
+    "tfidf_filter_stats": (
+        "WITH toks AS " + _TOKS + ", "
+        "tf AS (SELECT doc_id, token, COUNT(*) AS tf_count, "
+        "SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS doc_len "
+        "FROM toks GROUP BY doc_id, token), "
+        "df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks "
+        "GROUP BY token), "
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents "
+        "WHERE trim(text) <> '') "
+        ", scored AS (SELECT tf.doc_id, tf.token, tf.tf_count, tf.doc_len, "
+        "ROUND((tf.tf_count * 1.0 / tf.doc_len) * "
+        "log2(n.n_docs * 1.0 / df.df), 6) AS tfidf "
+        "FROM tf JOIN df USING (token) CROSS JOIN n) "
+        "SELECT doc_id, SUM(CASE WHEN tfidf > 0.01 THEN tf_count ELSE 0 END) "
+        "AS n_kept, ROUND(SUM(CASE WHEN tfidf > 0.01 THEN tf_count ELSE 0 "
+        "END) * 1.0 / GREATEST(MAX(doc_len), 1), 6) AS pct_kept "
+        "FROM scored GROUP BY doc_id"),
     # rows-only (non-SQL-expressible): dedup_pairs, dedup_clusters,
     # minhash_signatures, simhash_near_dups, embedding_near_dups,
     # lang_id_pred, knn_lsh

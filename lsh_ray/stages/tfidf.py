@@ -105,3 +105,65 @@ def filter_tokens_by_tfidf(tfidf_ds, min_tfidf: float):
     return tfidf_ds.map_batches(
         lambda t: t.filter(pc.greater(t["tfidf"], min_tfidf)),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_max_tfidf(tfidf_ds):
+    """(token, max_tfidf): per-token maximum over docs — the broadcast side
+    of query-TFIDF estimation (reference ``estimate_query_tfidfs``,
+    ``scripts/query_tfidf_calculation.py:82-104``: a query token's weight is
+    the max TF-IDF that token attains across songs)."""
+    from ray.data.aggregate import Max
+    return tfidf_ds.groupby("token").aggregate(
+        Max("tfidf", alias_name="max_tfidf"))
+
+
+def tfidf_filter_stats(ds, min_tfidf: float, round_to: int = 6):
+    """Per-doc stats of TF-IDF token filtering: occurrences kept and the
+    fraction of the document retained (reference remaining-pitch
+    percentages, ``scripts/tfidf_pitch_extraction.py:137-181``)."""
+    from lsh_ray.functions.num import round_half_away
+    scored = tfidf(ds, round_to=round_to)
+    rows = doc_token_rows(ds)
+    # join tf rows to scores on (doc_id, token) via a composed key
+    from lsh_ray.functions.hashing import hash_pair, hash_strings
+
+    def add_key(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        tok = hash_strings(np.asarray(t["token"].to_pylist(), dtype=object))
+        return t.append_column("pair_key",
+                               pa.array(hash_pair(doc, tok),
+                                        type=pa.uint64()))
+
+    rows_k = rows.map_batches(add_key, batch_format="pyarrow")
+    scored_k = scored.map_batches(add_key, batch_format="pyarrow") \
+        .map_batches(lambda t: t.select(["pair_key", "tfidf"]),
+                     batch_format="pyarrow")
+    j = bucket_join(rows_k, scored_k, "pair_key", "pair_key", ["tfidf"],
+                    suffix="_s")
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        keep = (t["tfidf_s"].to_numpy(zero_copy_only=False)
+                > min_tfidf).astype(np.int64)
+        kept = t["tf_count"].to_numpy(zero_copy_only=False) * keep
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "kept": pa.array(kept),
+            "doc_len": t["doc_len"],
+        })
+
+    from ray.data.aggregate import Max, Sum
+    agg = (j.map_batches(per_batch, batch_format="pyarrow")
+           .groupby("doc_id")
+           .aggregate(Sum("kept", alias_name="n_kept"),
+                      Max("doc_len", alias_name="doc_len")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        kept = t["n_kept"].to_numpy(zero_copy_only=False)
+        dl = t["doc_len"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_kept": pa.array(kept.astype(np.int64)),
+            "pct_kept": pa.array(
+                round_half_away(kept / np.maximum(dl, 1), round_to)),
+        })
+    return agg.map_batches(finish, batch_format="pyarrow")
