@@ -106,12 +106,12 @@ def main(argv: list[str] | None = None) -> int:
                         distributed_cc=args.distributed_cc)
         res.clusters.write_parquet(args.output + "/clusters")
         res.verified.write_parquet(args.output + "/verified_pairs")
-        print(json.dumps({
-            "output": args.output,
-            "verified_pairs": res.verified.count(),
-            "clustered_docs": res.clusters.count(),
-            "wall_s": round(time.time() - t0, 2),
-        }))
+        metrics = res.metrics()
+        metrics["wall_s"] = round(time.time() - t0, 2)
+        import os
+        with open(os.path.join(args.output, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=1)
+        print(json.dumps({"output": args.output, **metrics}))
         return 0
     finally:
         ray.shutdown()

@@ -44,6 +44,23 @@ class DedupResult:
     substring_pairs: Any
     clusters: Any
 
+    def metrics(self) -> dict:
+        """Per-stage row counts + dup statistics (the rebuild of the
+        reference's printed counters, ``lsh.py:259,268,306``, as a
+        structured artifact; written next to checkpoints by the CLI)."""
+        ver = self.verified
+        n_dup = ver.map_batches(
+            lambda t: {"n": [int(t.filter(t["is_dup"]).num_rows)]},
+            batch_format="pyarrow").sum("n") or 0
+        return {
+            "docs_normalized": self.normalized.count(),
+            "docs_signed": self.signatures.count(),
+            "verified_pairs": ver.count(),
+            "dup_pairs": n_dup,
+            "substring_pairs": self.substring_pairs.count(),
+            "clustered_docs": self.clusters.count(),
+        }
+
 
 def _fork(ds, checkpoint_dir: str | None, name: str, config: PipelineConfig):
     """Materialize a DAG fork: parquet checkpoint (resumable) or object store."""
