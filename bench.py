@@ -57,8 +57,10 @@ def run_bench() -> dict:
     cfg = PipelineConfig(signature_concurrency=max(2, num_cpus // 2),
                          join_num_partitions=max(16, num_cpus))
 
-    # enough input blocks that every stage fans out across the CPUs
-    n_blocks = num_cpus * 4
+    # data-derived block count (as a real cluster would size blocks by
+    # bytes, not by CPU count) — identical across parallelism levels so
+    # the scaling comparison changes exactly one variable
+    n_blocks = max(64, BENCH_DOCS // 400)
 
     # warm the page cache so we measure compute + shuffle, not first read
     ray.data.read_parquet(corpus + "/documents",

@@ -74,10 +74,14 @@ def run_dedup(docs_ds, config: PipelineConfig = DEFAULT_CONFIG,
               checkpoint_dir: str | None = None,
               distributed_cc: bool = False) -> DedupResult:
     """Full pipeline over a documents Dataset; returns every stage output."""
-    # normalized feeds three consumers (shingle, chunk keys, substring texts):
-    # fork it once rather than recompute per consumer
-    normalized = _fork(normalize(docs_ds, config), checkpoint_dir,
-                       "normalized", config)
+    # normalized feeds the signature chain and the (tiny) substring text
+    # fetch. With checkpointing it is persisted once; otherwise it stays
+    # lazy — fusing read+normalize+shingle+signature into ONE streaming
+    # execution (the substring pass re-runs the cheap normalize on <1% of
+    # the corpus via its semi-join prefilter).
+    normalized = normalize(docs_ds, config)
+    if checkpoint_dir:
+        normalized = _fork(normalized, checkpoint_dir, "normalized", config)
     shingled = shingle(normalized, config)
     sigs = _fork(signatures(shingled, config), checkpoint_dir, "signatures",
                  config)
