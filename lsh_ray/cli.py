@@ -59,7 +59,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--checkpoint", default=None)
-    p.add_argument("--distributed-cc", action="store_true")
+    p.add_argument("--distributed-cc", action="store_true",
+                   default=None)  # None = auto by edge count
     _add_config_flags(p)
 
     p = sub.add_parser("signatures", help="build the signature table only")

@@ -112,17 +112,19 @@ def recursive_alignment(query: np.ndarray, cand: np.ndarray,
     return best
 
 
-def ktra(query: np.ndarray, cand: np.ndarray, k: int = INITIAL_KTRA_K,
+def ktra(query: np.ndarray, cand: np.ndarray, k: float = INITIAL_KTRA_K,
          depth: int = MAX_KTRA_DEPTH) -> float:
     """V7: mean-subtract both (M11), try key shifts -k/0/+k with RA, recurse
-    with k/2 (matching_algorithms.py:288-316)."""
+    with FLOAT k/2 (matching_algorithms.py:288-316 halves a float:
+    1 -> 0.5 -> 0.25, so the fine transposition search survives)."""
     q = np.asarray(query, dtype=np.float64)
     c = np.asarray(cand, dtype=np.float64)
     q = q - q.mean() if len(q) else q
     c = c - c.mean() if len(c) else c
-    best = min(recursive_alignment(q + s, c, 1) for s in (-k, 0, k))
-    if depth > 0 and k > 0:
-        best = min(best, ktra(query, cand, max(k // 2, 0), depth - 1))
+    k = float(k)
+    best = min(recursive_alignment(q + s, c, 1) for s in (-k, 0.0, k))
+    if depth > 0 and k > 1e-9:
+        best = min(best, ktra(query, cand, k / 2.0, depth - 1))
     return best
 
 

@@ -36,15 +36,17 @@ def plsh_windows(values: np.ndarray,
                  window: int = PLSH_WINDOW,
                  shift: int = PLSH_SHIFT,
                  interval: int = PLSH_INTERVAL) -> list[np.ndarray]:
-    """Overlapping subsampled windows (reference lsh.py:46-65 semantics)."""
+    """Overlapping subsampled windows (reference lsh.py:46-65 semantics):
+    floor(len/shift) windows starting every ``shift``, INCLUDING truncated
+    tail windows — e.g. len=120 yields 8 windows, the last 3 shorter."""
     v = np.asarray(values)
     out = []
-    for start in range(0, max(len(v) - window + 1, 1), shift):
+    start = 0
+    for _ in range(len(v) // shift):
         w = v[start:start + window:interval]
         if len(w):
             out.append(w)
-        if start + window >= len(v):
-            break
+        start += shift
     return out
 
 

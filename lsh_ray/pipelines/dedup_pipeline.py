@@ -72,7 +72,7 @@ def _fork(ds, checkpoint_dir: str | None, name: str, config: PipelineConfig):
 
 def run_dedup(docs_ds, config: PipelineConfig = DEFAULT_CONFIG,
               checkpoint_dir: str | None = None,
-              distributed_cc: bool = False) -> DedupResult:
+              distributed_cc: bool | None = None) -> DedupResult:
     """Full pipeline over a documents Dataset; returns every stage output."""
     # normalized feeds the signature chain and the (tiny) substring text
     # fetch. With checkpointing it is persisted once; otherwise it stays

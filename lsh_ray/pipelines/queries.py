@@ -356,7 +356,8 @@ ORACLE_SQL = {
         "SELECT doc_id, md5(text) AS md5_fp FROM documents"),
     "doc_token_stats": (
         "SELECT doc_id, token, COUNT(*) AS tf_count, "
-        "SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS doc_len "
+        "CAST(SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS BIGINT) "
+        "AS doc_len "
         f"FROM {_TOKS} GROUP BY doc_id, token"),
     "token_df": (
         f"SELECT token, COUNT(DISTINCT doc_id) AS df FROM {_TOKS} "
@@ -441,8 +442,9 @@ ORACLE_SQL = {
         "ROUND((tf.tf_count * 1.0 / tf.doc_len) * "
         "log2(n.n_docs * 1.0 / df.df), 6) AS tfidf "
         "FROM tf JOIN df USING (token) CROSS JOIN n) "
-        "SELECT doc_id, SUM(CASE WHEN tfidf > 0.01 THEN tf_count ELSE 0 END) "
-        "AS n_kept, ROUND(SUM(CASE WHEN tfidf > 0.01 THEN tf_count ELSE 0 "
+        "SELECT doc_id, CAST(SUM(CASE WHEN tfidf > 0.01 THEN tf_count "
+        "ELSE 0 END) AS BIGINT) AS n_kept, "
+        "ROUND(SUM(CASE WHEN tfidf > 0.01 THEN tf_count ELSE 0 "
         "END) * 1.0 / GREATEST(MAX(doc_len), 1), 6) AS pct_kept "
         "FROM scored GROUP BY doc_id"),
     # rows-only (non-SQL-expressible): dedup_pairs, dedup_clusters,

@@ -43,16 +43,26 @@ def read_text_documents(paths: str | list[str]):
     """Plain text files -> (url, text) rows (one doc per line).
 
     Reference analog: newline dataset lists, ``loader.py:44-52``.
-    """
-    ds = ray.data.read_text(paths)
 
-    def to_doc(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table({
-            "url": pa.array([f"text://{i}" for i in range(n)]),
-            "text": t["text"],
-        })
-    return ds.map_batches(to_doc, batch_format="pyarrow")
+    Each file is read whole (one row) and split into lines HERE, so the
+    line number is known globally and ``url = "text://{path}#L{lineno}"``
+    is unique across files and blocks. (A per-batch row counter would
+    restart at 0 in every block and silently collide distinct documents
+    into one ``doc_id = siphash64(url)`` downstream.)
+    """
+    ds = ray.data.read_binary_files(paths, include_paths=True)
+
+    def to_docs(t: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        texts: list[str] = []
+        for path, blob in zip(t["path"].to_pylist(),
+                              t["bytes"].to_pylist()):
+            lines = blob.decode("utf-8", errors="replace").splitlines()
+            urls.extend(f"text://{path}#L{i}" for i in range(len(lines)))
+            texts.extend(lines)
+        return pa.table({"url": pa.array(urls, type=pa.string()),
+                         "text": pa.array(texts, type=pa.string())})
+    return ds.map_batches(to_docs, batch_format="pyarrow")
 
 
 def write_partitioned(ds, out_dir: str, min_rows_per_file: int | None = None):

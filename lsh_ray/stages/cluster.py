@@ -4,17 +4,19 @@ Cluster id = MIN doc_id of the component: deterministic, content-derived,
 stable across resumes and input orderings (fixes the reference's
 positional-identity coupling, ``lsh.py:263``, ``lsh.py:462-463``).
 
-Two implementations:
+Two implementations, auto-selected by edge count (``clusters_table``):
 
 - ``connected_components``: streams the (sparse) verified edge list to the
-  driver through ``iter_batches`` and runs union-find. Verified dup edges
-  are O(dup pairs) — orders of magnitude smaller than the corpus — and 16
-  bytes each; this is the right default up to ~10^8 edges.
-- ``connected_components_distributed``: iterated min-label propagation
-  expressed entirely in Ray Data (join + groupby-min per round, converging
-  in O(diameter) rounds) for edge sets too large for any single node.
-  Duplicate clusters are near-cliques, so diameter (and round count) is
-  tiny in practice.
+  driver through ``iter_batches`` and labels components with a fully
+  vectorized numpy min-label propagation + pointer jumping (no per-edge
+  Python). Verified dup edges are O(dup pairs) — orders of magnitude
+  smaller than the corpus — and 16 bytes each; right up to ~10^7-10^8
+  edges on one node.
+- ``connected_components_distributed``: alternating large-star/small-star
+  rounds expressed entirely in Ray Data (one bucketed groupby per round,
+  O(log^2 n) rounds) for edge sets too large for any single node. The
+  DEFAULT path switches to this automatically when the streamed edge
+  count exceeds ``DRIVER_EDGE_CAP``.
 """
 
 from __future__ import annotations
@@ -26,30 +28,69 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Min
 
-from lsh_ray.functions.unionfind import UnionFind
+# above this many edges the driver-side path refuses and clusters_table
+# falls back to the distributed large/small-star implementation
+DRIVER_EDGE_CAP = 20_000_000
 
 
-def connected_components(edges_ds) -> pd.DataFrame:
+def _label_components(a: np.ndarray, b: np.ndarray
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized connected components over edge arrays.
+
+    Min-label propagation across edges (``np.minimum.at``) alternated with
+    pointer jumping (``label = label[label]``) until fixpoint — O(E) numpy
+    work per round, O(log n) rounds; dup clusters are near-cliques so 2-3
+    rounds typical. Labels are indices into the ascending-sorted node
+    array, so the converged label IS the component's minimum member id
+    (the stable content-derived cluster id contract).
+    """
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia = inv[:len(a)].astype(np.int64)
+    ib = inv[len(a):].astype(np.int64)
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        old = label.copy()
+        mn = np.minimum(label[ia], label[ib])
+        np.minimum.at(label, ia, mn)
+        np.minimum.at(label, ib, mn)
+        while True:
+            nxt = label[label]
+            if np.array_equal(nxt, label):
+                break
+            label = nxt
+        if np.array_equal(label, old):
+            break
+    return nodes, nodes[label]
+
+
+def connected_components(edges_ds, max_edges: int | None = None
+                         ) -> pd.DataFrame | None:
     """Edge Dataset (doc_a, doc_b) -> DataFrame (doc_id, cluster_id).
 
-    Streams edges; only union-find state (O(nodes-in-any-edge)) is held.
+    Streams edges into flat arrays; all labeling is vectorized numpy.
+    Returns ``None`` if ``max_edges`` is set and exceeded (caller falls
+    back to the distributed path).
     """
-    uf = UnionFind()
+    chunks_a: list[np.ndarray] = []
+    chunks_b: list[np.ndarray] = []
+    total = 0
     for batch in edges_ds.select_columns(["doc_a", "doc_b"]).iter_batches(
             batch_size=65536, batch_format="pyarrow"):
-        a = batch["doc_a"].to_numpy(zero_copy_only=False)
-        b = batch["doc_b"].to_numpy(zero_copy_only=False)
-        for x, y in zip(a.tolist(), b.tolist()):
-            uf.union(x, y)
-    comp = uf.components()
-    if not comp:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(
+            np.uint64, copy=True)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(
+            np.uint64, copy=True)
+        total += len(a)
+        if max_edges is not None and total > max_edges:
+            return None
+        chunks_a.append(a)
+        chunks_b.append(b)
+    if total == 0:
         return pd.DataFrame({"doc_id": pd.array([], dtype="uint64"),
                              "cluster_id": pd.array([], dtype="uint64")})
-    nodes = np.fromiter(comp.keys(), dtype=np.uint64, count=len(comp))
-    labels = np.fromiter((comp[k] for k in comp), dtype=np.uint64,
-                         count=len(comp))
-    order = np.argsort(nodes)
-    return pd.DataFrame({"doc_id": nodes[order], "cluster_id": labels[order]})
+    nodes, labels = _label_components(np.concatenate(chunks_a),
+                                      np.concatenate(chunks_b))
+    return pd.DataFrame({"doc_id": nodes, "cluster_id": labels})
 
 
 def _star_round(edges_ds, large: bool, num_buckets: int):
@@ -169,11 +210,20 @@ def connected_components_distributed(edges_ds, num_partitions: int = 32,
         batch_format="pyarrow", zero_copy_batch=True)
 
 
-def clusters_table(edges_ds, distributed: bool = False):
-    """Edges -> cluster assignment as a Ray Dataset (doc_id, cluster_id)."""
+def clusters_table(edges_ds, distributed: bool | None = None):
+    """Edges -> cluster assignment as a Ray Dataset (doc_id, cluster_id).
+
+    ``distributed=None`` (the default) auto-selects: the driver-side
+    vectorized path up to ``DRIVER_EDGE_CAP`` streamed edges, the
+    shuffle-based large/small-star path beyond it — no flag needed for
+    the scale-safe behavior.
+    """
     if distributed:
         return connected_components_distributed(edges_ds)
-    pdf = connected_components(edges_ds)
+    cap = DRIVER_EDGE_CAP if distributed is None else None
+    pdf = connected_components(edges_ds, max_edges=cap)
+    if pdf is None:  # edge set too large for one node: re-run distributed
+        return connected_components_distributed(edges_ds)
     return ray.data.from_pandas(pdf) if len(pdf) else ray.data.from_arrow(
         pa.table({"doc_id": pa.array([], pa.uint64()),
                   "cluster_id": pa.array([], pa.uint64())}))

@@ -37,25 +37,34 @@ def jaccard_and_containment(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-pair exact Jaccard + containment over sorted-unique shingle sets.
 
-    Each row's sets are sorted unique uint64 (shingle stage guarantees this);
-    intersection size via binary search (searchsorted) per pair.
+    Fully vectorized (no per-pair Python): both sides' flat values are
+    tagged with their pair index and merge-sorted once per batch
+    (``np.lexsort`` on (value, pair)); since each side's set is unique,
+    an intersection element is exactly an adjacent duplicate (same pair,
+    same value), counted with one ``np.bincount``. One O(E log E) pass for
+    the whole batch instead of one searchsorted per pair — at 10^8+ pairs
+    of small sets the per-pair numpy call overhead was the bottleneck.
     """
     n = len(offsets_a) - 1
-    jac = np.zeros(n, dtype=np.float32)
-    cont = np.zeros(n, dtype=np.float32)
-    for i in range(n):
-        a = values_a[offsets_a[i]:offsets_a[i + 1]]
-        b = values_b[offsets_b[i]:offsets_b[i + 1]]
-        la, lb = len(a), len(b)
-        if la == 0 or lb == 0:
-            continue
-        if la > lb:
-            a, b, la, lb = b, a, lb, la
-        idx = np.searchsorted(b, a)
-        idx[idx == lb] = lb - 1
-        inter = int((b[idx] == a).sum())
-        jac[i] = inter / (la + lb - inter)
-        cont[i] = inter / la
+    if n == 0:
+        z = np.zeros(0, dtype=np.float32)
+        return z, z
+    la = np.diff(offsets_a).astype(np.int64)
+    lb = np.diff(offsets_b).astype(np.int64)
+    pp = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), la),
+                         np.repeat(np.arange(n, dtype=np.int64), lb)])
+    pv = np.concatenate([values_a[:offsets_a[-1]],
+                         values_b[:offsets_b[-1]]])
+    order = np.lexsort((pv, pp))
+    pp_s = pp[order]
+    pv_s = pv[order]
+    dup = (pp_s[1:] == pp_s[:-1]) & (pv_s[1:] == pv_s[:-1])
+    inter = np.bincount(pp_s[:-1][dup], minlength=n).astype(np.int64)
+    union = la + lb - inter
+    mn = np.minimum(la, lb)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jac = np.where(union > 0, inter / union, 0.0).astype(np.float32)
+        cont = np.where(mn > 0, inter / mn, 0.0).astype(np.float32)
     return jac, cont
 
 

@@ -23,21 +23,24 @@ def test_sequences_fixture_shape():
 
 
 def test_plsh_window_arithmetic():
-    # reference constants: window 60, shift 15, subsample 2 (lsh.py:46-48)
+    # reference constants: window 60, shift 15, subsample 2 (lsh.py:46-48);
+    # floor(len/shift) windows INCLUDING truncated tails (lsh.py:52-60)
     v = np.arange(120, dtype=np.float32)
     wins = plsh_windows(v)
-    # starts at 0,15,30,45,60 (last full window start = len-window)
-    assert len(wins) == 5
-    assert all(len(w) == PLSH_WINDOW // PLSH_INTERVAL for w in wins)
+    # starts at 0,15,...,105: floor(120/15) = 8 windows, last 3 truncated
+    assert len(wins) == 8
+    assert all(len(w) == PLSH_WINDOW // PLSH_INTERVAL for w in wins[:5])
+    assert [len(w) for w in wins[5:]] == [23, 15, 8]  # tail windows
     assert wins[0].tolist() == list(range(0, 60, 2))
     assert wins[1][0] == PLSH_SHIFT
 
 
-def test_plsh_short_sequence_single_window():
+def test_plsh_short_sequence_windows():
     v = np.arange(30, dtype=np.float32)
     wins = plsh_windows(v)
-    assert len(wins) == 1
+    assert len(wins) == 2  # floor(30/15), tail window included
     assert len(wins[0]) == 15  # 30 values subsampled at 2
+    assert len(wins[1]) == 8   # truncated tail: v[15:75:2]
 
 
 def test_nlsh_window_arithmetic():
