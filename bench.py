@@ -38,12 +38,23 @@ def _corpus_dir() -> str:
     return d
 
 
+def _quiet_ray_data_logs() -> None:
+    """Silence two cosmetic Ray Data warnings (schema-hash dedup + bundle
+    schema divergence) that spam the bench tail; root causes are also
+    addressed by stripping parquet pandas metadata at the read."""
+    import logging
+    for name in ("ray.data._internal.execution.streaming_executor_state",
+                 "ray.data._internal.arrow_ops.transform_pyarrow"):
+        logging.getLogger(name).setLevel(logging.ERROR)
+
+
 def run_bench() -> dict:
     import ray
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
+    _quiet_ray_data_logs()
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False

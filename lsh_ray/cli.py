@@ -42,6 +42,8 @@ def _config(args):
 
 
 def _init_ray(args) -> None:
+    import logging
+
     import ray
     if not ray.is_initialized():
         kwargs = {"address": "local", "include_dashboard": False,
@@ -49,6 +51,9 @@ def _init_ray(args) -> None:
         if args.num_cpus:
             kwargs["num_cpus"] = args.num_cpus
         ray.init(**kwargs)
+    for name in ("ray.data._internal.execution.streaming_executor_state",
+                 "ray.data._internal.arrow_ops.transform_pyarrow"):
+        logging.getLogger(name).setLevel(logging.ERROR)
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -75,6 +75,14 @@ class PipelineConfig:
     batch_size: int = 4096
     signature_concurrency: int = 8      # actor-pool size for the signature stage
     join_num_partitions: int = 32
+    shuffle_coalesce_blocks: int | None = None
+    # ^ pre-shuffle coalesce width for bucketed groupby/join passes.
+    #   None derives 2 x cluster CPUs (min 64) at execution time, so
+    #   shuffle parallelism grows with the cluster instead of being
+    #   capped by a hard-coded constant. Block-count sensitivity: the
+    #   sort-shuffle merge cost grows superlinearly with INPUT block
+    #   count, so this both caps (vs hundreds of tiny blocks) and
+    #   floors (vs starving a big cluster) the width.
     lang_filter: str | None = None
 
     def __post_init__(self) -> None:
@@ -88,6 +96,21 @@ class PipelineConfig:
         """Stable hash of every result-affecting knob (for checkpoint lineage)."""
         payload = json.dumps(asdict(self), sort_keys=True, default=str)
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def coalesce_blocks(config: "PipelineConfig | None" = None) -> int:
+    """Resolve the pre-shuffle coalesce width (see
+    ``PipelineConfig.shuffle_coalesce_blocks``)."""
+    if config is not None and config.shuffle_coalesce_blocks:
+        return config.shuffle_coalesce_blocks
+    cpus = 0
+    try:
+        import ray
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        cpus = 0
+    return max(64, 2 * cpus)
 
 
 DEFAULT_CONFIG = PipelineConfig()

@@ -24,14 +24,19 @@ from lsh_ray.config import DEFAULT_CONFIG, PipelineConfig
 CFG = DEFAULT_CONFIG
 
 
+def _read(path: str, columns: list[str] | None = None):
+    from lsh_ray.sources.readers import strip_schema_metadata
+    kwargs = {"columns": columns} if columns else {}
+    return strip_schema_metadata(ray.data.read_parquet(path, **kwargs))
+
+
 def _docs(sf_dir: str):
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return _read(f"{sf_dir}/documents.parquet")
 
 
 def _docs_text(sf_dir: str):
     # prune at the read: only the columns the operator touches
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
+    return _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
 # --------------------------------------------------------------- dedup ----
@@ -95,17 +100,32 @@ def q_simhash_near_dups(sf_dir: str):
 
 
 def q_embedding_near_dups(sf_dir: str):
-    import pandas as pd
+    """SRP-banded near-dup pairs over the embeddings table AUGMENTED with
+    deterministic planted duplicates (vec_id+1e6, embedding*2 for
+    vec_id<50 — scaling preserves direction exactly, so cosine == 1 and
+    the SRP signatures are bit-identical). Oracle-checked: the planted
+    pairs make the query provably non-vacuous (the raw table's max
+    pairwise cosine is ~0.5, below any near-dup gate)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     from lsh_ray.stages.dedup import embedding_near_dup_pairs
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    df = embedding_near_dup_pairs(emb, dim=64, config=CFG,
-                                  cosine_threshold=0.4).to_pandas()
-    if df.empty:  # keep a typed schema even when no pair clears the gate
-        df = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
-                           "vec_b": pd.Series(dtype="int64"),
-                           "cosine": pd.Series(dtype="float64")})
-    return df
+    emb = _read(f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"])
+
+    def planted(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.less(t["vec_id"], 50))
+        le = sub["embedding"].combine_chunks()
+        scaled = pa.ListArray.from_arrays(
+            le.offsets,
+            pc.multiply(le.values, pa.scalar(2.0, pa.float32())))
+        return pa.table({"vec_id": pc.add(sub["vec_id"], 1_000_000),
+                         "embedding": scaled})
+
+    aug = emb.union(emb.map_batches(planted, batch_format="pyarrow",
+                                    zero_copy_batch=True))
+    return embedding_near_dup_pairs(aug, dim=64, config=CFG,
+                                    cosine_threshold=0.9)
 
 
 # ---------------------------------------------------------- text stats ----
@@ -117,8 +137,7 @@ def q_token_counts(sf_dir: str):
 
 def q_lang_distribution(sf_dir: str):
     from ray.data.aggregate import Count
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["lang"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["lang"])
     return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
 
 
@@ -169,22 +188,19 @@ def q_tfidf_filter_stats(sf_dir: str):
 
 def q_events_hourly(sf_dir: str):
     from lsh_ray.stages.windows import tumbling_window_counts
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["user_id", "ts", "value"])
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
     return tumbling_window_counts(ev, 3600)
 
 
 def q_event_type_counts(sf_dir: str):
     from ray.data.aggregate import Count
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_type"])
+    ev = _read(f"{sf_dir}/events.parquet", columns=["event_type"])
     return ev.groupby("event_type").aggregate(Count(alias_name="n_events"))
 
 
 def q_sessions(sf_dir: str):
     from lsh_ray.stages.windows import sessionize
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["user_id", "ts"])
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     return sessionize(ev, gap_s=1800).select_columns(
         ["user_id", "session_start", "session_end", "n_events"])
 
@@ -195,10 +211,9 @@ def q_lineitem_agg(sf_dir: str):
     import pyarrow as pa
 
     from ray.data.aggregate import Count, Sum
-    li = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_returnflag", "l_linestatus", "l_quantity",
-                 "l_extendedprice"])
+    li = _read(f"{sf_dir}/lineitem.parquet",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice"])
     out = (li.groupby(["l_returnflag", "l_linestatus"])
            .aggregate(Sum("l_quantity", alias_name="sum_qty"),
                       Sum("l_extendedprice", alias_name="sum_price"),
@@ -220,10 +235,8 @@ def q_lineitem_agg(sf_dir: str):
 def q_customer_order_counts(sf_dir: str):
     from ray.data.aggregate import Count
     from lsh_ray.stages.join import bucket_join
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                                   columns=["o_custkey"])
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
-                                 columns=["c_custkey", "c_mktsegment"])
+    orders = _read(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    cust = _read(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
     joined = bucket_join(orders, cust, "o_custkey", "c_custkey",
                          ["c_mktsegment"], num_buckets=16)
     return (joined.groupby(["o_custkey", "c_mktsegment"])
@@ -231,9 +244,8 @@ def q_customer_order_counts(sf_dir: str):
 
 
 def q_top_orders(sf_dir: str):
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_totalprice"])
+    orders = _read(f"{sf_dir}/orders.parquet",
+                   columns=["o_orderkey", "o_totalprice"])
     return orders.sort(["o_totalprice", "o_orderkey"],
                        descending=[True, False]).limit(10)
 
@@ -241,10 +253,8 @@ def q_top_orders(sf_dir: str):
 def q_nation_suppliers(sf_dir: str):
     from ray.data.aggregate import Count
     from lsh_ray.stages.join import bucket_join
-    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
-                                columns=["s_suppkey", "s_nationkey"])
-    nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet",
-                                columns=["n_nationkey", "n_name"])
+    sup = _read(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nat = _read(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     joined = bucket_join(sup, nat, "s_nationkey", "n_nationkey",
                          ["n_name"], num_buckets=4)
     return joined.groupby("n_name").aggregate(
@@ -265,16 +275,14 @@ def _query_vectors(sf_dir: str, n: int = 5):
 def q_knn_topk(sf_dir: str):
     from lsh_ray.stages.similarity import knn_brute_force
     vecs, ids = _query_vectors(sf_dir)
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                columns=["vec_id", "embedding"])
+    emb = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return knn_brute_force(emb, vecs, ids, k=10)
 
 
 def q_knn_lsh(sf_dir: str):
     from lsh_ray.stages.similarity import knn_lsh
     vecs, ids = _query_vectors(sf_dir)
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                columns=["vec_id", "embedding"])
+    emb = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return knn_lsh(emb, vecs, ids, dim=64, k=10, seed=CFG.seed)
 
 
@@ -285,8 +293,7 @@ def q_text_search(sf_dir: str):
     import pyarrow.compute as pc
 
     from lsh_ray.pipelines.search import search
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text", "lang"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
     queries = docs.map_batches(
         lambda t: pa.table({
             # distinct query identity so the tagged self-join can orient
@@ -447,7 +454,17 @@ ORACLE_SQL = {
         "ROUND(SUM(CASE WHEN tfidf > 0.01 THEN tf_count ELSE 0 "
         "END) * 1.0 / GREATEST(MAX(doc_len), 1), 6) AS pct_kept "
         "FROM scored GROUP BY doc_id"),
+    "embedding_near_dups": (
+        "WITH aug AS ("
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings "
+        "UNION ALL "
+        "SELECT vec_id + 1000000 AS vec_id, "
+        "list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2) AS e "
+        "FROM embeddings WHERE vec_id < 50) "
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        "ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine "
+        "FROM aug a JOIN aug b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.e, b.e) >= 0.9"),
     # rows-only (non-SQL-expressible): dedup_pairs, dedup_clusters,
-    # minhash_signatures, simhash_near_dups, embedding_near_dups,
-    # lang_id_pred, knn_lsh
+    # minhash_signatures, simhash_near_dups, lang_id_pred, knn_lsh
 }

@@ -15,6 +15,18 @@ import pyarrow as pa
 import ray.data
 
 
+def strip_schema_metadata(ds):
+    """Drop schema-level metadata (e.g. the ``pandas`` key parquet writers
+    embed). Schemas with metadata are UNHASHABLE in pyarrow, which defeats
+    Ray Data's schema-dedup fast path and spams warnings when
+    metadata-carrying blocks meet metadata-free ones; fuses with the next
+    map stage, zero-copy."""
+    import pyarrow as _pa
+
+    return ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
 def read_documents(path: str | list[str], columns: list[str] | None = None,
                    lang: str | None = None, limit: int | None = None,
                    override_num_blocks: int | None = None):
@@ -33,7 +45,7 @@ def read_documents(path: str | list[str], columns: list[str] | None = None,
         kwargs["filter"] = pc.field("lang") == lang
     if override_num_blocks:
         kwargs["override_num_blocks"] = override_num_blocks
-    ds = ray.data.read_parquet(path, **kwargs)
+    ds = strip_schema_metadata(ray.data.read_parquet(path, **kwargs))
     if limit:
         ds = ds.limit(limit)
     return ds

@@ -29,7 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from lsh_ray.config import PipelineConfig
+from lsh_ray.config import PipelineConfig, coalesce_blocks
 from lsh_ray.functions.hashing import hash_pair
 
 _NUM_BUCKETS = 4096
@@ -120,7 +120,7 @@ def partial_pairs(band_rows_ds, config: PipelineConfig,
     return (band_rows_ds
             .map_batches(add_band_bucket, batch_format="pyarrow",
                          zero_copy_batch=True)
-            .repartition(64)
+            .repartition(coalesce_blocks(config))
             .groupby("bucket")
             .map_groups(
                 lambda g: _pairs_for_band_bucket(
@@ -145,7 +145,7 @@ def sum_pairs(partial_ds, config: PipelineConfig,
     return (partial_ds
             .map_batches(add_pair_bucket, batch_format="pyarrow",
                          zero_copy_batch=True)
-            .repartition(64)
+            .repartition(coalesce_blocks(config))
             .groupby("bucket")
             .map_groups(lambda g: _sum_pair_bucket(g, min_hits),
                         batch_format="pyarrow"))
@@ -295,9 +295,8 @@ def candidate_pairs_two_family(band_rows_ds, chunk_rows_ds,
         chunk_rows_ds.map_batches(tag(1), batch_format="pyarrow",
                                   zero_copy_batch=True))
     # coalesce before the sort shuffle: merge cost grows superlinearly
-    # with input block count, and the bucketed groupby cannot exceed
-    # 64-way reduce parallelism here anyway
-    rows = rows.repartition(64)
+    # with input block count; width derived from cluster size (config)
+    rows = rows.repartition(coalesce_blocks(config))
     partial = rows.groupby("bucket").map_groups(
         lambda g: _pairs_for_mixed_bucket(g, config.group_size_cap,
                                           config.salt_buckets),
@@ -312,7 +311,7 @@ def candidate_pairs_two_family(band_rows_ds, chunk_rows_ds,
     return (partial
             .map_batches(add_pair_bucket, batch_format="pyarrow",
                          zero_copy_batch=True)
-            .repartition(64)
+            .repartition(coalesce_blocks(config))
             .groupby("bucket")
             .map_groups(
                 lambda g: _sum_mixed_bucket(g, config.min_band_hits,

@@ -224,6 +224,10 @@ def clusters_table(edges_ds, distributed: bool | None = None):
     pdf = connected_components(edges_ds, max_edges=cap)
     if pdf is None:  # edge set too large for one node: re-run distributed
         return connected_components_distributed(edges_ds)
-    return ray.data.from_pandas(pdf) if len(pdf) else ray.data.from_arrow(
-        pa.table({"doc_id": pa.array([], pa.uint64()),
-                  "cluster_id": pa.array([], pa.uint64())}))
+    if not len(pdf):
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.uint64()),
+                      "cluster_id": pa.array([], pa.uint64())}))
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(pdf, preserve_index=False)
+        .replace_schema_metadata(None))

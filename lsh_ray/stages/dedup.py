@@ -130,22 +130,65 @@ class SRPSignatureStage:
         })
 
 
+class SRPBandRowsStage:
+    """Multi-band random-hyperplane LSH for embedding vectors: ``n_bands``
+    INDEPENDENT bands of ``band_bits`` hyperplanes each (n_bands*band_bits
+    planes total), emitting (band_key, doc_id) rows directly.
+
+    Unlike slicing one 64-bit signature into pieces, independent bands set
+    the collision geometry explicitly: a pair at angle theta collides in a
+    band w.p. (1 - theta/pi)^band_bits, and in >=1 of B bands w.p.
+    1-(1-p)^B — e.g. 8x16 gives ~0.97 recall at cosine 0.98 while a random
+    pair collides w.p. ~8/2^16. Actor-pool stage: planes generated once
+    per actor from the pinned seed.
+    """
+
+    def __init__(self, dim: int, n_bands: int = 8, band_bits: int = 16,
+                 seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_bands * band_bits))
+        self.n_bands = n_bands
+        self.band_bits = band_bits
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        emb = batch["embedding"].combine_chunks()
+        vecs = emb.values.to_numpy(zero_copy_only=False).reshape(
+            n, -1).astype(np.float64)
+        signs = (vecs @ self.planes) > 0
+        bits = signs.reshape(n, self.n_bands, self.band_bits)
+        weights = _U64(1) << np.arange(self.band_bits, dtype=np.uint64)
+        vals = (bits.astype(np.uint64) * weights[None, None, :]).sum(
+            axis=2, dtype=np.uint64)  # (n, n_bands)
+        band_idx = np.arange(self.n_bands, dtype=np.uint64) + _U64(1)
+        with np.errstate(over="ignore"):
+            keys = splitmix64(vals + band_idx[None, :]
+                              * _U64(0x9E3779B97F4A7C15))
+        doc = batch["vec_id"].cast(pa.uint64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "band_key": pa.array(keys.ravel(order="F"), type=pa.uint64()),
+            "doc_id": pa.array(np.tile(doc, self.n_bands),
+                               type=pa.uint64()),
+        })
+
+
 def embedding_near_dup_pairs(embeddings_ds, dim: int,
                              config: PipelineConfig,
-                             cosine_threshold: float = 0.9):
+                             cosine_threshold: float = 0.9,
+                             n_bands: int = 8, band_bits: int = 16,
+                             round_to: int | None = 6):
     """embeddings (vec_id, embedding) -> near-dup pairs by exact cosine.
 
-    SRP-banded candidates (scale path), exact-cosine verification.
+    SRP multi-band candidates (scale path), exact-cosine verification;
+    cosine rounded half-away to ``round_to`` for oracle comparability.
     """
-    sigs = embeddings_ds.map_batches(
-        SRPSignatureStage, fn_constructor_args=(dim, 64, config.seed),
+    rows = embeddings_ds.map_batches(
+        SRPBandRowsStage,
+        fn_constructor_args=(dim, n_bands, band_bits, config.seed),
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=(1, config.signature_concurrency))
-    rows = sigs.map_batches(_simhash_piece_rows, batch_format="pyarrow",
-                            zero_copy_batch=True)
-    # relaxed hamming cap for candidates; exact cosine is the real gate
-    cand_cfg = config
-    pairs = candidate_pairs(rows, cand_cfg)
+    pairs = candidate_pairs(rows, config)
     emb = embeddings_ds.map_batches(
         lambda t: pa.table({"doc_id": t["vec_id"].cast(pa.uint64()),
                             "embedding": t["embedding"]}),
@@ -167,12 +210,16 @@ def embedding_near_dup_pairs(embeddings_ds, dim: int,
         num = (va * vb).sum(axis=1)
         den = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
         cos = np.where(den > 0, num / den, 0.0)
+        keep = cos >= cosine_threshold
+        if round_to is not None:
+            from lsh_ray.functions.num import round_half_away
+            cos = round_half_away(cos, round_to)
         out = pa.table({
             "vec_a": t["doc_a"].cast(pa.int64()),
             "vec_b": t["doc_b"].cast(pa.int64()),
             "cosine": pa.array(cos, type=pa.float64()),
         })
-        return out.filter(pa.array(cos >= cosine_threshold))
+        return out.filter(pa.array(keep))
 
     return joined.map_batches(verify, batch_format="pyarrow",
                               zero_copy_batch=True)

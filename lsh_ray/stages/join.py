@@ -18,7 +18,6 @@ import numpy as np
 import pyarrow as pa
 
 _NUM_BUCKETS = 1024
-_REPARTITION_BLOCKS = 64
 _SIDE_COL = "__side"
 _KEY_COL = "__jkey"
 _BUCKET_COL = "__bucket"
@@ -139,7 +138,8 @@ def bucket_join(left_ds, right_ds, left_key: str, right_key: str,
                                       zero_copy_batch=True)
     tagged_right = right_sel.map_batches(prep_right, batch_format="pyarrow",
                                          zero_copy_batch=True)
-    both = tagged_left.union(tagged_right).repartition(_REPARTITION_BLOCKS)
+    from lsh_ray.config import coalesce_blocks
+    both = tagged_left.union(tagged_right).repartition(coalesce_blocks())
     return both.groupby(_BUCKET_COL).map_groups(
         lambda g: _join_bucket(g, left_cols, out_right_cols, how),
         batch_format="pyarrow")

@@ -20,10 +20,13 @@ import ray
 from lsh_ray.functions.num import round_half_away
 
 
-def _topk_merge(group: pd.DataFrame, k: int) -> pd.DataFrame:
+def _topk_merge(group: pd.DataFrame, k: int) -> pa.Table:
     g = group.sort_values(["cosine", "neighbor_id"],
                           ascending=[False, True]).head(k)
-    return g.reset_index(drop=True)
+    # emit metadata-free Arrow so the block stream keeps ONE hashable schema
+    return pa.Table.from_pandas(g.reset_index(drop=True),
+                                preserve_index=False
+                                ).replace_schema_metadata(None)
 
 
 def knn_brute_force(embeddings_ds, query_vectors: np.ndarray,
@@ -110,52 +113,77 @@ def knn_lsh(embeddings_ds, query_vectors: np.ndarray,
     q_sigs = q_sig_tbl["simhash"].to_numpy(zero_copy_only=False)
     width = 64 // n_pieces
     mask = np.uint64((1 << width) - 1)
-    q_pieces = {}  # (piece_idx, piece_value) -> [query ids]
-    for qid, sig in zip(np.asarray(query_ids), q_sigs):
-        for p in range(n_pieces):
-            key = (p, int((sig >> np.uint64(p * width)) & mask))
-            q_pieces.setdefault(key, []).append(int(qid))
+    shifts = (np.arange(n_pieces, dtype=np.uint64) * np.uint64(width))
+    # per piece: the SORTED query piece values + aligned query-row indices
+    # (duplicates kept — two queries may share a piece value)
+    q_piece_vals = [np.sort((q_sigs >> s) & mask) for s in shifts]
+    q_piece_cols = [np.argsort((q_sigs >> s) & mask, kind="stable")
+                    for s in shifts]
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-300)
-    bcast = ray.put((q_pieces, qn, np.asarray(query_ids)))
+    bcast = ray.put((q_piece_vals, q_piece_cols, qn,
+                     np.asarray(query_ids)))
 
     def per_batch(t: pa.Table) -> pa.Table:
-        qp, qn_, qids = ray.get(bcast)
+        """Vectorized candidate matching: per piece, searchsorted the
+        batch's piece values against the (tiny, sorted) query piece
+        arrays; expand matches with cumsum/repeat arithmetic — no
+        per-row Python loop over the corpus."""
+        qpv, qpc, qn_, qids = ray.get(bcast)
         n = t.num_rows
+        if n == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         emb = t["embedding"].combine_chunks()
         vecs = emb.values.to_numpy(zero_copy_only=False).reshape(
             n, -1).astype(np.float64)
         sigs = stage(t)["simhash"].to_numpy(zero_copy_only=False)
-        qid_to_col = {int(qq): i for i, qq in enumerate(qids)}
         vec_ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        cand: dict[int, list[int]] = {}
-        for i in range(n):
-            for p in range(n_pieces):
-                key = (p, int((sigs[i] >> np.uint64(p * width)) & mask))
-                for qq in qp.get(key, ()):
-                    cand.setdefault(qq, []).append(i)
-        rows_q, rows_n, rows_s = [], [], []
-        for qq, idxs in cand.items():
-            idxs = np.unique(np.array(idxs))
-            idxs = idxs[vec_ids[idxs] != qq]
-            if len(idxs) == 0:
+        row_parts, col_parts = [], []
+        for p in range(n_pieces):
+            cv = (sigs >> shifts[p]) & mask
+            lo = np.searchsorted(qpv[p], cv, side="left")
+            hi = np.searchsorted(qpv[p], cv, side="right")
+            cnt = hi - lo
+            if not cnt.any():
                 continue
-            v = vecs[idxs]
-            vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
-                                1e-300)
-            s = vn @ qn_[qid_to_col[qq]]
-            order = np.lexsort((vec_ids[idxs], -s))[:k]
-            sel = idxs[order]
-            rows_q.append(np.full(len(sel), qq, dtype=np.int64))
-            rows_n.append(vec_ids[sel].astype(np.int64))
-            rows_s.append(s[order])
-        if not rows_q:
+            rows = np.repeat(np.arange(n), cnt)
+            ends = np.cumsum(cnt)
+            flat = (np.arange(ends[-1]) - np.repeat(ends - cnt, cnt)
+                    + np.repeat(lo, cnt))
+            row_parts.append(rows)
+            col_parts.append(qpc[p][flat])
+        if not row_parts:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "neighbor_id": pa.array([], pa.int64()),
                              "cosine": pa.array([], pa.float64())})
+        rows = np.concatenate(row_parts)
+        cols = np.concatenate(col_parts)
+        # dedup (corpus row, query) pairs colliding in several pieces
+        key = np.unique(cols.astype(np.int64) * n + rows)
+        cols, rows = key // n, key % n
+        # drop self-matches
+        keep = vec_ids[rows] != qids[cols]
+        rows, cols = rows[keep], cols[keep]
+        if len(rows) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True),
+                               1e-300)
+        sims = np.einsum("ij,ij->i", vn[rows], qn_[cols])
+        # per-query local top-k: sort (query, -sim, id), rank within segment
+        order = np.lexsort((vec_ids[rows], -sims, cols))
+        cols_s = cols[order]
+        seg_start = np.flatnonzero(
+            np.concatenate(([True], cols_s[1:] != cols_s[:-1])))
+        rank = np.arange(len(order)) - np.repeat(
+            seg_start, np.diff(np.concatenate((seg_start, [len(order)]))))
+        sel = order[rank < k]
         return pa.table({
-            "query_id": pa.array(np.concatenate(rows_q)),
-            "neighbor_id": pa.array(np.concatenate(rows_n)),
-            "cosine": pa.array(np.concatenate(rows_s), type=pa.float64()),
+            "query_id": pa.array(qids[cols[sel]].astype(np.int64)),
+            "neighbor_id": pa.array(vec_ids[rows[sel]].astype(np.int64)),
+            "cosine": pa.array(sims[sel], type=pa.float64()),
         })
 
     partial = embeddings_ds.map_batches(per_batch, batch_format="pyarrow",

@@ -70,16 +70,18 @@ def token_df(doc_token_ds):
     return doc_token_ds.groupby("token").aggregate(Count(alias_name="df"))
 
 
-def tfidf(ds, config: PipelineConfig | None = None, round_to: int = 6):
-    """documents -> (doc_id, token, tfidf) with tfidf = (tf_count/doc_len) *
-    log2(N/df), rounded for float-stable oracle comparison."""
-    rows = doc_token_ds = doc_token_rows(ds)
+def scored_token_rows(ds, round_to: int = 6):
+    """documents -> (doc_id, token, tf_count, doc_len, tfidf): ONE token
+    explosion feeding both the score and any downstream per-doc stats
+    (tf_count/doc_len ride along through the df join instead of being
+    recomputed and joined back)."""
+    rows = doc_token_rows(ds)
     n_docs = ds.map_batches(
         lambda t: pa.table({"n": pa.array(
             [int((pd.Series(t["text"].to_pylist()).fillna("").str.strip()
                   != "").sum())])}),
         batch_format="pyarrow").sum("n")
-    dfs = token_df(doc_token_ds)
+    dfs = token_df(rows)
     joined = bucket_join(rows, dfs, "token", "token", ["df"],
                          suffix="_r", num_buckets=64)
 
@@ -90,11 +92,21 @@ def tfidf(ds, config: PipelineConfig | None = None, round_to: int = 6):
         return pa.table({
             "doc_id": t["doc_id"],
             "token": t["token"],
+            "tf_count": t["tf_count"],
+            "doc_len": t["doc_len"],
             "tfidf": pa.array(round_half_away(tf * idf, round_to),
                               type=pa.float64()),
         })
     return joined.map_batches(score, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def tfidf(ds, config: PipelineConfig | None = None, round_to: int = 6):
+    """documents -> (doc_id, token, tfidf) with tfidf = (tf_count/doc_len) *
+    log2(N/df), rounded for float-stable oracle comparison."""
+    return scored_token_rows(ds, round_to).map_batches(
+        lambda t: t.select(["doc_id", "token", "tfidf"]),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 def filter_tokens_by_tfidf(tfidf_ds, min_tfidf: float):
@@ -120,29 +132,16 @@ def token_max_tfidf(tfidf_ds):
 def tfidf_filter_stats(ds, min_tfidf: float, round_to: int = 6):
     """Per-doc stats of TF-IDF token filtering: occurrences kept and the
     fraction of the document retained (reference remaining-pitch
-    percentages, ``scripts/tfidf_pitch_extraction.py:137-181``)."""
+    percentages, ``scripts/tfidf_pitch_extraction.py:137-181``).
+
+    Single plan: ``scored_token_rows`` already carries tf_count/doc_len
+    next to each score, so the stats fall out of one pass — no second
+    tokenization, no (doc, token)-keyed join back.
+    """
     from lsh_ray.functions.num import round_half_away
-    scored = tfidf(ds, round_to=round_to)
-    rows = doc_token_rows(ds)
-    # join tf rows to scores on (doc_id, token) via a composed key
-    from lsh_ray.functions.hashing import hash_pair, hash_strings
-
-    def add_key(t: pa.Table) -> pa.Table:
-        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        tok = hash_strings(np.asarray(t["token"].to_pylist(), dtype=object))
-        return t.append_column("pair_key",
-                               pa.array(hash_pair(doc, tok),
-                                        type=pa.uint64()))
-
-    rows_k = rows.map_batches(add_key, batch_format="pyarrow")
-    scored_k = scored.map_batches(add_key, batch_format="pyarrow") \
-        .map_batches(lambda t: t.select(["pair_key", "tfidf"]),
-                     batch_format="pyarrow")
-    j = bucket_join(rows_k, scored_k, "pair_key", "pair_key", ["tfidf"],
-                    suffix="_s")
 
     def per_batch(t: pa.Table) -> pa.Table:
-        keep = (t["tfidf_s"].to_numpy(zero_copy_only=False)
+        keep = (t["tfidf"].to_numpy(zero_copy_only=False)
                 > min_tfidf).astype(np.int64)
         kept = t["tf_count"].to_numpy(zero_copy_only=False) * keep
         return pa.table({
@@ -152,7 +151,9 @@ def tfidf_filter_stats(ds, min_tfidf: float, round_to: int = 6):
         })
 
     from ray.data.aggregate import Max, Sum
-    agg = (j.map_batches(per_batch, batch_format="pyarrow")
+    agg = (scored_token_rows(ds, round_to)
+           .map_batches(per_batch, batch_format="pyarrow",
+                        zero_copy_batch=True)
            .groupby("doc_id")
            .aggregate(Sum("kept", alias_name="n_kept"),
                       Max("doc_len", alias_name="doc_len")))

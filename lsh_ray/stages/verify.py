@@ -138,8 +138,9 @@ def verify(pairs_ds, signatures_ds, config: PipelineConfig):
     of the naive join-twice plan (each barrier costs fixed wall time on
     top of bytes moved).
     """
+    from lsh_ray.config import coalesce_blocks
     from lsh_ray.functions.hashing import hash_pair
-    nb = config.join_num_partitions
+    nb = max(config.join_num_partitions, coalesce_blocks(config))
     # fine-grained group key: the sort shuffle range-partitions on sampled
     # key values, so the bucket space must be much larger than the
     # partition count or partitions collapse onto stragglers

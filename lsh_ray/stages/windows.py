@@ -57,7 +57,8 @@ def sessionize(events_ds, gap_s: int = 1800):
         out["session_id"] = (
             out["user_id"].astype("int64").astype(str) + "_" +
             out["session_start"].astype("int64").astype(str))
-        return out
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
 
     return events_ds.groupby("user_id").map_groups(
         per_user, batch_format="pandas")

@@ -204,3 +204,39 @@ def test_lang_id(rd):
     ])
     out = lang_id(ds).to_pandas().sort_values("doc_id")
     assert out.lang_pred.tolist() == ["en", "de", "pt"]
+
+
+def test_embedding_near_dup_recall_vs_bruteforce(rd):
+    """SRP multi-band path must recover noisy planted near-dup pairs
+    (cosine ~0.98, NOT bit-identical signatures) found by the exact
+    all-pairs oracle (reference analog: candidate verification,
+    matching_algorithms.py:319-386)."""
+    from lsh_ray.config import PipelineConfig
+    from lsh_ray.stages.dedup import embedding_near_dup_pairs
+    rng = np.random.default_rng(7)
+    dim, n_base, n_planted = 32, 150, 25
+    base = rng.standard_normal((n_base, dim))
+    noisy = base[:n_planted] + rng.standard_normal(
+        (n_planted, dim)) * 0.12  # cosine ~0.97-0.99 vs the original
+    vecs = np.concatenate([base, noisy]).astype(np.float32)
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+        "embedding": pa.array([list(v) for v in vecs],
+                              type=pa.list_(pa.float32()))}))
+    thresh = 0.9
+    out = embedding_near_dup_pairs(
+        emb, dim=dim, config=PipelineConfig(), cosine_threshold=thresh,
+        round_to=None).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(out.vec_a, out.vec_b)}
+    # exact oracle
+    v64 = vecs.astype(np.float64)
+    vn = v64 / np.linalg.norm(v64, axis=1, keepdims=True)
+    sims = vn @ vn.T
+    iu, ju = np.triu_indices(len(vecs), k=1)
+    truth = {(int(a), int(b))
+             for a, b in zip(iu[sims[iu, ju] >= thresh],
+                             ju[sims[iu, ju] >= thresh])}
+    assert len(truth) >= n_planted  # the plant worked
+    assert not (got - truth)       # exact verify => no false positives
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, (recall, len(truth))
