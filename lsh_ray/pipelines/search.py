@@ -10,15 +10,21 @@ reference's frozen-vocabulary guarantee, ``lsh.py:139-142``, is automatic
 because hashing is stateless).
 
 Stages map 1:1 to the reference:
-- collision counting  -> ``n_band_hits``       (lsh.py:272-317)
+- collision counting  -> ``n_band_hits``        (lsh.py:272-317)
 - candidate resolve   -> signature bucket join  (lsh.py:462-463)
 - verification kernel -> exact Jaccard          (matching_algorithms.py:65-72)
-- ranking             -> per-query sort desc    (matching_algorithms.py:375-384)
+- ranking             -> per-query map_groups   (matching_algorithms.py:375-384)
 - confidence + clip   -> relative-margin gate   (lsh.py:353-412)
+- cascade             -> staged index sweep     (lsh.py:498-570)
 - evaluation          -> MRR                    (lsh.py:320-350)
+
+Ranking and url resolution are DISTRIBUTED (``groupby(query_id)`` +
+bucketed url joins); the driver holds only the final top-k rows per query.
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 import numpy as np
 import pandas as pd
@@ -27,32 +33,85 @@ import pyarrow as pa
 import ray
 
 from lsh_ray.config import DEFAULT_CONFIG, PipelineConfig
-from lsh_ray.functions.metrics import (confidence_measurement,
-                                       mean_reciprocal_rank)
+from lsh_ray.functions.hashing import hash_pair, hash_strings
+from lsh_ray.functions.metrics import mean_reciprocal_rank
 from lsh_ray.stages.banding import band_rows
 from lsh_ray.stages.candidates import candidate_pairs_two_family
 from lsh_ray.stages.chunking import chunk_rows_from_signatures
+from lsh_ray.stages.join import bucket_join
 from lsh_ray.stages.minhash import signatures
 from lsh_ray.stages.normalize import normalize
 from lsh_ray.stages.shingle import shingle
 from lsh_ray.stages.verify import verify
 
+_OUT_COLS = ["query_url", "doc_url", "n_band_hits", "jaccard", "rank",
+             "confidence"]
+
+
+def _empty_results() -> pd.DataFrame:
+    return pd.DataFrame(columns=_OUT_COLS)
+
+
+def _rank_group(g: pa.Table, top_k: int) -> pa.Table:
+    """Per-query ranking + confidence (vectorized inside one group).
+
+    Rank by exact Jaccard descending (ties: target_id ascending); the
+    confidence of the candidate at rank i among the query's top-k
+    distances is (k-1)*d_i / sum_{j != i} d_j (reference
+    ``calculate_confidence_measurement``, lsh.py:353-382).
+    """
+    jac = g["jaccard"].to_numpy(zero_copy_only=False)
+    tid = g["target_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((tid, -jac))[:top_k]
+    g = g.take(pa.array(order, type=pa.int64()))
+    dists = np.clip(1.0 - g["jaccard"].to_numpy(zero_copy_only=False),
+                    1e-9, None)
+    k = len(dists)
+    if k < 2:
+        conf = np.ones(k)
+    else:
+        others = dists.sum() - dists
+        conf = np.where(others > 0, (k - 1) * dists / others, 1.0)
+    return (g.append_column("rank", pa.array(
+                np.arange(1, k + 1, dtype=np.int64)))
+             .append_column("confidence", pa.array(conf,
+                                                   type=pa.float64())))
+
 
 def search(corpus_ds, queries_ds, config: PipelineConfig = DEFAULT_CONFIG,
-           top_k: int = 20, confidence_threshold: float | None = None):
+           top_k: int = 20, confidence_threshold: float | None = None,
+           exclude_pairs: set[tuple[str, str]] | None = None):
     """Retrieve the most similar corpus documents for each query document.
 
     ``corpus_ds`` / ``queries_ds``: document tables (url/doc_id + text).
     Returns a pandas DataFrame (query_url, doc_url, n_band_hits, jaccard,
     rank, confidence), ranked per query by exact Jaccard descending —
     ``top_k`` mirrors the reference's SHOW_TOP_X window (constants.py:3).
+
+    ``confidence_threshold``: reference ``clip_false_candidates``
+    (lsh.py:385-412) — a query's top-1 result is DROPPED when its
+    confidence is <= the trained threshold (the threshold is the max
+    confidence observed on known-wrong top-1s, ``utils.py:154-171``, so
+    results shaped like the wrong training examples fail the gate).
+
+    ``exclude_pairs``: (query_url, doc_url) pairs removed by an earlier
+    cascade stage (reference ``removed_candidates``, lsh.py:498-525).
     """
-    qnorm = normalize(queries_ds, config)
+    qnorm = normalize(queries_ds, config).materialize()
     q_ids = set()
-    qnorm = qnorm.materialize()
     for b in qnorm.iter_batches(batch_size=65536, batch_format="pyarrow"):
         q_ids.update(b["doc_id"].to_numpy(zero_copy_only=False).tolist())
-    qid_ref = ray.put(np.array(sorted(q_ids), dtype=np.uint64))
+    if not q_ids:
+        return _empty_results()
+    qid_sorted = np.array(sorted(q_ids), dtype=np.uint64)
+    qid_ref = ray.put(qid_sorted)
+
+    excl_ref = None
+    if exclude_pairs:
+        qs = np.array([q for q, _ in exclude_pairs], dtype=object)
+        ds_ = np.array([d for _, d in exclude_pairs], dtype=object)
+        excl_keys = np.sort(hash_pair(hash_strings(qs), hash_strings(ds_)))
+        excl_ref = ray.put(excl_keys)
 
     cnorm = normalize(corpus_ds, config)
     combined = cnorm.union(qnorm)
@@ -77,54 +136,143 @@ def search(corpus_ds, queries_ds, config: PipelineConfig = DEFAULT_CONFIG,
                               zero_copy_batch=True)
     # verification: exact Jaccard etc. via the standard fused verify;
     # loosen the dup gate so ranked retrieval keeps sub-threshold matches
-    import dataclasses
     loose = dataclasses.replace(config, jaccard_threshold=0.0,
                                 containment_threshold=2.0)
-    ver = verify(pairs, sigs, loose).to_pandas()
-    if ver.empty:
-        return pd.DataFrame(columns=["query_url", "doc_url", "n_band_hits",
-                                     "jaccard", "rank", "confidence"])
+    ver = verify(pairs, sigs, loose)
 
-    qids = np.array(sorted(q_ids), dtype=np.uint64)
-    a_is_q = np.isin(ver.doc_a.to_numpy(), qids)
-    ver["query_id"] = np.where(a_is_q, ver.doc_a, ver.doc_b)
-    ver["target_id"] = np.where(a_is_q, ver.doc_b, ver.doc_a)
+    def orient(t: pa.Table) -> pa.Table:
+        """(doc_a, doc_b) -> (query_id, target_id); drop excluded pairs."""
+        qids = ray.get(qid_ref)
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(qids, a)
+        idx[idx == len(qids)] = max(len(qids) - 1, 0)
+        a_is_q = qids[idx] == a
+        out = pa.table({
+            "query_id": pa.array(np.where(a_is_q, a, b), type=pa.uint64()),
+            "target_id": pa.array(np.where(a_is_q, b, a),
+                                  type=pa.uint64()),
+            "n_band_hits": t["n_band_hits"],
+            "jaccard": t["jaccard"],
+        })
+        if excl_ref is not None:
+            ek = ray.get(excl_ref)
+            # url-derived ids: doc_id == siphash64(url), so the pair key
+            # matches the one computed from (query_url, doc_url)
+            pk = hash_pair(out["query_id"].to_numpy(zero_copy_only=False),
+                           out["target_id"].to_numpy(zero_copy_only=False))
+            pos = np.searchsorted(ek, pk)
+            pos[pos == len(ek)] = max(len(ek) - 1, 0)
+            hit = (ek[pos] == pk) if len(ek) else np.zeros(len(pk), bool)
+            out = out.filter(pa.array(~hit))
+        return out
 
-    # resolve urls (small driver-side maps; at scale this is a join)
-    url_map = {}
-    for b in sigs.select_columns(["doc_id", "url"]).iter_batches(
-            batch_size=65536, batch_format="pyarrow"):
-        url_map.update(zip(b["doc_id"].to_numpy(zero_copy_only=False)
-                           .tolist(), b["url"].to_pylist()))
+    ranked = (ver.map_batches(orient, batch_format="pyarrow",
+                              zero_copy_batch=True)
+              .groupby("query_id")
+              .map_groups(lambda g: _rank_group(g, top_k),
+                          batch_format="pyarrow"))
+    # pin the (<= top_k x n_queries)-row ranked set; an empty result has
+    # no schema, which the url joins cannot consume
+    ranked = ranked.materialize()
+    if ranked.count() == 0:
+        return _empty_results()
 
-    rows = []
-    for qid, grp in ver.groupby("query_id"):
-        grp = grp.sort_values(["jaccard", "target_id"],
-                              ascending=[False, True]).head(top_k)
-        dists = (1.0 - grp.jaccard.to_numpy()).clip(min=1e-9)
-        for rank, (_, r) in enumerate(grp.iterrows(), start=1):
-            conf = confidence_measurement(dists, rank - 1)
-            rows.append({
-                "query_url": url_map.get(int(qid)),
-                "doc_url": url_map.get(int(r.target_id)),
-                "n_band_hits": int(r.n_band_hits),
-                "jaccard": float(r.jaccard),
-                "rank": rank,
-                "confidence": conf,
-            })
-    out = pd.DataFrame(rows)
-    if confidence_threshold is not None and not out.empty:
-        # clip_false_candidates analog (lsh.py:385-412): drop top-1 results
-        # whose confidence exceeds the trained threshold (low margin)
-        bad = (out["rank"] == 1) & (out["confidence"] > confidence_threshold)
-        out = out[~bad]
+    # url resolution: bucketed joins against the signature table (NOT a
+    # driver-side dict — the corpus side is unbounded)
+    urls = sigs.select_columns(["doc_id", "url"])
+    ranked = bucket_join(ranked, urls, "query_id", "doc_id", ["url"],
+                         suffix="_q")
+    ranked = bucket_join(ranked, urls, "target_id", "doc_id", ["url"],
+                         suffix="_t")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "query_url": t["url_q"],
+            "doc_url": t["url_t"],
+            "n_band_hits": t["n_band_hits"].cast(pa.int64()),
+            "jaccard": t["jaccard"].cast(pa.float64()),
+            "rank": t["rank"],
+            "confidence": t["confidence"],
+        })
+
+    # only the final <= top_k rows per query reach the driver
+    out = ranked.map_batches(project, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    if out.empty:
+        return _empty_results()
+    out = out.sort_values(["query_url", "rank"]).reset_index(drop=True)
+    if confidence_threshold is not None:
+        # clip_false_candidates (lsh.py:400-407): candidates with
+        # measurement <= threshold are removed
+        bad = ((out["rank"] == 1)
+               & (out["confidence"] <= confidence_threshold))
+        out = out[~bad].reset_index(drop=True)
     return out
+
+
+def search_cascade(corpus_ds, queries_ds,
+                   configs: list[PipelineConfig],
+                   top_k: int = 20,
+                   confidence_threshold: float | None = None
+                   ) -> pd.DataFrame:
+    """Staged fine -> coarse retrieval (reference NLSH -> PLSH sweep,
+    ``lsh.py:498-570``): search with the first config; queries whose
+    top-1 confidence clears the trained gate are DONE; the rest re-search
+    under the next config with the rejected top-1 candidates carried over
+    as ``removed_candidates`` (lsh.py:498,563-568). The last stage (or a
+    gate-less call) accepts whatever it finds."""
+    accepted: list[pd.DataFrame] = []
+    pending = queries_ds
+    removed: set[tuple[str, str]] = set()
+    for i, cfg in enumerate(configs):
+        last = i == len(configs) - 1
+        res = search(corpus_ds, pending, cfg, top_k=top_k,
+                     exclude_pairs=removed or None)
+        if confidence_threshold is None or last:
+            accepted.append(res)
+            break
+        top1 = res[res["rank"] == 1]
+        passed_q = set(top1[top1.confidence > confidence_threshold]
+                       .query_url)
+        failed = top1[~top1.query_url.isin(passed_q)]
+        accepted.append(res[res.query_url.isin(passed_q)])
+        if failed.empty:  # no_need_of_second_filter (lsh.py:408-411)
+            break
+        removed |= set(zip(failed.query_url, failed.doc_url))
+        failed_q = set(failed.query_url)
+        # re-search ONLY the failed queries under the next config
+        import pyarrow.compute as pc
+        fq_ref = ray.put(np.sort(hash_strings(
+            np.array(sorted(failed_q), dtype=object))))
+
+        def keep_failed(t: pa.Table) -> pa.Table:
+            fq = ray.get(fq_ref)
+            names = set(t.column_names)
+            if "url" in names:
+                ids = hash_strings(t["url"].to_numpy(zero_copy_only=False))
+            else:
+                urls = pc.binary_join_element_wise(
+                    pa.array(["doc://"] * t.num_rows),
+                    pc.cast(t["doc_id"], pa.string()), "")
+                ids = hash_strings(urls.to_numpy(zero_copy_only=False))
+            pos = np.searchsorted(fq, ids)
+            pos[pos == len(fq)] = max(len(fq) - 1, 0)
+            hit = (fq[pos] == ids) if len(fq) else np.zeros(len(ids), bool)
+            return t.filter(pa.array(hit))
+
+        pending = pending.map_batches(keep_failed, batch_format="pyarrow")
+    if not accepted:
+        return _empty_results()
+    return (pd.concat(accepted, ignore_index=True)
+            .sort_values(["query_url", "rank"]).reset_index(drop=True))
 
 
 def train_confidence_threshold(results: pd.DataFrame,
                                golden: dict[str, str]) -> float:
     """A9 (utils.py:154-171): max confidence over INCORRECT top-1 results —
-    queries whose best hit is wrong get gated out at inference."""
+    at inference, top-1s with confidence <= this value (i.e. shaped like
+    the wrong training examples) fail the clip gate."""
     top1 = results[results["rank"] == 1]
     wrong = top1[[golden.get(q) != d for q, d in
                   zip(top1.query_url, top1.doc_url)]]

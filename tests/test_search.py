@@ -134,3 +134,75 @@ def test_confidence_training_and_clipping(search_setup):
     assert 0.0 <= thr <= 1.0 + 1e-9
     clipped = search(corpus, queries, top_k=10, confidence_threshold=thr)
     assert len(clipped) <= len(results)
+    # reference polarity (lsh.py:400-407): top-1s with confidence <=
+    # threshold are REMOVED. The threshold is the max confidence over
+    # wrong top-1s, so EVERY known-wrong top-1 must be clipped.
+    top1 = results[results["rank"] == 1]
+    wrong = {(q, d) for q, d in zip(top1.query_url, top1.doc_url)
+             if golden.get(q) != d}
+    clipped_top1 = {(q, d) for q, d in
+                    zip(clipped[clipped["rank"] == 1].query_url,
+                        clipped[clipped["rank"] == 1].doc_url)}
+    assert not (wrong & clipped_top1), wrong & clipped_top1
+    # ...and correct top-1s with confidence above the gate survive
+    surviving = results[(results["rank"] == 1)
+                        & (results.confidence > thr)]
+    assert set(zip(surviving.query_url,
+                   surviving.doc_url)) <= clipped_top1 | wrong
+
+
+def test_search_cascade_recovers_failed_queries(ray_session):
+    """NLSH->PLSH cascade analog (lsh.py:498-570): stage-1-rejected
+    queries re-search under the next config with their rejected top-1
+    carried as removed_candidates (so it cannot reappear), and recover
+    via their second-best candidate."""
+    import dataclasses
+
+    import ray.data
+
+    from lsh_ray.config import DEFAULT_CONFIG
+    from lsh_ray.fixtures import _make_vocab, _mutate, _zipf_doc
+    from lsh_ray.pipelines.search import search, search_cascade
+    rng = np.random.default_rng(12)
+    vocab = _make_vocab(rng)
+    # each source doc gets a near-copy in the corpus, so every query has
+    # >= 2 candidates (confidence < 1, and a fallback after exclusion)
+    base_texts = [" ".join(_zipf_doc(rng, vocab,
+                                     int(rng.integers(80, 200))))
+                  for _ in range(60)]
+    copies = [" ".join(_mutate(rng, t.split(" "), 0.05, vocab))
+              for t in base_texts]
+    urls = ([f"doc://{i}" for i in range(60)]
+            + [f"copy://{i}" for i in range(60)])
+    corpus = ray.data.from_arrow(pa.table({
+        "url": urls, "text": base_texts + copies,
+        "lang": ["en"] * len(urls)}))
+    q_urls, q_texts = [], []
+    for qi in range(15):
+        mut = _mutate(rng, base_texts[qi].split(" "), 0.03, vocab)
+        q_urls.append(f"query://{qi}")
+        q_texts.append(" ".join(mut))
+    queries = ray.data.from_arrow(pa.table({
+        "url": q_urls, "text": q_texts, "lang": ["en"] * len(q_urls)}))
+
+    fine = DEFAULT_CONFIG
+    coarse = dataclasses.replace(DEFAULT_CONFIG, shingle_k=3)
+    base = search(corpus, queries, fine, top_k=10)
+    top1 = base[base["rank"] == 1]
+    assert (top1.confidence < 1.0).any()  # multi-candidate fixture worked
+    thr = float(top1.confidence.median())
+    out = search_cascade(corpus, queries, [fine, coarse], top_k=10,
+                         confidence_threshold=thr)
+    rejected = {(q, d) for q, d, c in zip(top1.query_url, top1.doc_url,
+                                          top1.confidence) if c <= thr}
+    assert rejected  # the gate actually rejected someone
+    # rejected (query, top-1) pairs are carried as removed_candidates
+    reappeared = rejected & set(zip(out.query_url, out.doc_url))
+    assert not reappeared, reappeared
+    # passed queries keep their results; rejected ones recover via the
+    # near-copy under the coarse config
+    passed_q = {q for q, _, c in zip(top1.query_url, top1.doc_url,
+                                     top1.confidence) if c > thr}
+    assert passed_q <= set(out.query_url)
+    recovered = {q for q, _ in rejected} & set(out.query_url)
+    assert recovered, "no rejected query recovered via stage 2"
