@@ -88,8 +88,10 @@ def run_bench() -> dict:
     queries["dedup_end_to_end"] = round(headline, 3)
 
     from lsh_ray.pipelines.queries import QUERIES
-    for name in ["tfidf", "knn_topk", "events_hourly", "lineitem_agg",
-                 "exact_dup_groups", "sessions"]:
+    q_names = [] if os.environ.get("GRAFT_SKIP_QUERIES") else [
+        "tfidf", "knn_topk", "events_hourly", "lineitem_agg",
+        "exact_dup_groups", "sessions"]
+    for name in q_names:
         t0 = time.time()
         ds = QUERIES[name](sf_dir)
         try:
@@ -128,6 +130,7 @@ def run_scaling() -> dict:
     out = {}
     for ncpu in levels:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env["GRAFT_SKIP_QUERIES"] = "1"  # scaling measures the dedup job only
         proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
                               env=env, capture_output=True, text=True,
                               check=True)

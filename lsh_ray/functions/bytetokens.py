@@ -98,6 +98,61 @@ def token_hashes_from_texts(texts: list,
     return flat, counts
 
 
+def token_hashes_from_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow string column -> (flat token hashes uint64, per-doc counts).
+
+    Zero-Python-object path: reads the Arrow string column's byte buffer
+    directly (the data buffer IS the concatenated utf-8), lowercases with
+    the LUT, finds token spans with vectorized masks, and hashes spans in
+    O(1) from prefix hashes. Produces hashes IDENTICAL to
+    ``token_hashes_from_texts`` (a span's polynomial hash depends only on
+    its own bytes). Documents are contiguous with no separators in the
+    buffer, so doc boundaries are injected as explicit break positions.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    arr = arr.cast(pa.large_string())
+    n_docs = len(arr)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset:arr.offset + n_docs + 1]
+    counts = np.zeros(n_docs, dtype=np.int64)
+    if n_docs == 0 or offs[-1] == offs[0]:
+        return np.empty(0, dtype=np.uint64), counts
+    raw = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    out_parts: list[np.ndarray] = []
+    # ~256 KB of text per inner chunk: the prefix-hash pass allocates
+    # ~40 B of uint64 temps per text byte, so this keeps the working set
+    # ~10 MB-per-task -> cache-resident (13x faster than one 5 MB pass)
+    target = 1 << 18
+    d0 = 0
+    while d0 < n_docs:
+        d1 = int(np.searchsorted(offs, offs[d0] + target))
+        d1 = min(max(d1, d0 + 1), n_docs)
+        base = offs[d0]
+        data = _LOWER[raw[base:offs[d1]]]
+        local = (offs[d0:d1 + 1] - base).astype(np.int64)
+        ws = _WS[data]
+        nonws = ~ws
+        prev_break = np.concatenate(([True], ws[:-1]))
+        prev_break[local[:-1]] = True     # doc starts break tokens
+        next_break = np.concatenate((ws[1:], [True]))
+        next_break[local[1:] - 1] = True  # doc ends break tokens
+        starts = np.flatnonzero(nonws & prev_break)
+        ends = np.flatnonzero(nonws & next_break) + 1
+        out_parts.append(_span_hashes(data, starts, ends))
+        doc_of_tok = np.searchsorted(local[1:], starts, side="right")
+        counts[d0:d1] = np.bincount(doc_of_tok, minlength=d1 - d0)
+        d0 = d1
+    flat = (np.concatenate(out_parts) if out_parts
+            else np.empty(0, dtype=np.uint64))
+    return flat, counts
+
+
 def hash_token_array(tokens: np.ndarray | list) -> np.ndarray:
     """Token strings -> uint64 hashes, identical to the byte path.
 

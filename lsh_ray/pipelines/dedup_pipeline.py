@@ -83,8 +83,14 @@ def run_dedup(docs_ds, config: PipelineConfig = DEFAULT_CONFIG,
     if checkpoint_dir:
         normalized = _fork(normalized, checkpoint_dir, "normalized", config)
     shingled = shingle(normalized, config)
-    sigs = _fork(signatures(shingled, config), checkpoint_dir, "signatures",
-                 config)
+    # coalesce the signature table to the shuffle width BEFORE pinning it:
+    # every downstream consumer (banding/chunk maps, the verify union)
+    # then sees a block count matched to the exchange, instead of paying
+    # the superlinear many-small-blocks merge cost in each shuffle
+    from lsh_ray.config import coalesce_blocks
+    sigs = _fork(signatures(shingled, config)
+                 .repartition(coalesce_blocks(config)),
+                 checkpoint_dir, "signatures", config)
     # band keys: hot groups are real dup clusters -> chain; chunk keys: hot
     # groups are boilerplate -> drop (document-frequency noise filter), and
     # pairs must share >= chunk_min_hits chunks (common-phrase noise filter).

@@ -35,9 +35,60 @@ from lsh_ray.functions.hashing import hash_pair
 _NUM_BUCKETS = 4096
 
 
+def _sorted_unique_rows(group: pa.Table):
+    """(band_key, doc_id[, family]) -> lexsorted arrays with duplicate
+    (key, doc) rows removed — fully vectorized (one lexsort + one mask);
+    the old per-group ``np.unique`` loop cost tens of Python-call seconds
+    per bucket at millions of band groups."""
+    bk = group["band_key"].to_numpy(zero_copy_only=False)
+    doc = group["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, bk))
+    bk, doc = bk[order], doc[order]
+    keep = np.concatenate(
+        ([True], (bk[1:] != bk[:-1]) | (doc[1:] != doc[:-1])))
+    return order, keep, bk[keep], doc[keep]
+
+
+def _expand_small_groups(doc: np.ndarray, starts: np.ndarray,
+                         sizes: np.ndarray, small_rows: np.ndarray,
+                         gid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-group pairs for rows of small groups, no Python loop.
+
+    For a row at within-group position p of a group of size m, its
+    partners are the m-1-p FOLLOWING rows (doc sorted ascending inside a
+    group, so doc_a < doc_b falls out automatically). Partner indices are
+    pure cumsum/repeat arithmetic.
+    """
+    n = len(doc)
+    pos = np.arange(n) - starts[gid]
+    cnt = (sizes[gid] - 1 - pos)[small_rows]
+    total = int(cnt.sum())
+    if total == 0:
+        return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64))
+    rows = np.repeat(small_rows, cnt)
+    ends_c = np.cumsum(cnt)
+    partner = (np.arange(total) - np.repeat(ends_c - cnt, cnt)
+               + np.repeat(small_rows + 1, cnt))
+    return doc[rows], doc[partner]
+
+
+def _dedup_pairs_with_counts(a: np.ndarray, b: np.ndarray,
+                             *weight_arrays: np.ndarray):
+    """Sort pairs, collapse duplicates, sum each weight array per pair.
+    lexsort + bincount — ``np.unique(axis=0)``'s void-view sort was the
+    other hot spot of the old implementation."""
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    new = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+    grp = np.cumsum(new) - 1
+    sums = [np.bincount(grp, weights=w[order]).astype(np.int32)
+            for w in weight_arrays]
+    return a[new], b[new], sums
+
+
 def _pairs_for_band_bucket(group: pa.Table, cap: int,
                            hot_policy: str = "chain") -> pa.Table:
-    """Candidate pairs within one bucket of band rows (vectorized).
+    """Candidate pairs within one bucket of band rows (fully vectorized).
 
     Emits pairs with per-bucket partial collision counts; global dedup and
     counting happen in the second pass (a pair colliding in two different
@@ -52,36 +103,31 @@ def _pairs_for_band_bucket(group: pa.Table, cap: int,
       the document-frequency noise filter, reference analog:
       TF-IDF-threshold token filtering, scripts/tfidf_pitch_extraction.py:114-134.
     """
-    bk = group["band_key"].to_numpy(zero_copy_only=False)
-    doc = group["doc_id"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((doc, bk))
-    bk, doc = bk[order], doc[order]
-    starts = np.flatnonzero(np.concatenate(([True], bk[1:] != bk[:-1])))
-    ends = np.concatenate((starts[1:], [len(bk)]))
-    a_parts: list[np.ndarray] = []
-    b_parts: list[np.ndarray] = []
-    for s, e in zip(starts, ends):
-        if e - s < 2:
-            continue
-        d = np.unique(doc[s:e])
-        m = len(d)
-        if m < 2:
-            continue
-        if m <= cap:
-            iu, ju = np.triu_indices(m, k=1)
-            a_parts.append(d[iu]); b_parts.append(d[ju])
-        elif hot_policy == "chain":
-            a_parts.append(d[:-1]); b_parts.append(d[1:])
-        # "drop": skip hot group entirely
-    if not a_parts:
+    if group.num_rows == 0:
         return _empty_pairs()
+    _, _, bk, doc = _sorted_unique_rows(group)
+    n = len(bk)
+    starts = np.flatnonzero(np.concatenate(([True], bk[1:] != bk[:-1])))
+    sizes = np.diff(np.concatenate((starts, [n])))
+    gid = np.repeat(np.arange(len(starts)), sizes)
+    size_of_row = sizes[gid]
+    small_rows = np.flatnonzero((size_of_row >= 2) & (size_of_row <= cap))
+    a0, b0 = _expand_small_groups(doc, starts, sizes, small_rows, gid)
+    a_parts, b_parts = [a0], [b0]
+    if hot_policy == "chain":
+        for g in np.flatnonzero(sizes > cap):  # hot groups are FEW
+            s, m = starts[g], sizes[g]
+            d = doc[s:s + m]
+            a_parts.append(d[:-1]); b_parts.append(d[1:])
     a = np.concatenate(a_parts); b = np.concatenate(b_parts)
-    pairs = np.stack([a, b], axis=1)
-    uniq, counts = np.unique(pairs, axis=0, return_counts=True)
+    if len(a) == 0:
+        return _empty_pairs()
+    ua, ub, (counts,) = _dedup_pairs_with_counts(
+        a, b, np.ones(len(a), dtype=np.int32))
     return pa.table({
-        "doc_a": pa.array(uniq[:, 0], type=pa.uint64()),
-        "doc_b": pa.array(uniq[:, 1], type=pa.uint64()),
-        "hits": pa.array(counts.astype(np.int32), type=pa.int32()),
+        "doc_a": pa.array(ua, type=pa.uint64()),
+        "doc_b": pa.array(ub, type=pa.uint64()),
+        "hits": pa.array(counts, type=pa.int32()),
     })
 
 
@@ -95,15 +141,21 @@ def _sum_pair_bucket(group: pa.Table, min_hits: int) -> pa.Table:
     a = group["doc_a"].to_numpy(zero_copy_only=False)
     b = group["doc_b"].to_numpy(zero_copy_only=False)
     h = group["hits"].to_numpy(zero_copy_only=False)
-    pairs = np.stack([a, b], axis=1)
-    uniq, inverse = np.unique(pairs, axis=0, return_inverse=True)
-    sums = np.bincount(inverse, weights=h).astype(np.int32)
+    if len(a) == 0:
+        return _empty_pairs_summed()
+    ua, ub, (sums,) = _dedup_pairs_with_counts(a, b, h)
     keep = sums >= min_hits
     return pa.table({
-        "doc_a": pa.array(uniq[keep, 0], type=pa.uint64()),
-        "doc_b": pa.array(uniq[keep, 1], type=pa.uint64()),
+        "doc_a": pa.array(ua[keep], type=pa.uint64()),
+        "doc_b": pa.array(ub[keep], type=pa.uint64()),
         "n_band_hits": pa.array(sums[keep], type=pa.int32()),
     })
+
+
+def _empty_pairs_summed() -> pa.Table:
+    return pa.table({"doc_a": pa.array([], pa.uint64()),
+                     "doc_b": pa.array([], pa.uint64()),
+                     "n_band_hits": pa.array([], pa.int32())})
 
 
 def partial_pairs(band_rows_ds, config: PipelineConfig,
@@ -198,53 +250,58 @@ def _pairs_for_mixed_bucket(group: pa.Table, cap: int,
     column (0 = MinHash band key -> hot policy salt-then-chain; 1 =
     content-chunk key -> hot policy drop). Key spaces are disjoint, so
     family is constant within each key group. Emits per-family partial hit
-    counts."""
-    bk = group["band_key"].to_numpy(zero_copy_only=False)
-    doc = group["doc_id"].to_numpy(zero_copy_only=False)
-    fam = group["family"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((doc, bk))
-    bk, doc, fam = bk[order], doc[order], fam[order]
+    counts. Small groups expand with NO per-group Python; only hot groups
+    (few by construction) take the loop."""
+    if group.num_rows == 0:
+        return _empty_mixed_pairs()
+    fam_all = group["family"].to_numpy(zero_copy_only=False)
+    order, keep, bk, doc = _sorted_unique_rows(group)
+    fam = fam_all[order][keep]
+    n = len(bk)
     starts = np.flatnonzero(np.concatenate(([True], bk[1:] != bk[:-1])))
-    ends = np.concatenate((starts[1:], [len(bk)]))
-    a_parts, b_parts, f_parts = [], [], []
-    for s, e in zip(starts, ends):
-        if e - s < 2:
-            continue
-        d = np.unique(doc[s:e])
-        m = len(d)
-        if m < 2:
-            continue
-        f = fam[s]
-        if m <= cap:
-            iu, ju = np.triu_indices(m, k=1)
-            a_parts.append(d[iu]); b_parts.append(d[ju])
-            f_parts.append(np.full(len(iu), f, dtype=np.int8))
-        elif f == 0 and m <= cap * salt_buckets:
-            # hot band group: salted split (bounded pairs, full connectivity)
+    sizes = np.diff(np.concatenate((starts, [n])))
+    gid = np.repeat(np.arange(len(starts)), sizes)
+    size_of_row = sizes[gid]
+    small_rows = np.flatnonzero((size_of_row >= 2) & (size_of_row <= cap))
+    a0, b0 = _expand_small_groups(doc, starts, sizes, small_rows, gid)
+    # family of each emitted pair = family of its left row's group; the
+    # expansion repeats rows in order, so recompute the repeat counts
+    pos = np.arange(n) - starts[gid]
+    cnt = (size_of_row - 1 - pos)[small_rows]
+    f0 = np.repeat(fam[small_rows], cnt)
+    a_parts, b_parts, f_parts = [a0], [b0], [f0]
+    for g in np.flatnonzero(sizes > cap):  # hot groups are FEW
+        s, m = starts[g], sizes[g]
+        if fam[s] != 0:
+            continue  # hot chunk group: boilerplate -> drop
+        d = doc[s:s + m]  # sorted unique within group
+        if m <= cap * salt_buckets:
+            # hot band group: salted split (bounded pairs, connectivity)
             sa, sb = _salted_pairs(d, salt_buckets)
-            a_parts.append(sa); b_parts.append(sb)
-            f_parts.append(np.full(len(sa), 0, dtype=np.int8))
-        elif f == 0:  # extreme band group: connectivity chain only
-            a_parts.append(d[:-1]); b_parts.append(d[1:])
-            f_parts.append(np.full(m - 1, 0, dtype=np.int8))
-        # hot chunk group: boilerplate -> drop
-    if not a_parts:
-        return pa.table({"doc_a": pa.array([], pa.uint64()),
-                         "doc_b": pa.array([], pa.uint64()),
-                         "band_hits": pa.array([], pa.int32()),
-                         "chunk_hits": pa.array([], pa.int32())})
+        else:  # extreme band group: connectivity chain only
+            sa, sb = d[:-1], d[1:]
+        a_parts.append(np.minimum(sa, sb))
+        b_parts.append(np.maximum(sa, sb))
+        f_parts.append(np.zeros(len(sa), dtype=np.int8))
     a = np.concatenate(a_parts); b = np.concatenate(b_parts)
     f = np.concatenate(f_parts)
-    pairs = np.stack([a, b], axis=1)
-    uniq, inverse = np.unique(pairs, axis=0, return_inverse=True)
-    band_hits = np.bincount(inverse, weights=(f == 0)).astype(np.int32)
-    chunk_hits = np.bincount(inverse, weights=(f == 1)).astype(np.int32)
+    if len(a) == 0:
+        return _empty_mixed_pairs()
+    ua, ub, (band_hits, chunk_hits) = _dedup_pairs_with_counts(
+        a, b, (f == 0).astype(np.int32), (f == 1).astype(np.int32))
     return pa.table({
-        "doc_a": pa.array(uniq[:, 0], type=pa.uint64()),
-        "doc_b": pa.array(uniq[:, 1], type=pa.uint64()),
+        "doc_a": pa.array(ua, type=pa.uint64()),
+        "doc_b": pa.array(ub, type=pa.uint64()),
         "band_hits": pa.array(band_hits, type=pa.int32()),
         "chunk_hits": pa.array(chunk_hits, type=pa.int32()),
     })
+
+
+def _empty_mixed_pairs() -> pa.Table:
+    return pa.table({"doc_a": pa.array([], pa.uint64()),
+                     "doc_b": pa.array([], pa.uint64()),
+                     "band_hits": pa.array([], pa.int32()),
+                     "chunk_hits": pa.array([], pa.int32())})
 
 
 def _sum_mixed_bucket(group: pa.Table, min_band: int,
@@ -253,14 +310,13 @@ def _sum_mixed_bucket(group: pa.Table, min_band: int,
     b = group["doc_b"].to_numpy(zero_copy_only=False)
     bh = group["band_hits"].to_numpy(zero_copy_only=False)
     ch = group["chunk_hits"].to_numpy(zero_copy_only=False)
-    pairs = np.stack([a, b], axis=1)
-    uniq, inverse = np.unique(pairs, axis=0, return_inverse=True)
-    band_sum = np.bincount(inverse, weights=bh).astype(np.int32)
-    chunk_sum = np.bincount(inverse, weights=ch).astype(np.int32)
+    if len(a) == 0:
+        return _empty_pairs_summed()
+    ua, ub, (band_sum, chunk_sum) = _dedup_pairs_with_counts(a, b, bh, ch)
     keep = (band_sum >= min_band) | (chunk_sum >= min_chunk)
     return pa.table({
-        "doc_a": pa.array(uniq[keep, 0], type=pa.uint64()),
-        "doc_b": pa.array(uniq[keep, 1], type=pa.uint64()),
+        "doc_a": pa.array(ua[keep], type=pa.uint64()),
+        "doc_b": pa.array(ub[keep], type=pa.uint64()),
         "n_band_hits": pa.array((band_sum + chunk_sum)[keep],
                                 type=pa.int32()),
     })

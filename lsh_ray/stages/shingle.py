@@ -117,8 +117,8 @@ def shingle_batch(batch: pa.Table, config: PipelineConfig) -> pa.Table:
     cost of a full extra read. Chunk keys are ~tokens/chunk_divisor per
     doc, an order of magnitude smaller than carrying raw token hashes.
     """
-    from lsh_ray.functions.bytetokens import token_hashes_from_texts
-    tok_h, lens = token_hashes_from_texts(batch["text"].to_pylist())
+    from lsh_ray.functions.bytetokens import token_hashes_from_arrow
+    tok_h, lens = token_hashes_from_arrow(batch["text"])
     vals, offsets = _shingles_from_hashes(
         tok_h, lens, config.shingle_k, config.shingle_stride,
         config.shingle_hash_bits)

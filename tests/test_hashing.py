@@ -52,3 +52,28 @@ def test_hash_pair_order_sensitive():
     a = np.array([1], dtype=np.uint64)
     b = np.array([2], dtype=np.uint64)
     assert hash_pair(a, b)[0] != hash_pair(b, a)[0]
+
+
+def test_arrow_tokenizer_matches_text_path():
+    """token_hashes_from_arrow must produce hashes and counts identical
+    to the Python-string path on edge cases: nulls, empties,
+    whitespace-only, multi-chunk, sliced arrays, unicode."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lsh_ray.functions.bytetokens import (token_hashes_from_arrow,
+                                              token_hashes_from_texts)
+    texts = ["hello World", "", "  ", "a", " lead trail ", "ünïcode tökens",
+             "x " * 500, "singleword"]
+    arr = pa.chunked_array([pa.array(texts[:3]),
+                            pa.array([None], type=pa.string()),
+                            pa.array(texts[3:])])
+    h_a, c_a = token_hashes_from_arrow(arr)
+    h_t, c_t = token_hashes_from_texts(texts[:3] + [None] + texts[3:])
+    assert np.array_equal(h_a, h_t)
+    assert np.array_equal(c_a, c_t)
+    # sliced array keeps buffer offsets honest
+    sl = pa.array(["drop this", *texts]).slice(1)
+    h_s, c_s = token_hashes_from_arrow(sl)
+    h_e, c_e = token_hashes_from_texts(texts)
+    assert np.array_equal(h_s, h_e) and np.array_equal(c_s, c_e)
