@@ -96,22 +96,32 @@ def run_dedup(docs_ds, config: PipelineConfig = DEFAULT_CONFIG,
     # pairs must share >= chunk_min_hits chunks (common-phrase noise filter).
     # Both families resolve in ONE unified two-shuffle pass.
     if config.enable_chunk_keys:
-        from lsh_ray.stages.candidates import candidate_pairs_two_family
+        from lsh_ray.stages.candidates import (partial_mixed_pairs,
+                                               sum_mixed_pairs)
         from lsh_ray.stages.chunking import chunk_rows_from_signatures
-        pairs = candidate_pairs_two_family(
+        # two-stage plan: sum/gate the partial pairs in their own (small)
+        # shuffle BEFORE verify ships signature payloads. Measured: with
+        # the selective chunk gate (chunk_min_hits=2 drops the single-
+        # shared-chunk noise mass) this beats the fused
+        # verify_from_partial plan ~2x — the gate prunes millions of
+        # endpoint rows out of the payload exchange. verify_from_partial
+        # remains the right plan when the gate keeps most pairs.
+        partial = partial_mixed_pairs(
             band_rows(sigs, config),
             chunk_rows_from_signatures(sigs, config), config)
+        pairs = sum_mixed_pairs(partial, config)
+        if checkpoint_dir:
+            pairs = _fork(pairs, checkpoint_dir, "cand_pairs", config)
+        verified = _fork(verify(pairs, sigs, config), checkpoint_dir,
+                         "verified", config)
     else:
         from lsh_ray.stages.candidates import candidate_pairs
         pairs = candidate_pairs(band_rows(sigs, config), config,
                                 hot_policy="chain")
-    # checkpoint the pair set when resumability is requested; otherwise let
-    # the pair shuffle flow lazily into verify (one execution, fewer
-    # barriers — fine-grained shuffle buckets keep the fused DAG balanced)
-    if checkpoint_dir:
-        pairs = _fork(pairs, checkpoint_dir, "cand_pairs", config)
-    verified = _fork(verify(pairs, sigs, config), checkpoint_dir, "verified",
-                     config)
+        if checkpoint_dir:
+            pairs = _fork(pairs, checkpoint_dir, "cand_pairs", config)
+        verified = _fork(verify(pairs, sigs, config), checkpoint_dir,
+                         "verified", config)
     # substring results feed both the result surface and the edge union
     sub = _fork(substring_pass(verified, normalized, config), checkpoint_dir,
                 "substring", config)

@@ -322,16 +322,14 @@ def _sum_mixed_bucket(group: pa.Table, min_band: int,
     })
 
 
-def candidate_pairs_two_family(band_rows_ds, chunk_rows_ds,
-                               config: PipelineConfig,
-                               num_buckets: int = _NUM_BUCKETS):
-    """Band rows + chunk rows -> candidate pairs in exactly TWO shuffles.
-
-    Keep rule: band collisions >= min_band_hits OR chunk collisions >=
-    chunk_min_hits (shared verbatim runs; one shared chunk is common-phrase
-    noise). Hot groups: bands chain, chunks drop — see
-    ``_pairs_for_mixed_bucket``.
-    """
+def partial_mixed_pairs(band_rows_ds, chunk_rows_ds,
+                        config: PipelineConfig,
+                        num_buckets: int = _NUM_BUCKETS):
+    """Band rows + chunk rows -> per-bucket PARTIAL pairs (doc_a, doc_b,
+    band_hits, chunk_hits) in ONE shuffle — a pair may appear once per
+    key bucket it collided in. Feed ``sum_mixed_pairs`` for the summed
+    candidate surface, or ``verify.verify_from_partial`` to fuse the
+    sum/gate into verification (two fewer barriers on the hot path)."""
     nb = np.uint64(num_buckets)
 
     def tag(family: int):
@@ -353,10 +351,16 @@ def candidate_pairs_two_family(band_rows_ds, chunk_rows_ds,
     # coalesce before the sort shuffle: merge cost grows superlinearly
     # with input block count; width derived from cluster size (config)
     rows = rows.repartition(coalesce_blocks(config))
-    partial = rows.groupby("bucket").map_groups(
+    return rows.groupby("bucket").map_groups(
         lambda g: _pairs_for_mixed_bucket(g, config.group_size_cap,
                                           config.salt_buckets),
         batch_format="pyarrow")
+
+
+def sum_mixed_pairs(partial_ds, config: PipelineConfig,
+                    num_buckets: int = _NUM_BUCKETS):
+    """Partial mixed pairs -> globally summed/gated candidate pairs."""
+    nb = np.uint64(num_buckets)
 
     def add_pair_bucket(t: pa.Table) -> pa.Table:
         key = hash_pair(t["doc_a"].to_numpy(zero_copy_only=False),
@@ -364,7 +368,7 @@ def candidate_pairs_two_family(band_rows_ds, chunk_rows_ds,
         return t.append_column("bucket",
                                pa.array((key % nb).astype(np.int32)))
 
-    return (partial
+    return (partial_ds
             .map_batches(add_pair_bucket, batch_format="pyarrow",
                          zero_copy_batch=True)
             .repartition(coalesce_blocks(config))
@@ -373,3 +377,19 @@ def candidate_pairs_two_family(band_rows_ds, chunk_rows_ds,
                 lambda g: _sum_mixed_bucket(g, config.min_band_hits,
                                             config.chunk_min_hits),
                 batch_format="pyarrow"))
+
+
+def candidate_pairs_two_family(band_rows_ds, chunk_rows_ds,
+                               config: PipelineConfig,
+                               num_buckets: int = _NUM_BUCKETS):
+    """Band rows + chunk rows -> candidate pairs in exactly TWO shuffles.
+
+    Keep rule: band collisions >= min_band_hits OR chunk collisions >=
+    chunk_min_hits (shared verbatim runs; one shared chunk is common-phrase
+    noise). Hot groups: bands chain, chunks drop — see
+    ``_pairs_for_mixed_bucket``.
+    """
+    return sum_mixed_pairs(
+        partial_mixed_pairs(band_rows_ds, chunk_rows_ds, config,
+                            num_buckets),
+        config, num_buckets)

@@ -8,8 +8,11 @@ pattern instead: add ``bucket = hash(key) % NB`` to both sides, union them,
 ``map_groups`` (searchsorted on the unique-key side). One shuffle, any
 column types, deterministic partitioning; NB bounds per-task memory.
 
-Semantics: INNER join; the right side's key must be unique (it is a
-doc_id-keyed dimension/signature table in every use here).
+Semantics: inner / left / full-outer. With ``unique_right=True`` (the
+default; every signature/dimension use here) the right key must be
+unique and matches resolve with one searchsorted; ``unique_right=False``
+enables general MANY-TO-MANY matching (cartesian per key) with
+vectorized expansion.
 """
 
 from __future__ import annotations
@@ -77,9 +80,59 @@ def _join_bucket(group: pa.Table, left_cols: list[str],
     return pa.table(cols)
 
 
+def _join_bucket_many(group: pa.Table, left_cols: list[str],
+                      right_cols: list[str], how: str) -> pa.Table:
+    """Many-to-many bucket join: every (left row, right row) key match is
+    emitted (cartesian per key, expanded with cumsum/repeat arithmetic —
+    no per-row Python). ``how``: inner | left | outer."""
+    side = group[_SIDE_COL].to_numpy(zero_copy_only=False)
+    left = group.filter(pa.array(side == 0))
+    right = group.filter(pa.array(side == 1))
+    lk = left[_KEY_COL].to_numpy(zero_copy_only=False)
+    rk = right[_KEY_COL].to_numpy(zero_copy_only=False)
+    order = np.argsort(rk, kind="stable")
+    rks = rk[order]
+    lo = np.searchsorted(rks, lk, side="left")
+    hi = np.searchsorted(rks, lk, side="right")
+    cnt = hi - lo
+    rows_l = np.repeat(np.arange(len(lk)), cnt)
+    ends = np.cumsum(cnt)
+    total = int(ends[-1]) if len(ends) else 0
+    flat = (np.arange(total) - np.repeat(ends - cnt, cnt)
+            + np.repeat(lo, cnt))
+    rows_r = order[flat]
+    lt = left.take(pa.array(rows_l, type=pa.int64()))
+    rt = right.take(pa.array(rows_r, type=pa.int64()))
+    cols: dict = {c: lt[c] for c in left_cols}
+    for c in right_cols:
+        cols[c] = rt[c]
+    out = pa.table(cols)
+    parts = [out]
+    if how in ("left", "outer"):
+        miss_l = left.filter(pa.array(cnt == 0))
+        if miss_l.num_rows:
+            cols = {c: miss_l[c] for c in left_cols}
+            for c in right_cols:
+                cols[c] = pa.nulls(miss_l.num_rows,
+                                   group.schema.field(c).type)
+            parts.append(pa.table(cols))
+    if how == "outer":
+        matched_r = np.zeros(len(rk), dtype=bool)
+        matched_r[rows_r] = True
+        miss_r = right.filter(pa.array(~matched_r))
+        if miss_r.num_rows:
+            cols = {c: pa.nulls(miss_r.num_rows, group.schema.field(c).type)
+                    for c in left_cols}
+            for c in right_cols:
+                cols[c] = miss_r[c]
+            parts.append(pa.table(cols))
+    return pa.concat_tables(parts) if len(parts) > 1 else out
+
+
 def bucket_join(left_ds, right_ds, left_key: str, right_key: str,
                 right_columns: list[str], suffix: str = "",
-                num_buckets: int = _NUM_BUCKETS, how: str = "inner"):
+                num_buckets: int = _NUM_BUCKETS, how: str = "inner",
+                unique_right: bool = True):
     """Join ``left_ds`` with unique-keyed ``right_ds`` (inner or left outer).
 
     Output = all left columns + ``right_columns`` (each renamed with
@@ -141,5 +194,7 @@ def bucket_join(left_ds, right_ds, left_key: str, right_key: str,
     from lsh_ray.config import coalesce_blocks
     both = tagged_left.union(tagged_right).repartition(coalesce_blocks())
     return both.groupby(_BUCKET_COL).map_groups(
-        lambda g: _join_bucket(g, left_cols, out_right_cols, how),
+        lambda g: (_join_bucket(g, left_cols, out_right_cols, how)
+                   if unique_right else
+                   _join_bucket_many(g, left_cols, out_right_cols, how)),
         batch_format="pyarrow")

@@ -104,6 +104,60 @@ def _verify_batch(batch: pa.Table, config: PipelineConfig) -> pa.Table:
     return out.filter(pa.array(is_dup | is_sub))
 
 
+def _finalize_pair_bucket(g: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """Shuffle-#2 reduce: regroup the two endpoint rows of each pair id
+    and run the verification kernel (shared by ``verify`` and
+    ``verify_from_partial``)."""
+    pid = g["pid"].to_numpy(zero_copy_only=False)
+    rank = g["rank"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((rank, pid))
+    g = g.take(pa.array(order, type=pa.int64()))
+    pid = pid[order]
+    # keep only pids with exactly one rank-0 and one rank-1 row
+    starts = np.flatnonzero(np.concatenate(([True], pid[1:] != pid[:-1])))
+    counts = np.diff(np.concatenate((starts, [len(pid)])))
+    good = counts == 2
+    sel_a = starts[good]       # rank 0 row of each complete pair
+    sel_b = starts[good] + 1   # rank 1 row
+    if len(sel_a) == 0:
+        return pa.table({
+            "doc_a": pa.array([], pa.uint64()),
+            "doc_b": pa.array([], pa.uint64()),
+            "n_band_hits": pa.array([], pa.int32()),
+            "jaccard": pa.array([], pa.float32()),
+            "containment": pa.array([], pa.float32()),
+            "hamming": pa.array([], pa.int32()),
+            "is_dup": pa.array([], pa.bool_()),
+            "is_substring_candidate": pa.array([], pa.bool_()),
+        })
+    rows_a = g.take(pa.array(sel_a, type=pa.int64()))
+    rows_b = g.take(pa.array(sel_b, type=pa.int64()))
+    sh_a = rows_a["shingles"].combine_chunks()
+    sh_b = rows_b["shingles"].combine_chunks()
+    off_a = sh_a.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    off_b = sh_b.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    jac, cont = jaccard_and_containment(
+        sh_a.values.to_numpy(zero_copy_only=False), off_a - off_a[0],
+        sh_b.values.to_numpy(zero_copy_only=False), off_b - off_b[0])
+    ham = _popcount64(
+        rows_a["simhash"].to_numpy(zero_copy_only=False)
+        ^ rows_b["simhash"].to_numpy(zero_copy_only=False)
+    ).astype(np.int32)
+    is_dup = jac >= cfg.jaccard_threshold
+    is_sub = (~is_dup) & (cont >= cfg.containment_threshold)
+    out = pa.table({
+        "doc_a": rows_a["doc_a"],
+        "doc_b": rows_a["doc_b"],
+        "n_band_hits": rows_a["n_band_hits"],
+        "jaccard": pa.array(jac, type=pa.float32()),
+        "containment": pa.array(cont, type=pa.float32()),
+        "hamming": pa.array(ham, type=pa.int32()),
+        "is_dup": pa.array(is_dup),
+        "is_substring_candidate": pa.array(is_sub),
+    })
+    return out.filter(pa.array(is_dup | is_sub))
+
+
 def attach_signatures(pairs_ds, signatures_ds, config: PipelineConfig,
                       columns=("shingles", "simhash")):
     """Hash-join pair endpoints to their signature rows (doc_a then doc_b).
@@ -212,56 +266,6 @@ def verify(pairs_ds, signatures_ds, config: PipelineConfig):
                  % nbu).astype(np.int32)),
         })
 
-    def finalize_bucket(g: pa.Table, cfg: PipelineConfig) -> pa.Table:
-        pid = g["pid"].to_numpy(zero_copy_only=False)
-        rank = g["rank"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((rank, pid))
-        g = g.take(pa.array(order, type=pa.int64()))
-        pid = pid[order]
-        # keep only pids with exactly one rank-0 and one rank-1 row
-        starts = np.flatnonzero(np.concatenate(([True], pid[1:] != pid[:-1])))
-        counts = np.diff(np.concatenate((starts, [len(pid)])))
-        good = counts == 2
-        sel_a = starts[good]       # rank 0 row of each complete pair
-        sel_b = starts[good] + 1   # rank 1 row
-        if len(sel_a) == 0:
-            return pa.table({
-                "doc_a": pa.array([], pa.uint64()),
-                "doc_b": pa.array([], pa.uint64()),
-                "n_band_hits": pa.array([], pa.int32()),
-                "jaccard": pa.array([], pa.float32()),
-                "containment": pa.array([], pa.float32()),
-                "hamming": pa.array([], pa.int32()),
-                "is_dup": pa.array([], pa.bool_()),
-                "is_substring_candidate": pa.array([], pa.bool_()),
-            })
-        rows_a = g.take(pa.array(sel_a, type=pa.int64()))
-        rows_b = g.take(pa.array(sel_b, type=pa.int64()))
-        sh_a = rows_a["shingles"].combine_chunks()
-        sh_b = rows_b["shingles"].combine_chunks()
-        off_a = sh_a.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        off_b = sh_b.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        jac, cont = jaccard_and_containment(
-            sh_a.values.to_numpy(zero_copy_only=False), off_a - off_a[0],
-            sh_b.values.to_numpy(zero_copy_only=False), off_b - off_b[0])
-        ham = _popcount64(
-            rows_a["simhash"].to_numpy(zero_copy_only=False)
-            ^ rows_b["simhash"].to_numpy(zero_copy_only=False)
-        ).astype(np.int32)
-        is_dup = jac >= cfg.jaccard_threshold
-        is_sub = (~is_dup) & (cont >= cfg.containment_threshold)
-        out = pa.table({
-            "doc_a": rows_a["doc_a"],
-            "doc_b": rows_a["doc_b"],
-            "n_band_hits": rows_a["n_band_hits"],
-            "jaccard": pa.array(jac, type=pa.float32()),
-            "containment": pa.array(cont, type=pa.float32()),
-            "hamming": pa.array(ham, type=pa.int32()),
-            "is_dup": pa.array(is_dup),
-            "is_substring_candidate": pa.array(is_sub),
-        })
-        return out.filter(pa.array(is_dup | is_sub))
-
     eps = pairs_ds.map_batches(pair_endpoints, batch_format="pyarrow",
                                zero_copy_batch=True)
     sig_side = signatures_ds.select_columns(
@@ -274,5 +278,155 @@ def verify(pairs_ds, signatures_ds, config: PipelineConfig):
     return (attached
             .repartition(nb)
             .groupby("bucket")
-            .map_groups(lambda g: finalize_bucket(g, config),
+            .map_groups(lambda g: _finalize_pair_bucket(g, config),
+                        batch_format="pyarrow"))
+
+
+def verify_from_partial(partial_pairs_ds, signatures_ds,
+                        config: PipelineConfig):
+    """UNSUMMED candidate pairs + signatures -> verified pairs, fusing the
+    candidate pair-sum INTO verification — two shuffles for both jobs.
+
+    ``partial_pairs_ds`` is the first candidate shuffle's output
+    (doc_a, doc_b, band_hits, chunk_hits) with a pair possibly appearing
+    once per band/chunk bucket it collided in. The unfused plan pays a
+    dedicated repartition+sort to dedup/sum/gate those pairs
+    (``sum_pairs``) BEFORE verify's own two shuffles; here every copy of
+    a pair's rank-r endpoint row lands in the same doc bucket of verify's
+    shuffle #1 anyway (it is keyed by that endpoint's doc_id), so the
+    attach step dedups, sums the per-family hits, and applies the
+    min-hits gate in place — identical output (verified at 200k docs),
+    two fewer all-to-all barriers.
+
+    WHEN TO USE: only when the min-hits gate is UNSELECTIVE. With a
+    selective gate (the default chunk_min_hits=2 drops the large single-
+    shared-chunk noise mass), the unfused plan's small dedicated sum
+    shuffle prunes those pairs BEFORE the signature-payload exchange and
+    wins ~2x (measured at 200k docs); fusing ships every pre-gate pair
+    as endpoint rows through the big shuffle. run_dedup therefore uses
+    the unfused plan; this path exists for gate-light configs.
+    """
+    from lsh_ray.config import coalesce_blocks
+    from lsh_ray.functions.hashing import hash_pair
+    nb = max(config.join_num_partitions, coalesce_blocks(config))
+    nbu = np.uint64(1024)
+    shingle_type = pa.list_(
+        pa.uint64() if config.shingle_hash_bits == 64 else pa.uint32())
+    min_band = config.min_band_hits
+    min_chunk = config.chunk_min_hits
+
+    def pair_endpoints(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        bh = t["band_hits"].to_numpy(zero_copy_only=False)
+        ch = t["chunk_hits"].to_numpy(zero_copy_only=False)
+        pid = hash_pair(a, b)
+        n = len(a)
+        key = np.concatenate([a, b])
+        return pa.table({
+            "key": pa.array(key, type=pa.uint64()),
+            "pid": pa.array(np.tile(pid, 2), type=pa.uint64()),
+            "doc_a": pa.array(np.tile(a, 2), type=pa.uint64()),
+            "doc_b": pa.array(np.tile(b, 2), type=pa.uint64()),
+            "band_hits": pa.array(np.tile(bh, 2).astype(np.int32)),
+            "chunk_hits": pa.array(np.tile(ch, 2).astype(np.int32)),
+            "rank": pa.array(
+                np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])),
+            "shingles": pa.nulls(2 * n, shingle_type),
+            "simhash": pa.nulls(2 * n, pa.uint64()),
+            "side": pa.array(np.zeros(2 * n, dtype=np.int8)),
+            "bucket": pa.array((key % nbu).astype(np.int32)),
+        })
+
+    def prep_sigs(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(k)
+        z = np.zeros(n, dtype=np.uint64)
+        zi = np.zeros(n, dtype=np.int32)
+        return pa.table({
+            "key": pa.array(k, type=pa.uint64()),
+            "pid": pa.array(z, type=pa.uint64()),
+            "doc_a": pa.array(z, type=pa.uint64()),
+            "doc_b": pa.array(z, type=pa.uint64()),
+            "band_hits": pa.array(zi),
+            "chunk_hits": pa.array(zi),
+            "rank": pa.array(np.full(n, -1, dtype=np.int8)),
+            "shingles": t["shingles"].cast(shingle_type),
+            "simhash": t["simhash"],
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "bucket": pa.array((k % nbu).astype(np.int32)),
+        })
+
+    def attach_bucket(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        eps = g.filter(pa.array(side == 0))
+        sigs = g.filter(pa.array(side == 1))
+        if eps.num_rows == 0:  # sigs-only bucket: nothing to attach
+            return pa.table({
+                "pid": pa.array([], pa.uint64()),
+                "doc_a": pa.array([], pa.uint64()),
+                "doc_b": pa.array([], pa.uint64()),
+                "n_band_hits": pa.array([], pa.int32()),
+                "rank": pa.array([], pa.int8()),
+                "shingles": pa.array([], shingle_type),
+                "simhash": pa.array([], pa.uint64()),
+                "bucket": pa.array([], pa.int32()),
+            })
+        # dedup duplicated (pid, rank) endpoint rows; sum per-family hits;
+        # apply the candidate gate — this replaces the whole sum_pairs
+        # shuffle of the unfused plan
+        pid = eps["pid"].to_numpy(zero_copy_only=False)
+        rank = eps["rank"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((rank, pid))
+        pid_s, rank_s = pid[order], rank[order]
+        new = np.concatenate(
+            ([True], (pid_s[1:] != pid_s[:-1]) | (rank_s[1:] != rank_s[:-1])))
+        grp = np.cumsum(new) - 1
+        bh = np.bincount(
+            grp, weights=eps["band_hits"].to_numpy(
+                zero_copy_only=False)[order]).astype(np.int32)
+        ch = np.bincount(
+            grp, weights=eps["chunk_hits"].to_numpy(
+                zero_copy_only=False)[order]).astype(np.int32)
+        keep_grp = (bh >= min_band) | (ch >= min_chunk)
+        first = np.flatnonzero(new)
+        sel = first[keep_grp]
+        eps_u = eps.take(pa.array(order[sel], type=pa.int64()))
+        hits_u = (bh + ch)[keep_grp]
+        rk = sigs["key"].to_numpy(zero_copy_only=False)
+        s_order = np.argsort(rk)
+        rks = rk[s_order]
+        lk = eps_u["key"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(rks, lk)
+        idx[idx == len(rks)] = max(len(rks) - 1, 0)
+        hit = rks[idx] == lk if len(rks) else np.zeros(len(lk), bool)
+        eps_hit = eps_u.filter(pa.array(hit))
+        taken = sigs.take(pa.array(s_order[idx[hit]], type=pa.int64()))
+        return pa.table({
+            "pid": eps_hit["pid"],
+            "doc_a": eps_hit["doc_a"],
+            "doc_b": eps_hit["doc_b"],
+            "n_band_hits": pa.array(hits_u[hit], type=pa.int32()),
+            "rank": eps_hit["rank"],
+            "shingles": taken["shingles"],
+            "simhash": taken["simhash"],
+            "bucket": pa.array(
+                (eps_hit["pid"].to_numpy(zero_copy_only=False)
+                 % nbu).astype(np.int32)),
+        })
+
+    eps = partial_pairs_ds.map_batches(pair_endpoints,
+                                       batch_format="pyarrow",
+                                       zero_copy_batch=True)
+    sig_side = signatures_ds.select_columns(
+        ["doc_id", "shingles", "simhash"]).map_batches(
+        prep_sigs, batch_format="pyarrow", zero_copy_batch=True)
+    attached = (eps.union(sig_side)
+                .repartition(nb)
+                .groupby("bucket")
+                .map_groups(attach_bucket, batch_format="pyarrow"))
+    return (attached
+            .repartition(nb)
+            .groupby("bucket")
+            .map_groups(lambda g: _finalize_pair_bucket(g, config),
                         batch_format="pyarrow"))

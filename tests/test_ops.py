@@ -240,3 +240,30 @@ def test_embedding_near_dup_recall_vs_bruteforce(rd):
     assert not (got - truth)       # exact verify => no false positives
     recall = len(got & truth) / len(truth)
     assert recall >= 0.9, (recall, len(truth))
+
+
+def test_bucket_join_many_to_many_and_outer(rd):
+    """General join path (unique_right=False): duplicate right keys fan
+    out (cartesian per key); full-outer emits both unmatched sides."""
+    import pandas as pd
+
+    from lsh_ray.stages.join import bucket_join
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2, 7], type=pa.uint64()),
+        "x": ["a", "b", "c", "d"]}))
+    right = rd.from_arrow(pa.table({
+        "id": pa.array([1, 1, 2, 9], type=pa.uint64()),
+        "v": pa.array([10, 11, 20, 90])}))
+    inner = bucket_join(left, right, "k", "id", ["v"], suffix="_r",
+                        num_buckets=4, unique_right=False).to_pandas()
+    got = sorted((int(r.k), r.x, int(r.v_r)) for r in inner.itertuples())
+    assert got == [(1, "a", 10), (1, "a", 11), (1, "b", 10), (1, "b", 11),
+                   (2, "c", 20)]
+    outer = bucket_join(left, right, "k", "id", ["v"], suffix="_r",
+                        num_buckets=4, how="outer",
+                        unique_right=False).to_pandas()
+    assert len(outer) == 7  # 5 matches + left-miss k=7 + right-miss id=9
+    miss_l = outer[outer.k == 7]
+    assert len(miss_l) == 1 and pd.isna(miss_l.v_r.iloc[0])
+    miss_r = outer[outer.v_r == 90]
+    assert len(miss_r) == 1 and pd.isna(miss_r.k.iloc[0])

@@ -130,3 +130,36 @@ def test_cluster_ids_are_min_member(pipeline_result):
     clus = pipeline_result["clusters"]
     for cid, grp in clus.groupby("cluster_id"):
         assert int(cid) == int(grp.doc_id.min())
+
+
+def test_verify_from_partial_matches_unfused(ray_session):
+    """The fused sum-into-verify plan must produce byte-identical verified
+    pairs to the two-stage plan (also checked at 200k docs offline)."""
+    import ray.data
+
+    from lsh_ray.config import PipelineConfig
+    from lsh_ray.fixtures import generate_corpus
+    from lsh_ray.stages.banding import band_rows
+    from lsh_ray.stages.candidates import (partial_mixed_pairs,
+                                           sum_mixed_pairs)
+    from lsh_ray.stages.chunking import chunk_rows_from_signatures
+    from lsh_ray.stages.minhash import signatures
+    from lsh_ray.stages.normalize import normalize
+    from lsh_ray.stages.shingle import shingle
+    from lsh_ray.stages.verify import verify, verify_from_partial
+    cfg = PipelineConfig()
+    ds = ray.data.from_arrow(generate_corpus(400, seed=3)["documents"])
+    sigs = signatures(shingle(normalize(ds, cfg), cfg), cfg).materialize()
+    partial = partial_mixed_pairs(
+        band_rows(sigs, cfg), chunk_rows_from_signatures(sigs, cfg),
+        cfg).materialize()
+
+    def canon(d):
+        df = d.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(
+            drop=True)
+        return df[sorted(df.columns)]
+
+    unfused = canon(verify(sum_mixed_pairs(partial, cfg), sigs, cfg))
+    fused = canon(verify_from_partial(partial, sigs, cfg))
+    assert len(unfused) > 0
+    assert unfused.equals(fused)
