@@ -69,3 +69,41 @@ def test_distributed_random_graph_matches_driver(rd):
         b.doc_id.astype("uint64").tolist()
     assert a.cluster_id.astype("uint64").tolist() == \
         b.cluster_id.astype("uint64").tolist()
+
+
+def test_hot_cluster_stays_connected_through_salt_and_chain(rd):
+    """A real dup cluster LARGER than group_size_cap must survive as ONE
+    connected component: hot band groups emit salted pairs + chains, and
+    because the docs are genuine near-dups those edges pass verification
+    (the round-1 audit caveat: prove connectivity above the cap)."""
+    import numpy as np
+    import pyarrow as pa
+    import dataclasses
+
+    from lsh_ray.config import PipelineConfig
+    from lsh_ray.pipelines.dedup_pipeline import run_dedup
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(500)]
+    base = " ".join(rng.choice(vocab, size=200).tolist())
+    texts, urls = [], []
+    # 80-doc exact-dup cluster: with cap=16, salt=4 the band groups are
+    # size 80 > cap*salt=64 -> the extreme-chain path; sub-groups also
+    # exercise the salted path
+    for i in range(80):
+        texts.append(base)
+        urls.append(f"hot://{i}")
+    for i in range(120):  # background noise docs
+        texts.append(" ".join(rng.choice(vocab, size=150).tolist()))
+        urls.append(f"noise://{i}")
+    docs = rd.from_arrow(pa.table({
+        "url": urls, "text": texts, "lang": ["en"] * len(urls)}))
+    cfg = dataclasses.replace(PipelineConfig(), group_size_cap=16,
+                              salt_buckets=4)
+    res = run_dedup(docs, cfg)
+    cl = res.clusters.to_pandas()
+    from lsh_ray.functions.hashing import hash_strings
+    hot_ids = set(hash_strings(np.array(
+        [f"hot://{i}" for i in range(80)], dtype=object)).tolist())
+    hot = cl[cl.doc_id.isin(hot_ids)]
+    assert len(hot) == 80, "every hot doc must be clustered"
+    assert hot.cluster_id.nunique() == 1, "hot cluster fragmented"
