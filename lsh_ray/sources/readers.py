@@ -77,6 +77,68 @@ def read_text_documents(paths: str | list[str]):
     return ds.map_batches(to_docs, batch_format="pyarrow")
 
 
+def read_json_documents(paths: str | list[str],
+                        url_field: str = "url",
+                        text_field: str = "text"):
+    """JSON-lines files -> (url, text[, ...]) rows.
+
+    Reference analog: the JSON shard files its serializer emits
+    (``json_manipulator.py:84-192``); here Ray's parallel JSON reader +
+    a rename/prune map. Extra fields are preserved."""
+    ds = ray.data.read_json(paths)
+
+    def canon(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name in t.column_names:
+            out = ("url" if name == url_field
+                   else "text" if name == text_field else name)
+            cols[out] = t[name]
+        return pa.table(cols)
+    return ds.map_batches(canon, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def read_csv_documents(paths: str | list[str],
+                       url_field: str = "url",
+                       text_field: str = "text"):
+    """CSV files -> (url, text[, ...]) rows (parallel CSV reader)."""
+    ds = ray.data.read_csv(paths)
+
+    def canon(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name in t.column_names:
+            out = ("url" if name == url_field
+                   else "text" if name == text_field else name)
+            cols[out] = t[name]
+        return pa.table(cols)
+    return ds.map_batches(canon, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+_FORMAT_READERS = {
+    "parquet": read_documents,
+    "text": read_text_documents,
+    "json": read_json_documents,
+    "csv": read_csv_documents,
+}
+
+
+def read_any(path: str | list[str], format: str | None = None, **kwargs):
+    """Format-dispatch reader (reference S9 analog: dataset-kind dispatch,
+    ``loader.py:129-166``). ``format`` None infers from the extension."""
+    if format is None:
+        p = path[0] if isinstance(path, list) else path
+        ext = p.rsplit(".", 1)[-1].lower()
+        format = {"pq": "parquet", "jsonl": "json", "txt": "text",
+                  "tsv": "csv"}.get(ext, ext)
+    try:
+        reader = _FORMAT_READERS[format]
+    except KeyError:
+        raise ValueError(f"unsupported format {format!r}; "
+                         f"one of {sorted(_FORMAT_READERS)}") from None
+    return reader(path, **kwargs)
+
+
 def write_partitioned(ds, out_dir: str, min_rows_per_file: int | None = None):
     """Partitioned Parquet sink (a directory of part files — resumable
     layout; never one giant file)."""

@@ -1,0 +1,74 @@
+"""Source readers: format dispatch (S9), text/json/csv ingestion, and
+the globally-unique-url contract of the line reader."""
+
+import json
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session, tmp_path_factory):
+    import ray.data
+    return ray.data
+
+
+def test_read_text_documents_unique_urls(rd, tmp_path):
+    a = tmp_path / "a.txt"
+    b = tmp_path / "b.txt"
+    a.write_text("alpha one\nbeta two\n")
+    b.write_text("gamma three\nalpha one\n")  # duplicate CONTENT across files
+    from lsh_ray.sources.readers import read_text_documents
+    rows = read_text_documents([str(a), str(b)]).take_all()
+    urls = [r["url"] for r in rows]
+    assert len(rows) == 4
+    assert len(set(urls)) == 4, "urls must be globally unique"
+    assert all(u.startswith("text://") and "#L" in u for u in urls)
+
+
+def test_read_json_documents(rd, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    with open(p, "w") as f:
+        for i in range(3):
+            f.write(json.dumps({"page": f"http://x/{i}",
+                                "body": f"doc {i}", "lang": "en"}) + "\n")
+    from lsh_ray.sources.readers import read_json_documents
+    out = read_json_documents(str(p), url_field="page",
+                              text_field="body").take_all()
+    assert {r["url"] for r in out} == {f"http://x/{i}" for i in range(3)}
+    assert all("text" in r and "lang" in r for r in out)
+
+
+def test_read_csv_documents(rd, tmp_path):
+    p = tmp_path / "docs.csv"
+    p.write_text("url,text\nhttp://a,hello world\nhttp://b,second doc\n")
+    from lsh_ray.sources.readers import read_csv_documents
+    out = read_csv_documents(str(p)).take_all()
+    assert {r["url"] for r in out} == {"http://a", "http://b"}
+
+
+def test_read_any_dispatch(rd, tmp_path):
+    from lsh_ray.sources.readers import read_any
+    p = tmp_path / "d.jsonl"
+    p.write_text(json.dumps({"url": "u", "text": "t"}) + "\n")
+    assert read_any(str(p)).take_all()[0]["url"] == "u"
+    t = tmp_path / "d.txt"
+    t.write_text("one line\n")
+    assert read_any(str(t)).take_all()[0]["text"] == "one line"
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_any("whatever.xyz")
+
+
+def test_read_documents_parquet_pruned(rd, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    p = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({
+        "doc_id": [1, 2], "text": ["a", "b"], "lang": ["en", "pt"],
+        "html": [b"<x>", b"<y>"]}), p)
+    from lsh_ray.sources.readers import read_documents
+    ds = read_documents(str(p), columns=["doc_id", "text"])
+    rows = ds.take_all()
+    assert set(rows[0].keys()) == {"doc_id", "text"}
+    ds2 = read_documents(str(p), lang="en")
+    assert [r["doc_id"] for r in ds2.take_all()] == [1]
