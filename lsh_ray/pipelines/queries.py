@@ -124,7 +124,12 @@ def q_embedding_near_dups(sf_dir: str):
 
     aug = emb.union(emb.map_batches(planted, batch_format="pyarrow",
                                     zero_copy_batch=True))
-    return embedding_near_dup_pairs(aug, dim=64, config=CFG,
+    import dataclasses
+
+    # the embeddings table is tiny at test SFs; a narrow shuffle width
+    # avoids paying 64-block exchange overhead on ~550 rows
+    small = dataclasses.replace(CFG, shuffle_coalesce_blocks=8)
+    return embedding_near_dup_pairs(aug, dim=64, config=small,
                                     cosine_threshold=0.9)
 
 
