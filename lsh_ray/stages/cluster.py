@@ -115,35 +115,44 @@ def _star_round(edges_ds, large: bool, num_buckets: int):
         })
 
     def per_bucket(g: pa.Table) -> pa.Table:
+        """Fully vectorized star round over every source-node group in the
+        bucket: one lexsort, segment arithmetic for per-group minima, mask
+        selection for the star direction, lexsort-mask pair dedup — no
+        per-node Python loop (the cumsum/repeat pattern of
+        candidates._expand_small_groups; the old per-node loop dominated
+        wall time exactly when the distributed path matters)."""
         src = g["src"].to_numpy(zero_copy_only=False)
         dst = g["dst"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((dst, src))
-        src, dst = src[order], dst[order]
-        starts = np.flatnonzero(
-            np.concatenate(([True], src[1:] != src[:-1])))
-        ends = np.concatenate((starts[1:], [len(src)]))
-        a_out, b_out = [], []
-        for s0, e0 in zip(starts, ends):
-            u = src[s0]
-            nbrs = dst[s0:e0]
-            m = min(u, nbrs[0])  # nbrs sorted ascending
-            if large:
-                v = nbrs[nbrs > u]
-            else:
-                v = nbrs[nbrs <= u]
-                v = np.concatenate([v, np.array([u], dtype=np.uint64)])
-            v = v[v != m]
-            if len(v):
-                a_out.append(np.minimum(v, m))
-                b_out.append(np.maximum(v, m))
-        if not a_out:
+        if len(src) == 0:
             return pa.table({"doc_a": pa.array([], pa.uint64()),
                              "doc_b": pa.array([], pa.uint64())})
-        a = np.concatenate(a_out); b = np.concatenate(b_out)
-        uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        new = np.concatenate(([True], src[1:] != src[:-1]))
+        gid = np.cumsum(new) - 1
+        firsts = np.flatnonzero(new)
+        u = src[firsts]                       # group key
+        m = np.minimum(u, dst[firsts])        # dst sorted => first = min nbr
+        m_row = m[gid]
+        sel = dst > src if large else dst <= src
+        v = dst[sel]
+        mr = m_row[sel]
+        if not large:  # small-star also emits (u, m) per group
+            v = np.concatenate([v, u])
+            mr = np.concatenate([mr, m])
+        keep = v != mr
+        a = np.minimum(v, mr)[keep]
+        b = np.maximum(v, mr)[keep]
+        if len(a) == 0:
+            return pa.table({"doc_a": pa.array([], pa.uint64()),
+                             "doc_b": pa.array([], pa.uint64())})
+        order2 = np.lexsort((b, a))
+        a, b = a[order2], b[order2]
+        uniq = np.concatenate(
+            ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
         return pa.table({
-            "doc_a": pa.array(uniq[:, 0], type=pa.uint64()),
-            "doc_b": pa.array(uniq[:, 1], type=pa.uint64()),
+            "doc_a": pa.array(a[uniq], type=pa.uint64()),
+            "doc_b": pa.array(b[uniq], type=pa.uint64()),
         })
 
     return (edges_ds.map_batches(emit_directed, batch_format="pyarrow",

@@ -32,13 +32,17 @@ _U64 = np.uint64
 
 
 def add_text_md5(ds, text_col: str = "text"):
-    """Append an md5 hex digest column (DuckDB-reproducible content hash)."""
-    def f(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["text_hash"] = [
-            hashlib.md5((t or "").encode()).hexdigest()
-            for t in batch[text_col]]
-        return batch
-    return ds.map_batches(f, batch_format="pandas")
+    """Append an md5 hex digest column (DuckDB-reproducible content hash).
+
+    Arrow-native batches: md5 is inherently per-row in Python, but the
+    batch stays zero-copy Arrow and only the text column round-trips
+    through ``to_pylist`` (no whole-batch pandas conversion)."""
+    def f(batch: pa.Table) -> pa.Table:
+        digests = [hashlib.md5((t or "").encode()).hexdigest()
+                   for t in batch[text_col].to_pylist()]
+        return batch.append_column(
+            "text_hash", pa.array(digests, type=pa.string()))
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def exact_dup_groups(ds):
@@ -81,13 +85,15 @@ def _simhash_piece_rows(batch: pa.Table, n_pieces: int = 4) -> pa.Table:
 
 def simhash_near_dup_pairs(signatures_ds, config: PipelineConfig):
     """signatures -> pairs with exact Hamming <= config.simhash_hamming_max."""
+    from lsh_ray.config import coalesce_blocks
+    nb = coalesce_blocks(config)
     rows = signatures_ds.select_columns(["doc_id", "simhash"]).map_batches(
         _simhash_piece_rows, batch_format="pyarrow", zero_copy_batch=True)
     pairs = candidate_pairs(rows, config)
     joined = bucket_join(pairs, signatures_ds, "doc_a", "doc_id",
-                         ["simhash"], suffix="_a")
+                         ["simhash"], suffix="_a", num_blocks=nb)
     joined = bucket_join(joined, signatures_ds, "doc_b", "doc_id",
-                         ["simhash"], suffix="_b")
+                         ["simhash"], suffix="_b", num_blocks=nb)
 
     def verify(t: pa.Table) -> pa.Table:
         a = t["simhash_a"].to_numpy(zero_copy_only=False)
@@ -109,11 +115,21 @@ def simhash_near_dup_pairs(signatures_ds, config: PipelineConfig):
 
 class SRPSignatureStage:
     """Random-hyperplane signature for embedding vectors (actor pool:
-    projection matrix generated once per actor from the pinned seed)."""
+    projection matrix generated once per actor from the pinned seed).
 
-    def __init__(self, dim: int, bits: int = 64, seed: int = 42):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, bits))
+    ``projection="identity"`` selects axis-aligned hyperplanes (bit
+    sampling: bit i = sign of component i) instead of random ones — the
+    same LSH bucket machinery, but with buckets an external system (e.g.
+    a SQL oracle) can recompute from the raw vectors.
+    """
+
+    def __init__(self, dim: int, bits: int = 64, seed: int = 42,
+                 projection: str = "srp"):
+        if projection == "identity":
+            self.planes = np.eye(dim, bits)
+        else:
+            rng = np.random.default_rng(seed)
+            self.planes = rng.standard_normal((dim, bits))
         self.bits = bits
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -189,14 +205,16 @@ def embedding_near_dup_pairs(embeddings_ds, dim: int,
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=(1, config.signature_concurrency))
     pairs = candidate_pairs(rows, config)
+    from lsh_ray.config import coalesce_blocks
+    nb = coalesce_blocks(config)
     emb = embeddings_ds.map_batches(
         lambda t: pa.table({"doc_id": t["vec_id"].cast(pa.uint64()),
                             "embedding": t["embedding"]}),
         batch_format="pyarrow", zero_copy_batch=True)
     joined = bucket_join(pairs, emb, "doc_a", "doc_id", ["embedding"],
-                         suffix="_a")
+                         suffix="_a", num_blocks=nb)
     joined = bucket_join(joined, emb, "doc_b", "doc_id", ["embedding"],
-                         suffix="_b")
+                         suffix="_b", num_blocks=nb)
 
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

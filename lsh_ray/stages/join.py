@@ -132,12 +132,17 @@ def _join_bucket_many(group: pa.Table, left_cols: list[str],
 def bucket_join(left_ds, right_ds, left_key: str, right_key: str,
                 right_columns: list[str], suffix: str = "",
                 num_buckets: int = _NUM_BUCKETS, how: str = "inner",
-                unique_right: bool = True):
+                unique_right: bool = True,
+                num_blocks: int | None = None):
     """Join ``left_ds`` with unique-keyed ``right_ds`` (inner or left outer).
 
     Output = all left columns + ``right_columns`` (each renamed with
     ``suffix``; null-filled for unmatched left rows when ``how="left"``).
     Keys are uint64-compatible integers or strings (hashed).
+
+    ``num_blocks`` overrides the pre-shuffle coalesce width (the default
+    derives from cluster CPUs) — pass a small value for tiny tables so
+    they don't pay wide-exchange overhead.
 
     The pre-shuffle union is coalesced to ``num_buckets`` blocks: the
     sort shuffle's merge cost grows superlinearly with input block COUNT
@@ -192,7 +197,8 @@ def bucket_join(left_ds, right_ds, left_key: str, right_key: str,
     tagged_right = right_sel.map_batches(prep_right, batch_format="pyarrow",
                                          zero_copy_batch=True)
     from lsh_ray.config import coalesce_blocks
-    both = tagged_left.union(tagged_right).repartition(coalesce_blocks())
+    both = tagged_left.union(tagged_right).repartition(
+        num_blocks if num_blocks else coalesce_blocks())
     return both.groupby(_BUCKET_COL).map_groups(
         lambda g: (_join_bucket(g, left_cols, out_right_cols, how)
                    if unique_right else

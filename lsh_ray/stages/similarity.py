@@ -94,17 +94,22 @@ def knn_brute_force(embeddings_ds, query_vectors: np.ndarray,
 
 def knn_lsh(embeddings_ds, query_vectors: np.ndarray,
             query_ids: np.ndarray, dim: int, k: int = 10,
-            seed: int = 42, n_pieces: int = 4):
+            seed: int = 42, n_pieces: int = 4, projection: str = "srp",
+            round_to: int | None = None):
     """Approximate top-k: SRP signature pieces bucket the corpus; only
     vectors sharing >=1 signature piece with a query are reranked exactly.
 
     The partitioning assumption: similar vectors (cosine ~> 0.7) collide in
     at least one 16-bit SRP piece with high probability; recall is
     measured against ``knn_brute_force`` in tests.
+
+    ``projection="identity"`` uses bit-sampling hyperplanes (bit i = sign
+    of raw component i) so the bucket structure — and therefore the exact
+    result set — is reproducible by a SQL oracle from the raw vectors.
     """
     from lsh_ray.stages.dedup import SRPSignatureStage
 
-    stage = SRPSignatureStage(dim, 64, seed)
+    stage = SRPSignatureStage(dim, 64, seed, projection=projection)
     q = query_vectors.astype(np.float64)
     q_sig_tbl = stage(pa.table({
         "vec_id": pa.array(np.asarray(query_ids), type=pa.int64()),
@@ -188,5 +193,19 @@ def knn_lsh(embeddings_ds, query_vectors: np.ndarray,
 
     partial = embeddings_ds.map_batches(per_batch, batch_format="pyarrow",
                                         zero_copy_batch=True)
-    return partial.groupby("query_id").map_groups(
+    merged = partial.groupby("query_id").map_groups(
         lambda g: _topk_merge(g, k), batch_format="pandas")
+    if round_to is None:
+        return merged
+
+    def round_out(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "query_id": t["query_id"],
+            "neighbor_id": t["neighbor_id"],
+            "cosine": pa.array(
+                round_half_away(
+                    t["cosine"].to_numpy(zero_copy_only=False), round_to),
+                type=pa.float64()),
+        })
+    return merged.map_batches(round_out, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -100,28 +100,28 @@ def lang_id(ds):
         LangIdStage, batch_format="pandas", concurrency=(1, 4))
 
 
-def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Two fingerprints per doc: md5 hex (oracle-reproducible) and a
     rolling-hash sketch (min of 8-gram rolling hashes — order-sensitive,
-    robust to tail edits)."""
-    md5s = [hashlib.md5((t or "").encode()).hexdigest()
-            for t in batch["text"]]
-    mins = []
-    for t in batch["text"]:
+    robust to tail edits). Arrow-native: md5 is per-row in Python by
+    nature, but only the text column leaves Arrow (``to_pylist``); no
+    whole-batch pandas conversion."""
+    texts = batch["text"].to_pylist()
+    md5s = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+    mins = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
         toks = (t or "").lower().split()
         if len(toks) >= 8:
             rh = rolling_hash(hash_strings(np.array(toks, dtype=object)), 8)
-            mins.append(int(rh.min()))
-        else:
-            mins.append(0)
-    return pd.DataFrame({
+            mins[i] = rh.min()
+    return pa.table({
         "doc_id": batch["doc_id"],
-        "md5_fp": md5s,
-        "rolling_fp": pd.array(mins, dtype="uint64"),
+        "md5_fp": pa.array(md5s, type=pa.string()),
+        "rolling_fp": pa.array(mins, type=pa.uint64()),
     })
 
 
 def fingerprints(ds):
     """documents -> (doc_id, md5_fp, rolling_fp)."""
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        fingerprint_batch, batch_format="pandas")
+        fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -34,31 +34,156 @@ def tumbling_window_counts(events_ds, window_s: int = 3600):
                        Max("value", alias_name="max_value")))
 
 
-def sessionize(events_ds, gap_s: int = 1800):
+def _sessions_in_partition(u: np.ndarray, tb: np.ndarray, ts: np.ndarray,
+                           gap_us: int) -> tuple[np.ndarray, ...]:
+    """Events of one hash partition -> per-(user, time-bucket) sessions.
+
+    One lexsort + segment arithmetic for EVERY (user, bucket) group in the
+    partition — no per-group Python. Returns (user, start, end, n_events,
+    is_boundary): a session is *boundary* when it is the first or last
+    session of its (user, time-bucket) group and may therefore merge with
+    a neighbor-bucket session in phase B; interior sessions are final.
+    """
+    if len(u) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z, z, np.empty(0, dtype=bool)
+    order = np.lexsort((ts, u))  # tb is a function of ts: sorted within user
+    u, tb, ts = u[order], tb[order], ts[order]
+    new = np.concatenate(([True],
+                          (u[1:] != u[:-1]) | (tb[1:] != tb[:-1])
+                          | (ts[1:] - ts[:-1] > gap_us)))
+    starts_idx = np.flatnonzero(new)
+    ends_idx = np.concatenate((starts_idx[1:], [len(u)])) - 1
+    s_user = u[starts_idx]
+    s_tb = tb[starts_idx]
+    s_start = ts[starts_idx]
+    s_end = ts[ends_idx]
+    s_n = (ends_idx - starts_idx + 1).astype(np.int64)
+    grp_new = np.concatenate(
+        ([True], (s_user[1:] != s_user[:-1]) | (s_tb[1:] != s_tb[:-1])))
+    is_first = grp_new
+    is_last = np.concatenate((grp_new[1:], [True]))
+    return s_user, s_start, s_end, s_n, is_first | is_last
+
+
+def _merge_session_chain(u: np.ndarray, start: np.ndarray, end: np.ndarray,
+                         n: np.ndarray, gap_us: int
+                         ) -> tuple[np.ndarray, ...]:
+    """Per-user chain merge of (disjoint, orderable) sessions with the
+    same gap rule — phase B of the two-phase sessionization."""
+    if len(u) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z, z
+    order = np.lexsort((start, u))
+    u, start, end, n = u[order], start[order], end[order], n[order]
+    new = np.concatenate(
+        ([True], (u[1:] != u[:-1]) | (start[1:] - end[:-1] > gap_us)))
+    firsts = np.flatnonzero(new)
+    out_u = u[firsts]
+    out_start = start[firsts]
+    out_end = np.maximum.reduceat(end, firsts)
+    out_n = np.add.reduceat(n, firsts)
+    return out_u, out_start, out_end, out_n
+
+
+def sessionize(events_ds, gap_s: int = 1800,
+               bucket_span_s: int | None = None,
+               num_buckets: int = 1024):
     """events -> (user_id, session_id, session_start, session_end, n_events).
 
-    Session windows (gap-based) need ordered per-user state: implemented as
-    ``groupby(user_id).map_groups`` with a per-group sort — the partitioning
-    assumption is that one user's events fit in one group (true for web-scale
-    event data; a single pathological user is capped upstream).
+    TWO-PHASE gap sessionization with NO per-user group and NO unbounded
+    partition (the one-user-one-group formulation puts a single bot user
+    with 10^8 events on one worker):
+
+    - **Phase A** partitions by hash(user, time-bucket) — time-buckets of
+      ``bucket_span_s`` (default 16x the gap) bound any one user's rows
+      per partition by their event rate x span. Each partition resolves
+      ALL its (user, bucket) groups with one lexsort + segment
+      arithmetic; sessions not touching a bucket edge are final.
+    - **Phase B** re-shuffles only the BOUNDARY sessions (<= 2 per (user,
+      bucket) — orders of magnitude fewer rows than events) keyed by
+      user, and chain-merges consecutive sessions whose gap <= gap_s.
+      A session spanning many buckets is a chain of boundary sessions
+      and merges correctly; an interior session is separated from every
+      other bucket's sessions by its own bucket's first/last sessions,
+      so skipping phase B for it is exact.
     """
-    import pandas as pd
+    if bucket_span_s is None:
+        bucket_span_s = gap_s * 16
+    ts_type = dict(zip(events_ds.schema().names,
+                       events_ds.schema().types))["ts"]
+    unit = getattr(ts_type, "unit", "us")
+    per_s = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+    gap_u = gap_s * per_s
+    span_u = bucket_span_s * per_s
+    nbu = np.uint64(num_buckets)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts").reset_index(drop=True)
-        ts_s = g["ts"].astype("int64") // 1_000_000
-        new_session = (ts_s.diff().fillna(gap_s + 1) > gap_s).cumsum()
-        out = g.groupby(new_session).agg(
-            user_id=("user_id", "first"),
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
-            n_events=("ts", "size"),
-        ).reset_index(drop=True)
-        out["session_id"] = (
-            out["user_id"].astype("int64").astype(str) + "_" +
-            out["session_start"].astype("int64").astype(str))
-        return pa.Table.from_pandas(
-            out, preserve_index=False).replace_schema_metadata(None)
+    def phase_a_prep(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = t["user_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tb = ts // span_u
+        from lsh_ray.functions.hashing import combine_columns
+        bucket = (combine_columns([u.astype(np.uint64),
+                                   tb.astype(np.uint64)]) % nbu)
+        return pa.table({
+            "u": pa.array(u), "tb": pa.array(tb), "tsv": pa.array(ts),
+            "bucket": pa.array(bucket.astype(np.int32)),
+        })
 
-    return events_ds.groupby("user_id").map_groups(
-        per_user, batch_format="pandas")
+    def phase_a(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy(zero_copy_only=False)
+        tb = g["tb"].to_numpy(zero_copy_only=False)
+        ts = g["tsv"].to_numpy(zero_copy_only=False)
+        su, ss, se, sn, boundary = _sessions_in_partition(u, tb, ts, gap_u)
+        return pa.table({
+            "u": pa.array(su), "start": pa.array(ss), "end": pa.array(se),
+            "n": pa.array(sn), "boundary": pa.array(boundary),
+        })
+
+    sessions_a = (events_ds.select_columns(["user_id", "ts"])
+                  .map_batches(phase_a_prep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                  .groupby("bucket")
+                  .map_groups(phase_a, batch_format="pyarrow"))
+    sessions_a = sessions_a.materialize()
+
+    interior = sessions_a.map_batches(
+        lambda t: t.filter(pc.invert(t["boundary"]))
+                   .select(["u", "start", "end", "n"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def phase_b_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(t["boundary"]).select(["u", "start", "end", "n"])
+        u = t["u"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(
+            (u.astype(np.uint64) % nbu).astype(np.int32)))
+
+    def phase_b(g: pa.Table) -> pa.Table:
+        mu, ms, me, mn = _merge_session_chain(
+            g["u"].to_numpy(zero_copy_only=False),
+            g["start"].to_numpy(zero_copy_only=False),
+            g["end"].to_numpy(zero_copy_only=False),
+            g["n"].to_numpy(zero_copy_only=False), gap_u)
+        return pa.table({"u": pa.array(mu), "start": pa.array(ms),
+                         "end": pa.array(me), "n": pa.array(mn)})
+
+    merged = (sessions_a.map_batches(phase_b_prep, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+              .groupby("bucket")
+              .map_groups(phase_b, batch_format="pyarrow"))
+
+    def project(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        s = t["start"].to_numpy(zero_copy_only=False)
+        sid = pa.array([f"{a}_{b}" for a, b in zip(u.tolist(), s.tolist())],
+                       type=pa.string())
+        return pa.table({
+            "user_id": t["u"],
+            "session_id": sid,
+            "session_start": t["start"].cast(ts_type),
+            "session_end": t["end"].cast(ts_type),
+            "n_events": t["n"],
+        })
+
+    return interior.union(merged).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True)

@@ -28,6 +28,12 @@ import ray.data
 
 _MANIFEST = "_MANIFEST.json"
 
+# On-disk schema version: bump when a checkpointed column's TYPE changes
+# so stale checkpoints from older builds are invalidated even under an
+# identical config hash. v2 = minhash lanes stored as uint32 (top halves
+# of the 64-bit lane mix, lsh_ray/stages/minhash.py) — v1 wrote uint64.
+SCHEMA_VERSION = 2
+
 
 def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, _MANIFEST)
@@ -41,6 +47,8 @@ def is_complete(out_dir: str, config) -> bool:
     except (FileNotFoundError, json.JSONDecodeError):
         return False
     if m.get("config_hash") != config.config_hash():
+        return False
+    if m.get("schema_version") != SCHEMA_VERSION:
         return False
     # per-partition lineage: every recorded part file must still exist
     return all(os.path.exists(os.path.join(out_dir, p)) for p in m.get("parts", []))
@@ -60,6 +68,7 @@ def checkpoint_dataset(ds, out_dir: str, config, stage: str | None = None):
         manifest = {
             "stage": stage,
             "config_hash": config.config_hash(),
+            "schema_version": SCHEMA_VERSION,
             "parts": parts,
             "num_parts": len(parts),
             "rows": reread.count(),

@@ -71,6 +71,26 @@ def test_distributed_random_graph_matches_driver(rd):
         b.cluster_id.astype("uint64").tolist()
 
 
+def test_clusters_table_auto_falls_back_to_distributed(rd, monkeypatch):
+    """The default clusters_table path must AUTO-switch to the
+    distributed large/small-star implementation when the streamed edge
+    count exceeds the driver cap — exercised by shrinking the cap so a
+    large random graph (vectorized star rounds) takes the fallback."""
+    import lsh_ray.stages.cluster as cl
+    rng = np.random.default_rng(3)
+    edges = [(int(a), int(b)) for a, b in
+             rng.integers(0, 2000, size=(5000, 2)) if a != b]
+    drv = cl.connected_components(_edges_ds(rd, edges))
+    monkeypatch.setattr(cl, "DRIVER_EDGE_CAP", 100)
+    out = cl.clusters_table(_edges_ds(rd, edges)).to_pandas()
+    a = drv.sort_values("doc_id").reset_index(drop=True)
+    b = out.sort_values("doc_id").reset_index(drop=True)
+    assert a.doc_id.astype("uint64").tolist() == \
+        b.doc_id.astype("uint64").tolist()
+    assert a.cluster_id.astype("uint64").tolist() == \
+        b.cluster_id.astype("uint64").tolist()
+
+
 def test_hot_cluster_stays_connected_through_salt_and_chain(rd):
     """A real dup cluster LARGER than group_size_cap must survive as ONE
     connected component: hot band groups emit salted pairs + chains, and

@@ -77,3 +77,10 @@ def test_arrow_tokenizer_matches_text_path():
     h_s, c_s = token_hashes_from_arrow(sl)
     h_e, c_e = token_hashes_from_texts(texts)
     assert np.array_equal(h_s, h_e) and np.array_equal(c_s, c_e)
+    # trailing/leading EMPTY docs: an empty last doc's start offset is
+    # one past the chunk's data (regression: IndexError pre-fix)
+    for edge in (["a b c", ""], ["", "a b c"], ["", ""], ["a", "", ""]):
+        h_a, c_a = token_hashes_from_arrow(pa.array(edge))
+        h_t, c_t = token_hashes_from_texts(edge)
+        assert np.array_equal(h_a, h_t), edge
+        assert np.array_equal(c_a, c_t), edge

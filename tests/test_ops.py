@@ -134,6 +134,56 @@ def test_sessionize(rd):
     assert sorted(out.n_events.tolist()) == [1, 2]
 
 
+def test_sessionize_matches_bruteforce(rd):
+    """Two-phase sessionization == single-pass per-user oracle on random
+    events whose gaps straddle the phase-A time-bucket boundaries."""
+    from lsh_ray.stages.windows import sessionize
+    rng = np.random.default_rng(7)
+    n = 5000
+    users = rng.integers(0, 40, n)
+    # gaps cluster around the 1800 s threshold and the bucket span
+    ts_s = np.sort(rng.integers(0, 3_000_000, n))
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array(users, type=pa.int64()),
+        "ts": pa.array(ts_s * 1_000_000, type=pa.timestamp("us"))}))
+    out = sessionize(ev, gap_s=1800).to_pandas()
+    # brute-force oracle
+    import pandas as pd
+    df = pd.DataFrame({"u": users, "s": ts_s}).sort_values(["u", "s"])
+    brk = (df.u.diff().ne(0) | (df.s.diff() > 1800)).cumsum()
+    oracle = df.groupby(brk).agg(u=("u", "first"), start=("s", "min"),
+                                 end=("s", "max"), n=("s", "size"))
+    got = out.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    exp = oracle.sort_values(["u", "start"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got.user_id.to_numpy() == exp.u.to_numpy()).all()
+    assert (got.session_start.astype("int64").to_numpy() // 10**6
+            == exp.start.to_numpy()).all()
+    assert (got.session_end.astype("int64").to_numpy() // 10**6
+            == exp.end.to_numpy()).all()
+    assert (got.n_events.to_numpy() == exp.n.to_numpy()).all()
+
+
+def test_sessionize_hot_user(rd):
+    """A single pathological user (1M continuous events) must neither
+    land on one worker as one giant group nor break session semantics:
+    every event within the gap => exactly ONE session spanning all of
+    them, merged across many phase-A buckets."""
+    from lsh_ray.stages.windows import sessionize
+    n = 1_000_000
+    step = 600  # 10 min < gap; session never breaks
+    ts_s = np.arange(n, dtype=np.int64) * step
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array(np.full(n, 7), type=pa.int64()),
+        "ts": pa.array(ts_s * 1_000_000, type=pa.timestamp("us"))}))
+    out = sessionize(ev, gap_s=1800).to_pandas()
+    assert len(out) == 1
+    assert int(out.n_events.iloc[0]) == n
+    assert int(out.session_start.astype("int64").iloc[0]) == 0
+    assert (int(out.session_end.astype("int64").iloc[0]) // 10**6
+            == (n - 1) * step)
+
+
 def test_multimodal_fake_decode(rd):
     from lsh_ray.stages.multimodal import decode_binary
     ds = rd.from_arrow(pa.table({
