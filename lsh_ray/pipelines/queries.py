@@ -440,6 +440,93 @@ def q_nation_suppliers(sf_dir: str):
         Count(alias_name="n_suppliers"))
 
 
+def q_region_supplier_counts(sf_dir: str):
+    """3-table join: region |><| nation |><| supplier -> suppliers per
+    region (multi-way bucket_join chain over the TPC-H dimension tables)."""
+    from ray.data.aggregate import Count
+    from lsh_ray.stages.join import bucket_join
+    sup = _read(f"{sf_dir}/supplier.parquet",
+                columns=["s_suppkey", "s_nationkey"])
+    nat = _read(f"{sf_dir}/nation.parquet",
+                columns=["n_nationkey", "n_regionkey"])
+    reg = _read(f"{sf_dir}/region.parquet",
+                columns=["r_regionkey", "r_name"])
+    j = bucket_join(sup, nat, "s_nationkey", "n_nationkey",
+                    ["n_regionkey"], num_buckets=4, num_blocks=8)
+    j = bucket_join(j, reg, "n_regionkey", "r_regionkey", ["r_name"],
+                    num_buckets=4, num_blocks=8)
+    return j.groupby("r_name").aggregate(Count(alias_name="n_suppliers"))
+
+
+def q_part_volume_left(sf_dir: str):
+    """LEFT join with real null back-fill: per-part volume restricted to
+    HIGH-QUANTITY lineitems (l_quantity > 30) — parts with no such
+    lineitems keep a 0 row instead of disappearing (exercises the
+    mask-take null path of bucket_join)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+    from lsh_ray.stages.join import bucket_join
+    part = _read(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    li = _read(f"{sf_dir}/lineitem.parquet",
+               columns=["l_partkey", "l_quantity"])
+    hi = li.map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], 30.0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    agg = hi.groupby("l_partkey").aggregate(
+        Sum("l_quantity", alias_name="hi_qty"),
+        Count(alias_name="n_hi"))
+    j = bucket_join(part, agg, "p_partkey", "l_partkey",
+                    ["hi_qty", "n_hi"], how="left", num_buckets=16)
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": t["p_partkey"],
+            "p_brand": t["p_brand"],
+            "hi_qty": pa.array(round_half_away(
+                pc.fill_null(t["hi_qty"], 0.0).to_numpy(
+                    zero_copy_only=False), 2)),
+            "n_hi": pc.fill_null(t["n_hi"], 0).combine_chunks()
+            .cast(pa.int64()),
+        })
+    return j.map_batches(fill, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def q_html_extract(sf_dir: str):
+    """HTML -> text extraction round-trip over pages SYNTHESIZED
+    deterministically from the documents table (testdata carries no html
+    column; the production schema does): text is entity-escaped, wrapped
+    in a page with script/style/comment noise, and fed through the
+    html-only normalize path. The extractor must recover the
+    whitespace-collapsed text byte-for-byte — BASELINE.json's per-row
+    invariant as a driver-checked oracle row."""
+    import pyarrow as pa
+
+    from lsh_ray.stages.normalize import normalize
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def build(t: pa.Table) -> pa.Table:
+        htmls = []
+        for txt in t["text"].to_pylist():
+            esc = ((txt or "").replace("&", "&amp;")
+                   .replace("<", "&lt;").replace(">", "&gt;"))
+            htmls.append((
+                "<html><head><title></title>"
+                "<script>var x = '<tag> && more';</script>"
+                "<style>p { color: red; }</style></head>"
+                "<body><!-- stripped --><h1>" + esc +
+                "</h1><br/></body></html>").encode())
+        return pa.table({"doc_id": t["doc_id"],
+                         "html": pa.array(htmls, type=pa.binary())})
+
+    pages = docs.map_batches(build, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return normalize(pages, CFG).select_columns(["url", "text"])
+
+
 # ----------------------------------------------------------------- ann ----
 
 def _query_vectors(sf_dir: str, n: int = 5):
@@ -532,6 +619,9 @@ QUERIES = {
     "customer_order_counts": q_customer_order_counts,
     "top_orders": q_top_orders,
     "nation_suppliers": q_nation_suppliers,
+    "region_supplier_counts": q_region_supplier_counts,
+    "part_volume_left": q_part_volume_left,
+    "html_extract": q_html_extract,
     "knn_topk": q_knn_topk,
     "knn_lsh": q_knn_lsh,
 }
@@ -750,6 +840,22 @@ ORACLE_SQL = {
         "SELECT 'doc://' || CAST(doc_id + 10000000 AS VARCHAR), h FROM d) "
         "SELECT a.url AS url_a, b.url AS url_b, CAST(0 AS INTEGER) "
         "AS hamming FROM aug a JOIN aug b ON a.h = b.h AND a.url < b.url"),
+    "region_supplier_counts": (
+        "SELECT r.r_name, COUNT(*) AS n_suppliers FROM supplier s "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "GROUP BY r.r_name"),
+    "part_volume_left": (
+        "SELECT p.p_partkey, p.p_brand, "
+        "ROUND(COALESCE(a.hi_qty, 0), 2) AS hi_qty, "
+        "COALESCE(a.n_hi, 0) AS n_hi FROM part p LEFT JOIN ("
+        "SELECT l_partkey, SUM(l_quantity) AS hi_qty, COUNT(*) AS n_hi "
+        "FROM lineitem WHERE l_quantity > 30 GROUP BY l_partkey) a "
+        "ON p.p_partkey = a.l_partkey"),
+    "html_extract": (
+        "SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, "
+        "regexp_replace(trim(text), '\\s+', ' ', 'g') AS text "
+        "FROM documents WHERE trim(text) <> ''"),
     "lang_id_pred": _lang_id_sql(),
     "knn_lsh": (
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, "

@@ -54,21 +54,18 @@ def _join_bucket(group: pa.Table, left_cols: list[str],
     for c in left_cols:
         cols[c] = left_kept[c]
     if how == "left":
-        # matched rows take the right payload; unmatched get nulls
-        take_pos = np.where(hit, order[np.where(hit, idx, 0)], -1)
-        null_mask = take_pos < 0
+        # matched rows take the right payload; unmatched get nulls.
+        # Arrow `take` propagates NULL indices as null output rows, so a
+        # masked index array null-fills in C++ for every column type
+        # (including list<> payloads) — no Python round-trip.
+        take_pos = np.where(hit, order[np.where(hit, idx, 0)], 0)
+        null_mask = ~hit
         if len(rk_sorted):
-            right_taken = right.take(
-                pa.array(np.maximum(take_pos, 0), type=pa.int64()))
+            indices = pa.array(take_pos, mask=null_mask, type=pa.int64())
+            right_taken = right.take(indices)
         for c in right_cols:
             if len(rk_sorted):
-                arr = right_taken[c].combine_chunks()
-                if null_mask.any():
-                    pylist = arr.to_pylist()
-                    for i in np.flatnonzero(null_mask):
-                        pylist[i] = None
-                    arr = pa.array(pylist, type=arr.type)
-                cols[c] = arr
+                cols[c] = right_taken[c]
             else:
                 cols[c] = pa.nulls(left_kept.num_rows,
                                    group.schema.field(c).type)

@@ -25,15 +25,31 @@ import pyarrow.compute as pc
 
 from lsh_ray.functions.hashing import hash_strings
 
+_SCRIPT_STYLE_RE = re.compile(rb"(?is)<(script|style)[^>]*>.*?</\1\s*>")
+_COMMENT_RE = re.compile(rb"(?s)<!--.*?-->")
 _TAG_RE = re.compile(rb"<[^>]+>")
 _WS_RE = re.compile(r"\s+")
+# the named entities a plain-text extraction must decode; &amp; LAST so
+# double-escaped sequences round-trip ("&amp;lt;" -> "&lt;", not "<")
+_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+             ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"))
 
 
 def extract_text_from_html(html: bytes) -> str:
-    """Deterministic tag-strip + whitespace collapse (stub for a real HTML
-    parser; the Ray-side plumbing — schema, batching — is the real part)."""
-    raw = _TAG_RE.sub(b" ", html).decode("utf-8", errors="replace")
-    return _WS_RE.sub(" ", raw).strip()
+    """Deterministic pure-Python HTML -> text extraction: drops
+    script/style elements and comments wholesale, strips remaining tags,
+    decodes the common named entities, collapses whitespace. Oracle-checked
+    round-trip (queries.q_html_extract): escape(text) wrapped in a page
+    extracts back byte-identical — the per-row invariant of BASELINE.json.
+    (Reference analog: the decode step of loader.py:69-83; a full HTML5
+    parser is out of scope for this container.)"""
+    raw = _COMMENT_RE.sub(b" ", html)
+    raw = _SCRIPT_STYLE_RE.sub(b" ", raw)
+    raw = _TAG_RE.sub(b" ", raw)
+    s = raw.decode("utf-8", errors="replace")
+    for ent, ch in _ENTITIES:
+        s = s.replace(ent, ch)
+    return _WS_RE.sub(" ", s).strip()
 
 
 def normalize_batch(batch: pa.Table) -> pa.Table:
