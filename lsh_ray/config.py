@@ -72,6 +72,13 @@ class PipelineConfig:
     containment_threshold: float = 0.9  # substring-containment gate
 
     # execution
+    exchange: str = "auto"
+    # ^ shuffle-exchange implementation for the bucketed co-location
+    #   passes (see lsh_ray.stages.exchange): "tasks" (raw-task
+    #   split/reduce — lowest fixed floor, wins below ~150k docs),
+    #   "sort" (Ray Data sort shuffle — streams, wins at larger
+    #   volumes), "hash" (Ray hash-shuffle actors, A/B lever), "auto"
+    #   (run_dedup resolves by corpus size at the signature fork).
     batch_size: int = 4096
     signature_concurrency: int = 8      # actor-pool size for the signature stage
     join_num_partitions: int = 32

@@ -91,6 +91,17 @@ def run_dedup(docs_ds, config: PipelineConfig = DEFAULT_CONFIG,
     sigs = _fork(signatures(shingled, config)
                  .repartition(coalesce_blocks(config)),
                  checkpoint_dir, "signatures", config)
+    if config.exchange == "auto":
+        # resolve the shuffle-exchange implementation by measured
+        # crossover (see lsh_ray.stages.exchange): the raw-task
+        # split/reduce exchange wins while the per-job barrier floor
+        # dominates (small corpora); Ray's streaming sort shuffle wins
+        # once per-byte cost does. Deterministic in the input, so
+        # checkpoint lineage hashes stay stable across resumes.
+        import dataclasses
+        n_docs = sigs.count()
+        config = dataclasses.replace(
+            config, exchange="tasks" if n_docs <= 150_000 else "sort")
     # band keys: hot groups are real dup clusters -> chain; chunk keys: hot
     # groups are boilerplate -> drop (document-frequency noise filter), and
     # pairs must share >= chunk_min_hits chunks (common-phrase noise filter).

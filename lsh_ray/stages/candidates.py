@@ -161,23 +161,21 @@ def _empty_pairs_summed() -> pa.Table:
 def partial_pairs(band_rows_ds, config: PipelineConfig,
                   hot_policy: str = "chain",
                   num_buckets: int = _NUM_BUCKETS):
-    """(band_key, doc_id) rows -> per-bucket partial pairs (doc_a, doc_b,
-    hits). Shuffle #1 of candidate generation."""
+    """(band_key, doc_id) rows -> per-block partial pairs (doc_a, doc_b,
+    hits). Exchange #1 of candidate generation: ONE hash exchange
+    co-locating each band_key (see lsh_ray.stages.exchange)."""
+    from lsh_ray.stages.exchange import colocate_map
     nb = np.uint64(num_buckets)
 
     def add_band_bucket(t: pa.Table) -> pa.Table:
         bk = t["band_key"].to_numpy(zero_copy_only=False)
         return t.append_column("bucket", pa.array((bk % nb).astype(np.int32)))
 
-    return (band_rows_ds
-            .map_batches(add_band_bucket, batch_format="pyarrow",
-                         zero_copy_batch=True)
-            .repartition(coalesce_blocks(config))
-            .groupby("bucket")
-            .map_groups(
-                lambda g: _pairs_for_band_bucket(
-                    g, config.group_size_cap, hot_policy),
-                batch_format="pyarrow"))
+    return colocate_map(
+        band_rows_ds, ["band_key"], coalesce_blocks(config),
+        lambda g: _pairs_for_band_bucket(g, config.group_size_cap,
+                                         hot_policy),
+        sort_bucket_expr=add_band_bucket, mode=config.exchange)
 
 
 def sum_pairs(partial_ds, config: PipelineConfig,
@@ -185,6 +183,7 @@ def sum_pairs(partial_ds, config: PipelineConfig,
               min_hits: int | None = None):
     """Partial pairs -> globally deduped (doc_a, doc_b, n_band_hits).
     Shuffle #2 (pair volume << band-row volume)."""
+    from lsh_ray.stages.exchange import colocate_map
     nb = np.uint64(num_buckets)
     if min_hits is None:
         min_hits = config.min_band_hits
@@ -194,13 +193,10 @@ def sum_pairs(partial_ds, config: PipelineConfig,
                         t["doc_b"].to_numpy(zero_copy_only=False))
         return t.append_column("bucket", pa.array((key % nb).astype(np.int32)))
 
-    return (partial_ds
-            .map_batches(add_pair_bucket, batch_format="pyarrow",
-                         zero_copy_batch=True)
-            .repartition(coalesce_blocks(config))
-            .groupby("bucket")
-            .map_groups(lambda g: _sum_pair_bucket(g, min_hits),
-                        batch_format="pyarrow"))
+    return colocate_map(
+        partial_ds, ["doc_a", "doc_b"], coalesce_blocks(config),
+        lambda g: _sum_pair_bucket(g, min_hits),
+        sort_bucket_expr=add_pair_bucket, mode=config.exchange)
 
 
 def candidate_pairs(band_rows_ds, config: PipelineConfig,
@@ -330,36 +326,39 @@ def partial_mixed_pairs(band_rows_ds, chunk_rows_ds,
     key bucket it collided in. Feed ``sum_mixed_pairs`` for the summed
     candidate surface, or ``verify.verify_from_partial`` to fuse the
     sum/gate into verification (two fewer barriers on the hot path)."""
+    from lsh_ray.stages.exchange import colocate_map
     nb = np.uint64(num_buckets)
 
     def tag(family: int):
         def f(t: pa.Table) -> pa.Table:
-            bk = t["band_key"].to_numpy(zero_copy_only=False)
             return pa.table({
                 "band_key": t["band_key"],
                 "doc_id": t["doc_id"],
                 "family": pa.array(
                     np.full(t.num_rows, family, dtype=np.int8)),
-                "bucket": pa.array((bk % nb).astype(np.int32)),
             })
         return f
+
+    def add_band_bucket(t: pa.Table) -> pa.Table:
+        bk = t["band_key"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((bk % nb).astype(np.int32)))
 
     rows = band_rows_ds.map_batches(
         tag(0), batch_format="pyarrow", zero_copy_batch=True).union(
         chunk_rows_ds.map_batches(tag(1), batch_format="pyarrow",
                                   zero_copy_batch=True))
-    # coalesce before the sort shuffle: merge cost grows superlinearly
-    # with input block count; width derived from cluster size (config)
-    rows = rows.repartition(coalesce_blocks(config))
-    return rows.groupby("bucket").map_groups(
+    return colocate_map(
+        rows, ["band_key"], coalesce_blocks(config),
         lambda g: _pairs_for_mixed_bucket(g, config.group_size_cap,
                                           config.salt_buckets),
-        batch_format="pyarrow")
+        sort_bucket_expr=add_band_bucket, mode=config.exchange)
 
 
 def sum_mixed_pairs(partial_ds, config: PipelineConfig,
                     num_buckets: int = _NUM_BUCKETS):
     """Partial mixed pairs -> globally summed/gated candidate pairs."""
+    from lsh_ray.stages.exchange import colocate_map
     nb = np.uint64(num_buckets)
 
     def add_pair_bucket(t: pa.Table) -> pa.Table:
@@ -368,15 +367,11 @@ def sum_mixed_pairs(partial_ds, config: PipelineConfig,
         return t.append_column("bucket",
                                pa.array((key % nb).astype(np.int32)))
 
-    return (partial_ds
-            .map_batches(add_pair_bucket, batch_format="pyarrow",
-                         zero_copy_batch=True)
-            .repartition(coalesce_blocks(config))
-            .groupby("bucket")
-            .map_groups(
-                lambda g: _sum_mixed_bucket(g, config.min_band_hits,
-                                            config.chunk_min_hits),
-                batch_format="pyarrow"))
+    return colocate_map(
+        partial_ds, ["doc_a", "doc_b"], coalesce_blocks(config),
+        lambda g: _sum_mixed_bucket(g, config.min_band_hits,
+                                    config.chunk_min_hits),
+        sort_bucket_expr=add_pair_bucket, mode=config.exchange)
 
 
 def candidate_pairs_two_family(band_rows_ds, chunk_rows_ds,

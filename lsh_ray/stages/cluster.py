@@ -155,10 +155,13 @@ def _star_round(edges_ds, large: bool, num_buckets: int):
             "doc_b": pa.array(b[uniq], type=pa.uint64()),
         })
 
-    return (edges_ds.map_batches(emit_directed, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-            .groupby("bucket")
-            .map_groups(per_bucket, batch_format="pyarrow"))
+    from lsh_ray.stages.exchange import colocate_map, exchange_mode
+    directed = edges_ds.map_batches(emit_directed, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    if exchange_mode() == "sort":
+        return directed.groupby("bucket").map_groups(
+            per_bucket, batch_format="pyarrow")
+    return colocate_map(directed, ["src"], num_buckets, per_bucket)
 
 
 def _edge_fingerprint(edges_ds) -> tuple[int, float]:

@@ -194,10 +194,16 @@ def bucket_join(left_ds, right_ds, left_key: str, right_key: str,
     tagged_right = right_sel.map_batches(prep_right, batch_format="pyarrow",
                                          zero_copy_batch=True)
     from lsh_ray.config import coalesce_blocks
-    both = tagged_left.union(tagged_right).repartition(
-        num_blocks if num_blocks else coalesce_blocks())
-    return both.groupby(_BUCKET_COL).map_groups(
-        lambda g: (_join_bucket(g, left_cols, out_right_cols, how)
-                   if unique_right else
-                   _join_bucket_many(g, left_cols, out_right_cols, how)),
-        batch_format="pyarrow")
+    from lsh_ray.stages.exchange import colocate_map
+    nblocks = num_blocks if num_blocks else coalesce_blocks()
+    both = tagged_left.union(tagged_right)
+
+    def join_block(g: pa.Table) -> pa.Table:
+        return (_join_bucket(g, left_cols, out_right_cols, how)
+                if unique_right else
+                _join_bucket_many(g, left_cols, out_right_cols, how))
+
+    # hash mode co-locates on the u64 key itself (one exchange); the
+    # sort fallback groups on the precomputed coarse bucket column
+    return colocate_map(both, [_KEY_COL], nblocks, join_block,
+                        bucket_col=_BUCKET_COL)

@@ -266,20 +266,19 @@ def verify(pairs_ds, signatures_ds, config: PipelineConfig):
                  % nbu).astype(np.int32)),
         })
 
+    from lsh_ray.stages.exchange import colocate_map
     eps = pairs_ds.map_batches(pair_endpoints, batch_format="pyarrow",
                                zero_copy_batch=True)
     sig_side = signatures_ds.select_columns(
         ["doc_id", "shingles", "simhash"]).map_batches(
         prep_sigs, batch_format="pyarrow", zero_copy_batch=True)
-    attached = (eps.union(sig_side)
-                .repartition(nb)
-                .groupby("bucket")
-                .map_groups(attach_bucket, batch_format="pyarrow"))
-    return (attached
-            .repartition(nb)
-            .groupby("bucket")
-            .map_groups(lambda g: _finalize_pair_bucket(g, config),
-                        batch_format="pyarrow"))
+    # exchange #1 co-locates by endpoint doc id, #2 by pair id; the
+    # ``bucket`` column is only consumed by the sort fallback plan
+    attached = colocate_map(eps.union(sig_side), ["key"], nb,
+                            attach_bucket, mode=config.exchange)
+    return colocate_map(attached, ["pid"], nb,
+                        lambda g: _finalize_pair_bucket(g, config),
+                        mode=config.exchange)
 
 
 def verify_from_partial(partial_pairs_ds, signatures_ds,
@@ -415,18 +414,15 @@ def verify_from_partial(partial_pairs_ds, signatures_ds,
                  % nbu).astype(np.int32)),
         })
 
+    from lsh_ray.stages.exchange import colocate_map
     eps = partial_pairs_ds.map_batches(pair_endpoints,
                                        batch_format="pyarrow",
                                        zero_copy_batch=True)
     sig_side = signatures_ds.select_columns(
         ["doc_id", "shingles", "simhash"]).map_batches(
         prep_sigs, batch_format="pyarrow", zero_copy_batch=True)
-    attached = (eps.union(sig_side)
-                .repartition(nb)
-                .groupby("bucket")
-                .map_groups(attach_bucket, batch_format="pyarrow"))
-    return (attached
-            .repartition(nb)
-            .groupby("bucket")
-            .map_groups(lambda g: _finalize_pair_bucket(g, config),
-                        batch_format="pyarrow"))
+    attached = colocate_map(eps.union(sig_side), ["key"], nb,
+                            attach_bucket, mode=config.exchange)
+    return colocate_map(attached, ["pid"], nb,
+                        lambda g: _finalize_pair_bucket(g, config),
+                        mode=config.exchange)
