@@ -87,8 +87,10 @@ def run_bench() -> dict:
     queries: dict[str, float] = {}
 
     t0 = time.time()
-    res = run_dedup(ray.data.read_parquet(corpus + "/documents",
-                                          override_num_blocks=n_blocks), cfg)
+    from lsh_ray.sources.readers import strip_schema_metadata
+    res = run_dedup(strip_schema_metadata(
+        ray.data.read_parquet(corpus + "/documents",
+                              override_num_blocks=n_blocks)), cfg)
     n_pairs = res.verified.count()
     n_clustered = res.clusters.count()
     headline = time.time() - t0

@@ -37,6 +37,10 @@ class PipelineConfig:
 
     # MinHash (reference: permutation sketch, lsh.py:213-255; 128 perms per north star)
     num_perms: int = 128
+    selection: str = "min"  # permutation-sketch selector: "min" (classic
+                            # MinHash) or "max" — the reference's pluggable
+                            # SELECTION_FUNCTIONS (constants.py:6-10); see
+                            # lsh_ray.stages.minhash.SELECTION_FUNCTIONS
 
     # SimHash
     simhash_bits: int = 64

@@ -15,17 +15,20 @@ from __future__ import annotations
 import numpy as np
 
 
-def build_suffix_array(seq: np.ndarray) -> np.ndarray:
-    """Suffix array of an integer sequence (values >= 0), prefix doubling."""
-    s = np.asarray(seq, dtype=np.int64)
+def _build_suffix_array_with_levels(
+        s: np.ndarray) -> tuple[np.ndarray, list[np.ndarray], list[int]]:
+    """Prefix-doubling suffix array, keeping every doubling level's rank
+    array (``levels[t][i]`` = dense rank of the first ``widths[t]``
+    characters of the suffix at ``i``) for binary-lifting LCP queries."""
     n = len(s)
     if n == 0:
-        return np.empty(0, dtype=np.int64)
-    # initial ranks = dense rank of symbols
+        return np.empty(0, dtype=np.int64), [], []
     rank = np.unique(s, return_inverse=True)[1].astype(np.int64)
-    idx = np.arange(n)
+    levels = [rank]
+    widths = [1]
     k = 1
-    while True:
+    order = np.argsort(rank, kind="stable")
+    while rank[order[-1]] != n - 1 and k < n:
         key2 = np.full(n, -1, dtype=np.int64)
         key2[: n - k] = rank[k:]
         order = np.lexsort((key2, rank))
@@ -36,32 +39,58 @@ def build_suffix_array(seq: np.ndarray) -> np.ndarray:
         new_rank = np.cumsum(changed)
         rank = np.empty(n, dtype=np.int64)
         rank[order] = new_rank
-        if new_rank[-1] == n - 1:
-            return order
         k *= 2
-        if k >= n:
-            return order
+        levels.append(rank)
+        widths.append(k)
+    return order, levels, widths
+
+
+def build_suffix_array(seq: np.ndarray) -> np.ndarray:
+    """Suffix array of an integer sequence (values >= 0), prefix doubling
+    (O(n log^2 n), fully vectorized)."""
+    s = np.asarray(seq, dtype=np.int64)
+    return _build_suffix_array_with_levels(s)[0]
+
+
+def _pairwise_lcp(i: np.ndarray, j: np.ndarray, n: int,
+                  levels: list[np.ndarray],
+                  widths: list[int]) -> np.ndarray:
+    """Vectorized LCP of suffix pairs (i[k], j[k]) by binary lifting over
+    the doubling ranks: if the rank-at-width-w of two (sub)suffixes is
+    equal, their first w characters match — descend widths high to low,
+    advancing both cursors on a match. O(log n) vectorized passes; no
+    per-character Python (the old Kasai loop was the one O(n)-Python
+    kernel left on the substring hot path)."""
+    h = np.zeros(len(i), dtype=np.int64)
+    ii = i.astype(np.int64).copy()
+    jj = j.astype(np.int64).copy()
+    for t in range(len(levels) - 1, -1, -1):
+        w = widths[t]
+        r = levels[t]
+        ok = (ii + h + w <= n) & (jj + h + w <= n)
+        if not ok.any():
+            continue
+        eq = np.zeros(len(ii), dtype=bool)
+        a_idx = (ii + h)[ok]
+        b_idx = (jj + h)[ok]
+        eq[ok] = r[a_idx] == r[b_idx]
+        h[eq] += w
+    return h
 
 
 def kasai_lcp(seq: np.ndarray, sa: np.ndarray) -> np.ndarray:
-    """LCP array: lcp[i] = common prefix length of suffixes sa[i-1], sa[i]."""
+    """LCP array: lcp[i] = common prefix length of suffixes sa[i-1], sa[i].
+
+    (Name kept for API compatibility; the implementation is binary-lifting
+    over prefix-doubling ranks rather than Kasai's sequential scan — same
+    output, vectorized.)"""
     s = np.asarray(seq, dtype=np.int64)
     n = len(s)
     lcp = np.zeros(n, dtype=np.int64)
-    rank = np.empty(n, dtype=np.int64)
-    rank[sa] = np.arange(n)
-    h = 0
-    for i in range(n):
-        r = rank[i]
-        if r > 0:
-            j = sa[r - 1]
-            while i + h < n and j + h < n and s[i + h] == s[j + h]:
-                h += 1
-            lcp[r] = h
-            if h:
-                h -= 1
-        else:
-            h = 0
+    if n < 2:
+        return lcp
+    _, levels, widths = _build_suffix_array_with_levels(s)
+    lcp[1:] = _pairwise_lcp(sa[:-1], sa[1:], n, levels, widths)
     return lcp
 
 
@@ -75,14 +104,16 @@ def longest_common_substring_len(a: bytes, b: bytes) -> int:
         np.frombuffer(b, dtype=np.uint8).astype(np.int64) + 2,
     ])
     n_a = len(a)
-    sa = build_suffix_array(sa_seq)
-    lcp = kasai_lcp(sa_seq, sa)
-    # adjacent suffixes from different source strings
+    sa, levels, widths = _build_suffix_array_with_levels(sa_seq)
+    # adjacent suffixes from different source strings: only their LCPs
+    # matter, so compute exactly those (binary lifting, vectorized)
     from_a = sa < n_a
-    cross = from_a[1:] != from_a[:-1]
-    if not cross.any():
+    cross = np.flatnonzero(from_a[1:] != from_a[:-1])
+    if len(cross) == 0:
         return 0
-    return int(lcp[1:][cross].max())
+    lcps = _pairwise_lcp(sa[cross], sa[cross + 1], len(sa_seq),
+                         levels, widths)
+    return int(lcps.max())
 
 
 def is_exact_substring(shorter: str, longer: str) -> bool:

@@ -159,5 +159,6 @@ def dedup_documents(input_path: str | list[str],
                     config: PipelineConfig = DEFAULT_CONFIG,
                     checkpoint_dir: str | None = None) -> DedupResult:
     """Convenience entry: parquet path(s) -> DedupResult."""
-    ds = ray.data.read_parquet(input_path)
+    from lsh_ray.sources.readers import strip_schema_metadata
+    ds = strip_schema_metadata(ray.data.read_parquet(input_path))
     return run_dedup(ds, config, checkpoint_dir=checkpoint_dir)

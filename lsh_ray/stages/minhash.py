@@ -60,21 +60,36 @@ def _chunk_end(offsets: np.ndarray, d0: int, n_docs: int) -> int:
     return min(max(d1, d0 + 1), n_docs)
 
 
-def minhash_of_values(values: np.ndarray, offsets: np.ndarray,
-                      a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """MinHash signatures for concatenated shingle sets.
+# the reference's pluggable permutation-sketch selectors
+# (SELECTION_FUNCTIONS = [min, max], constants.py:6-10; applied per
+# permutation in generate_inverted_index, lsh.py:236-255). Min and max of
+# a random permutation are equally valid LSH families for Jaccard; the
+# registry keys are what PipelineConfig.selection accepts.
+SELECTION_FUNCTIONS = {
+    "min": np.minimum,
+    "max": np.maximum,
+}
+
+
+def sketch_of_values(values: np.ndarray, offsets: np.ndarray,
+                     a: np.ndarray, b: np.ndarray,
+                     selector: str = "min") -> np.ndarray:
+    """Permutation-extremum sketch for concatenated shingle sets.
 
     values: flat uint shingle hashes; offsets: int per-doc start offsets
     (len = n_docs + 1, strictly increasing — empty docs must be filtered
-    upstream). Returns (n_docs, num_perms) uint32.
+    upstream). ``selector`` picks the per-permutation extremum from
+    ``SELECTION_FUNCTIONS`` ("min" = classic MinHash). Returns
+    (n_docs, num_perms) uint32.
 
     Cache-blocked 32-bit kernel: per L2-sized doc-aligned chunk, all
-    ``num_perms`` passes of ``min((a_i*x + b_i) mod 2^32)`` run over the
-    cache-resident chunk (``np.minimum.reduceat`` per segment). The
+    ``num_perms`` passes of ``sel((a_i*x + b_i) mod 2^32)`` run over the
+    cache-resident chunk (one ``ufunc.reduceat`` per segment). The
     inputs are already splitmix-mixed fingerprints, and multiply mod 2^32
     with odd ``a_i`` is a bijection — the 32-bit multiply-shift family.
     DRAM traffic drops from O(num_perms * bytes) to O(bytes).
     """
+    sel = SELECTION_FUNCTIONS[selector]
     n_docs = len(offsets) - 1
     num_perms = a.shape[0]
     a32 = a.astype(np.uint32) | np.uint32(1)
@@ -90,9 +105,15 @@ def minhash_of_values(values: np.ndarray, offsets: np.ndarray,
             for i in range(num_perms):
                 hv = vs * a32[i]
                 hv += b32[i]
-                out[i, d0:d1] = np.minimum.reduceat(hv, st)
+                out[i, d0:d1] = sel.reduceat(hv, st)
             d0 = d1
     return np.ascontiguousarray(out.T)
+
+
+def minhash_of_values(values: np.ndarray, offsets: np.ndarray,
+                      a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Classic MinHash = the "min" entry of the selector registry."""
+    return sketch_of_values(values, offsets, a, b, "min")
 
 
 def simhash_of_values(values: np.ndarray, offsets: np.ndarray,
@@ -159,7 +180,8 @@ class SignatureStage:
                 "minhash": pa.array([], pa.list_(pa.uint32(), self.config.num_perms)),
                 "simhash": pa.array([], pa.uint64()),
             }) if n == 0 else self._empty_guard(batch)
-        mh = minhash_of_values(values, offsets, self.a, self.b)
+        mh = sketch_of_values(values, offsets, self.a, self.b,
+                              self.config.selection)
         sh = simhash_of_values(values, offsets, self.config.simhash_bits)
         minhash = pa.FixedSizeListArray.from_arrays(
             pa.array(mh.reshape(-1), type=pa.uint32()), self.config.num_perms)
@@ -190,7 +212,8 @@ def _signature_fn(batch: pa.Table, config: PipelineConfig) -> pa.Table:
     elastic and never starve the read/shuffle stages. (The actor-pool
     pattern is used where state is genuinely heavy: language-ID, SRP
     projections, binary decoding.)"""
-    key = (config.num_perms, config.seed, config.simhash_bits)
+    key = (config.num_perms, config.seed, config.simhash_bits,
+           config.selection)
     stage = _STAGE_CACHE.get(key)
     if stage is None:
         stage = _STAGE_CACHE[key] = SignatureStage(config)

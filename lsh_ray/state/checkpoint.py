@@ -77,7 +77,8 @@ def checkpoint_dataset(ds, out_dir: str, config, stage: str | None = None):
         }
         with open(_manifest_path(out_dir), "w") as f:
             json.dump(manifest, f, indent=1)
-    return ray.data.read_parquet(out_dir)
+    from lsh_ray.sources.readers import strip_schema_metadata
+    return strip_schema_metadata(ray.data.read_parquet(out_dir))
 
 
 def read_manifest(out_dir: str) -> dict:

@@ -96,3 +96,56 @@ def test_signature_stage_empty_batch():
     })
     out = stage(batch)
     assert out.num_rows == 0
+
+
+def test_max_sketch_estimates_jaccard():
+    """The "max" selection function (reference constants.py:6-10) is an
+    equally valid permutation-sketch family: collision probability of the
+    per-permutation maximum equals the Jaccard similarity."""
+    from lsh_ray.stages.minhash import sketch_of_values
+    rng = np.random.default_rng(3)
+    sa, sb = _rand_sets(rng, 600, 200, 200)
+    values = np.concatenate([sa, sb])
+    offsets = np.array([0, len(sa), len(sa) + len(sb)], dtype=np.int64)
+    a, b = make_perm_params(256, 42)
+    sk = sketch_of_values(values, offsets, a, b, selector="max")
+    est = (sk[0] == sk[1]).mean()
+    inter = len(np.intersect1d(sa, sb))
+    true_j = inter / (len(sa) + len(sb) - inter)
+    assert abs(est - true_j) < 0.1
+
+
+def test_selection_registry_min_matches_minhash():
+    from lsh_ray.stages.minhash import (SELECTION_FUNCTIONS,
+                                        sketch_of_values)
+    assert set(SELECTION_FUNCTIONS) == {"min", "max"}
+    rng = np.random.default_rng(5)
+    sa, sb = _rand_sets(rng, 100, 50, 50)
+    values = np.concatenate([sa, sb])
+    offsets = np.array([0, len(sa), len(sa) + len(sb)], dtype=np.int64)
+    a, b = make_perm_params(64, 42)
+    assert (sketch_of_values(values, offsets, a, b, "min")
+            == minhash_of_values(values, offsets, a, b)).all()
+    # min and max sketches of the same permutation family differ
+    assert (sketch_of_values(values, offsets, a, b, "max")
+            != minhash_of_values(values, offsets, a, b)).any()
+
+
+def test_signature_stage_max_selection():
+    """config.selection="max" flows through the signature stage and still
+    gives identical sketches for identical docs."""
+    cfg = PipelineConfig(num_perms=64, bands=16, rows_per_band=4,
+                         selection="max")
+    stage = SignatureStage(cfg)
+    sh = pa.array([[1, 2, 3, 4, 5]] * 2, type=pa.list_(pa.uint32()))
+    batch = pa.table({
+        "doc_id": pa.array([10, 11], type=pa.uint64()),
+        "url": pa.array(["u1", "u2"]),
+        "shingles": sh,
+        "n_shingles": pa.array([5, 5], type=pa.int32()),
+    })
+    out = stage(batch)
+    m = out["minhash"].to_pylist()
+    assert m[0] == m[1]
+    cfg_min = PipelineConfig(num_perms=64, bands=16, rows_per_band=4)
+    assert SignatureStage(cfg_min)(batch)["minhash"].to_pylist()[0] != m[0]
