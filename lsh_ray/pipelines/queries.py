@@ -371,6 +371,16 @@ def q_events_hourly(sf_dir: str):
     return tumbling_window_counts(ev, 3600)
 
 
+def q_events_hopping(sf_dir: str):
+    """Hopping (sliding) windows: 1h length advancing every 30min — each
+    event lands in 2 overlapping windows. Per-batch replica expansion +
+    local combine keeps the shuffle at one partial row per (user,
+    window, batch)."""
+    from lsh_ray.stages.windows import hopping_window_counts
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    return hopping_window_counts(ev, window_s=3600, hop_s=1800)
+
+
 def q_event_type_counts(sf_dir: str):
     from ray.data.aggregate import Count
     ev = _read(f"{sf_dir}/events.parquet", columns=["event_type"])
@@ -563,6 +573,22 @@ def q_knn_lsh(sf_dir: str):
                    n_pieces=8, projection="identity", round_to=6)
 
 
+def q_knn_ivf(sf_dir: str):
+    """IVF coarse-quantized top-k at the EXHAUSTIVE-PROBE configuration
+    (nprobe == n_cells): the probe set covers every cell, so the result
+    equals exact search and the brute-force SQL is the oracle — while
+    still exercising the full IVF machinery (sample pull, k-means
+    training, centroid broadcast, per-batch cell assignment, probe-LUT
+    masking, rerank, top-k merge). Partial-probe recall (the production
+    configuration) is measured in tests/test_ops.py against
+    knn_brute_force."""
+    from lsh_ray.stages.similarity import knn_ivf
+    vecs, ids = _query_vectors(sf_dir)
+    emb = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_ivf(emb, vecs, ids, k=10, n_cells=16, nprobe=16,
+                   seed=CFG.seed, round_to=6)
+
+
 def q_text_search(sf_dir: str):
     """Retrieval flow (reference search semantics): the first 5 docs are
     planted as queries (distinct identity) against the corpus; the
@@ -613,6 +639,7 @@ QUERIES = {
     "token_max_tfidf": q_token_max_tfidf,
     "tfidf_filter_stats": q_tfidf_filter_stats,
     "events_hourly": q_events_hourly,
+    "events_hopping": q_events_hopping,
     "event_type_counts": q_event_type_counts,
     "sessions": q_sessions,
     "lineitem_agg": q_lineitem_agg,
@@ -624,6 +651,7 @@ QUERIES = {
     "html_extract": q_html_extract,
     "knn_topk": q_knn_topk,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
 }
 
 _TOKS = ("(SELECT doc_id, unnest(string_split_regex(lower(trim(text)), "
@@ -723,6 +751,14 @@ ORACLE_SQL = {
         "CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start, "
         "COUNT(*) AS n_events, MAX(value) AS max_value "
         "FROM events GROUP BY 1, 2"),
+    # hopping 1h/30min: an event's 2 windows start at floor(tu/hop)*hop
+    # and that minus hop (tu = epoch microseconds, hop = 1800s)
+    "events_hopping": (
+        "WITH e AS (SELECT user_id, epoch_us(ts) // 1800000000 AS last_j, "
+        "value FROM events) "
+        "SELECT user_id, CAST((last_j - g.k) * 1800 AS BIGINT) "
+        "AS window_start, COUNT(*) AS n_events, MAX(value) AS max_value "
+        "FROM e, generate_series(0, 1) g(k) GROUP BY 1, 2"),
     "event_type_counts": (
         "SELECT event_type, COUNT(*) AS n_events FROM events "
         "GROUP BY event_type"),
@@ -752,6 +788,17 @@ ORACLE_SQL = {
         "SELECT n.n_name, COUNT(*) AS n_suppliers FROM supplier s "
         "JOIN nation n ON s.s_nationkey = n.n_nationkey GROUP BY n.n_name"),
     "knn_topk": (
+        "SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+        "ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+        "CAST(e.embedding AS DOUBLE[])), 6) AS cosine "
+        "FROM embeddings q CROSS JOIN embeddings e "
+        "WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id "
+        "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+        "CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id ASC) <= 10"),
+    # exhaustive probe (nprobe == n_cells) makes IVF exact, so the
+    # brute-force SQL is the oracle for the whole IVF machinery
+    "knn_ivf": (
         "SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
         "ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
         "CAST(e.embedding AS DOUBLE[])), 6) AS cosine "

@@ -2,49 +2,120 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata
 (mime, width/height, duration) — exactly how the 100 TB corpus carries
-them. The decode kernels themselves are STUBBED (no image/audio libraries
-in this environment — reference analog: essentia/music21 decoders,
-``loader.py:69-83``, which are likewise external heavyweight deps); the
-Ray-side plumbing — actor-pool signature, schema, small batch sizes for
-large payloads, output layout — is real and tested.
+them. The decode kernel is REAL for uncompressed 24-bit BMP (a pure
+numpy decoder below — no codec library needed); compressed codecs
+(JPEG/PNG/audio — reference analog: essentia/music21 decoders,
+``loader.py:69-83``) still need external libraries absent from this
+environment and raise ``NotImplementedError`` at a clearly-marked
+boundary. The Ray-side plumbing — actor-pool signature, schema, small
+batch sizes for large payloads, output layout — is identical for every
+codec and fully exercised through the BMP path.
 
-Set ``use_fake_decoder=True`` to run a deterministic fake decode (payload
-byte statistics) end-to-end; leave it False in production, where
-``__init__`` would load the real codec once per actor and
-``NotImplementedError`` marks the boundary.
+Set ``use_fake_decoder=True`` to force the deterministic fake decode
+(payload byte statistics) for any payload regardless of magic bytes.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
 
 from lsh_ray.config import PipelineConfig
 
+# ----------------------------------------------------------- BMP codec ----
+# Minimal BI_RGB 24-bpp codec (BITMAPFILEHEADER + BITMAPINFOHEADER): rows
+# are bottom-up, BGR, padded to 4 bytes. Pure numpy — the decode kernel a
+# worker runs needs no external library for this container format.
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> uncompressed 24-bpp BMP bytes."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_bmp expects (H, W, 3) RGB")
+    row_bytes = (w * 3 + 3) & ~3
+    image_size = row_bytes * h
+    # rows bottom-up, channels BGR, right-padded to 4-byte multiples
+    padded = np.zeros((h, row_bytes), dtype=np.uint8)
+    padded[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    header = struct.pack("<2sIHHI", b"BM", 54 + image_size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, image_size,
+                      2835, 2835, 0, 0)
+    return header + dib + padded.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bpp BMP bytes -> (H, W, 3) uint8 RGB.
+
+    Supports bottom-up (height > 0) and top-down (height < 0) rows;
+    rejects compressed / non-24-bpp variants explicitly.
+    """
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_offset = struct.unpack_from("<I", payload, 10)[0]
+    (dib_size, w, h, _planes, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", payload, 14)
+    if dib_size < 40 or compression != 0 or bpp != 24:
+        raise ValueError(
+            f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    data = np.frombuffer(payload, dtype=np.uint8,
+                         count=row_bytes * h, offset=pix_offset)
+    rows = data.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    img = rows if top_down else rows[::-1]
+    return np.ascontiguousarray(img[:, :, ::-1])  # BGR -> RGB
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via pure index arithmetic (no loops)."""
+    h, w = img.shape[:2]
+    ri = (np.arange(out_h) * h) // out_h
+    ci = (np.arange(out_w) * w) // out_w
+    return img[ri[:, None], ci[None, :]]
+
+
+def image_features(img: np.ndarray) -> np.ndarray:
+    """(H, W, 3) uint8 -> 16 float32 features: dims, aspect, luma mean,
+    per-channel mean/std/min/max over a 16x16 thumbnail (scale-stable)."""
+    thumb = resize_nearest(img, 16, 16).astype(np.float32)
+    mean = thumb.mean(axis=(0, 1))
+    std = thumb.std(axis=(0, 1))
+    mn = thumb.min(axis=(0, 1))
+    mx = thumb.max(axis=(0, 1))
+    h, w = img.shape[:2]
+    luma = float(mean @ np.array([0.299, 0.587, 0.114], dtype=np.float32))
+    head = np.array([h, w, w / max(h, 1), luma], dtype=np.float32)
+    return np.concatenate([head, mean, std, mn, mx]).astype(np.float32)
+
 
 class BinaryDecodeStage:
     """Actor-pool stage: decode binary payloads into fixed-size features.
 
-    Real deployment: ``__init__`` loads the codec/model once per actor
-    (e.g. PIL/torchvision for images); ``__call__`` decodes a batch.
+    BMP payloads (magic ``BM``) decode for real via the numpy codec
+    above; other formats need codec libraries loaded once per actor in
+    ``__init__`` (the marked boundary below).
     """
 
     FEATURE_DIM = 16
 
     def __init__(self, use_fake_decoder: bool = False):
         self.use_fake_decoder = use_fake_decoder
-        if not use_fake_decoder:
-            # real codec load would happen here, once per actor
-            pass
+        # real compressed-codec load (PIL/torchvision/essentia) would
+        # happen here, once per actor; the BMP path needs none
 
     def _decode_one(self, payload: bytes) -> np.ndarray:
         if not self.use_fake_decoder:
+            if payload[:2] == b"BM":
+                return image_features(decode_bmp(payload))
             raise NotImplementedError(
-                "real image/audio decoding requires codec libraries not "
-                "present in this environment; construct with "
-                "use_fake_decoder=True for the deterministic stand-in")
+                "compressed image/audio decoding requires codec libraries "
+                "not present in this environment; BMP decodes natively, or "
+                "construct with use_fake_decoder=True for the stand-in")
         # deterministic fake: md5-seeded byte statistics as "features"
         digest = hashlib.md5(payload).digest()
         base = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)

@@ -5,8 +5,15 @@
   vectorized float64 matmul and emits only its local top-k per query
   (partial top-k pre-aggregation), so the shuffle carries
   O(n_batches * k * n_queries) rows, not O(n * n_queries).
-- ``knn_lsh``: the scale path — SRP-bucketed candidates, exact rerank.
+- ``knn_lsh``: a scale path — SRP-bucketed candidates, exact rerank.
   Recall < 1 by construction; the brute-force path is the oracle.
+- ``knn_ivf``: the other scale path — IVF (inverted-file) coarse
+  quantization: spherical k-means centroids trained once on a BOUNDED
+  driver sample, broadcast via ``ray.put``; each batch assigns its
+  vectors to cells and only vectors in a query's ``nprobe`` closest
+  cells are scored. At ``nprobe == n_cells`` the probe set is
+  exhaustive and the result equals brute force exactly (the oracle
+  configuration); partial-probe recall is measured in tests.
 """
 
 from __future__ import annotations
@@ -189,6 +196,129 @@ def knn_lsh(embeddings_ds, query_vectors: np.ndarray,
             "query_id": pa.array(qids[cols[sel]].astype(np.int64)),
             "neighbor_id": pa.array(vec_ids[rows[sel]].astype(np.int64)),
             "cosine": pa.array(sims[sel], type=pa.float64()),
+        })
+
+    partial = embeddings_ds.map_batches(per_batch, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    merged = partial.groupby("query_id").map_groups(
+        lambda g: _topk_merge(g, k), batch_format="pandas")
+    if round_to is None:
+        return merged
+
+    def round_out(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "query_id": t["query_id"],
+            "neighbor_id": t["neighbor_id"],
+            "cosine": pa.array(
+                round_half_away(
+                    t["cosine"].to_numpy(zero_copy_only=False), round_to),
+                type=pa.float64()),
+        })
+    return merged.map_batches(round_out, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def train_ivf_centroids(sample: np.ndarray, n_cells: int, seed: int = 42,
+                        n_iters: int = 10) -> np.ndarray:
+    """Spherical k-means on a driver-side sample -> unit-norm centroids.
+
+    Deterministic in (sample, seed). The sample is BOUNDED (caller pulls
+    at most ``sample_n`` rows) — at 10^12 vectors the training set is
+    still a few 10^4 rows, the standard IVF recipe: centroid quality
+    needs a representative sample, not the corpus.
+    """
+    x = sample.astype(np.float64)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+    rng = np.random.default_rng(seed)
+    n_cells = min(n_cells, len(xn))
+    cents = xn[rng.choice(len(xn), size=n_cells, replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(xn @ cents.T, axis=1)          # (n,)
+        # vectorized mean per cell: scatter-add rows with bincount weights
+        sums = np.zeros_like(cents)
+        np.add.at(sums, assign, xn)
+        counts = np.bincount(assign, minlength=n_cells)[:, None]
+        empty = counts[:, 0] == 0
+        # re-seed empty cells from the sample so every cell stays live
+        sums[empty] = xn[rng.choice(len(xn), size=int(empty.sum()))]
+        counts[empty] = 1
+        cents = sums / counts
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True),
+                            1e-300)
+    return cents
+
+
+def knn_ivf(embeddings_ds, query_vectors: np.ndarray,
+            query_ids: np.ndarray, k: int = 10, n_cells: int = 16,
+            nprobe: int = 4, seed: int = 42, sample_n: int = 65536,
+            exclude_self: bool = True, round_to: int | None = None):
+    """IVF approximate cosine top-k (query-side analog of a FAISS
+    IndexIVFFlat): centroids broadcast once, per-batch cell assignment,
+    only vectors landing in a query's ``nprobe`` nearest cells are
+    scored, local top-k per batch, one tiny groupby merge.
+
+    Partitioning assumption: near neighbors share a coarse cell with
+    the query with high probability; recall rises with ``nprobe`` and
+    equals 1 exactly at ``nprobe == n_cells`` (exhaustive probe — the
+    SQL-oracle configuration, which still exercises train/assign/probe/
+    rerank end-to-end). The scan cost per batch is one (n, n_cells)
+    matmul + the matmul over the probed subset, vs brute force's full
+    (n, n_queries) matmul — the win grows with corpus size and query
+    count at fixed nprobe/n_cells.
+    """
+    sample_tbl = embeddings_ds.limit(sample_n).take_batch(
+        sample_n, batch_format="pyarrow")
+    emb = sample_tbl["embedding"].combine_chunks()
+    sample = emb.values.to_numpy(zero_copy_only=False).reshape(
+        sample_tbl.num_rows, -1)
+    cents = train_ivf_centroids(sample, n_cells=n_cells, seed=seed)
+    n_cells = len(cents)
+    nprobe = min(nprobe, n_cells)
+
+    q = query_vectors.astype(np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-300)
+    # (n_queries, nprobe) probed cells -> dense bool lookup (n_cells,
+    # n_queries) so a batch masks by probe[assign] with pure indexing
+    probed = np.argsort(-(qn @ cents.T), axis=1, kind="stable")[:, :nprobe]
+    probe_lut = np.zeros((n_cells, len(qn)), dtype=bool)
+    probe_lut[probed, np.arange(len(qn))[:, None]] = True
+    bcast = ray.put((cents, probe_lut, qn, np.asarray(query_ids)))
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        cents_, lut, qn_, qids = ray.get(bcast)
+        n = t.num_rows
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if n == 0:
+            return empty
+        emb_ = t["embedding"].combine_chunks()
+        vecs = emb_.values.to_numpy(zero_copy_only=False).reshape(
+            n, -1).astype(np.float64)
+        vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True),
+                               1e-300)
+        assign = np.argmax(vn @ cents_.T, axis=1)          # (n,)
+        hit = lut[assign]                                   # (n, n_queries)
+        vec_ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        rows_q, rows_n, rows_s = [], [], []
+        for j, qid in enumerate(qids):
+            idx = np.flatnonzero(hit[:, j])
+            if exclude_self:
+                idx = idx[vec_ids[idx] != qid]
+            if len(idx) == 0:
+                continue
+            s = vn[idx] @ qn_[j]
+            order = np.lexsort((vec_ids[idx], -s))[:k]
+            sel = idx[order]
+            rows_q.append(np.full(len(sel), qid, dtype=np.int64))
+            rows_n.append(vec_ids[sel].astype(np.int64))
+            rows_s.append(s[order])
+        if not rows_q:
+            return empty
+        return pa.table({
+            "query_id": pa.array(np.concatenate(rows_q)),
+            "neighbor_id": pa.array(np.concatenate(rows_n)),
+            "cosine": pa.array(np.concatenate(rows_s), type=pa.float64()),
         })
 
     partial = embeddings_ds.map_batches(per_batch, batch_format="pyarrow",

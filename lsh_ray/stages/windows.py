@@ -34,6 +34,60 @@ def tumbling_window_counts(events_ds, window_s: int = 3600):
                        Max("value", alias_name="max_value")))
 
 
+def hopping_window_counts(events_ds, window_s: int = 3600,
+                          hop_s: int = 1800):
+    """events -> (user_id, window_start, n_events, max_value) for HOPPING
+    (sliding) windows: length ``window_s``, advancing every ``hop_s``.
+    An event belongs to ``window_s / hop_s`` overlapping windows.
+
+    Plan: each batch expands events to their window replicas with pure
+    repeat/tile arithmetic, then PRE-AGGREGATES (user, window) partials
+    locally, so the shuffle carries one row per (user, window,
+    batch) — not ``window_s/hop_s`` copies of every event — and a final
+    small groupby merges partials (Sum of counts, Max of maxes).
+    """
+    if window_s % hop_s:
+        raise ValueError("window_s must be a multiple of hop_s")
+    n_copies = window_s // hop_s
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"user_id": z, "window_start": z, "n": z,
+                             "vmax": pa.array([], pa.float64())})
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = t["user_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        hop_us = hop_s * 1_000_000
+        # last window containing the event starts at floor(ts/hop)*hop;
+        # the n_copies windows step back by hop from there
+        last = ts_us // hop_us
+        j = (last[:, None] - np.arange(n_copies)[None, :]).ravel()
+        w = j * hop_s
+        uu = np.repeat(u, n_copies)
+        vv = np.repeat(val, n_copies)
+        # local combine: one lexsort + reduceat per batch
+        order = np.lexsort((w, uu))
+        uu, w, vv = uu[order], w[order], vv[order]
+        new = np.concatenate(([True],
+                              (uu[1:] != uu[:-1]) | (w[1:] != w[:-1])))
+        firsts = np.flatnonzero(new)
+        return pa.table({
+            "user_id": pa.array(uu[firsts]),
+            "window_start": pa.array(w[firsts]),
+            "n": pa.array(np.diff(np.concatenate(
+                (firsts, [len(uu)]))).astype(np.int64)),
+            "vmax": pa.array(np.maximum.reduceat(vv, firsts)),
+        })
+
+    return (events_ds.select_columns(["user_id", "ts", "value"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(["user_id", "window_start"])
+            .aggregate(Sum("n", alias_name="n_events"),
+                       Max("vmax", alias_name="max_value")))
+
+
 def _sessions_in_partition(u: np.ndarray, tb: np.ndarray, ts: np.ndarray,
                            gap_us: int) -> tuple[np.ndarray, ...]:
     """Events of one hash partition -> per-(user, time-bucket) sessions.

@@ -202,11 +202,63 @@ def test_multimodal_fake_decode(rd):
                        np.stack(out2.features.values))
 
 
-def test_multimodal_real_decoder_is_stubbed():
+def test_multimodal_compressed_codecs_are_stubbed():
+    # non-BMP payloads still need external codec libraries
     from lsh_ray.stages.multimodal import BinaryDecodeStage
     stage = BinaryDecodeStage(use_fake_decoder=False)
     with pytest.raises(NotImplementedError):
-        stage._decode_one(b"payload")
+        stage._decode_one(b"\x89PNG payload")
+
+
+def test_bmp_roundtrip_and_variants():
+    from lsh_ray.stages.multimodal import decode_bmp, encode_bmp
+    rng = np.random.default_rng(11)
+    # odd width exercises the 4-byte row padding
+    img = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_bmp(encode_bmp(img)), img)
+    with pytest.raises(ValueError):
+        decode_bmp(b"nonsense")
+    # compressed / non-24bpp variants are rejected, not mis-decoded
+    bad = bytearray(encode_bmp(img))
+    bad[28] = 32  # bpp field
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(bad))
+
+
+def test_resize_nearest_and_features():
+    from lsh_ray.stages.multimodal import image_features, resize_nearest
+    img = np.zeros((32, 64, 3), dtype=np.uint8)
+    img[:, 32:, 0] = 200  # right half red
+    small = resize_nearest(img, 8, 8)
+    assert small.shape == (8, 8, 3)
+    assert small[:, :4].max() == 0 and small[:, 4:, 0].min() == 200
+    feat = image_features(img)
+    assert feat.shape == (16,) and feat.dtype == np.float32
+    assert feat[0] == 32 and feat[1] == 64 and feat[2] == 2.0
+    # mean red channel of the thumbnail is ~half of 200
+    assert abs(feat[4] - 100.0) < 1.0
+
+
+def test_multimodal_real_bmp_decode_end_to_end(rd):
+    # the decode stage runs the REAL numpy BMP kernel (no fake flag)
+    from lsh_ray.stages.multimodal import decode_binary, encode_bmp
+    rng = np.random.default_rng(12)
+    imgs = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for h, w in [(6, 9), (16, 16), (3, 21)]]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.uint64()),
+        "payload": pa.array([encode_bmp(i) for i in imgs],
+                            type=pa.binary()),
+        "mime": ["image/bmp"] * 3,
+    }))
+    out = decode_binary(ds).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert len(out) == 3
+    feats = np.stack(out.features.values)
+    assert feats.shape == (3, 16)
+    # first two features are the true (h, w) of each image
+    assert [tuple(f[:2].astype(int)) for f in feats] == [
+        (6, 9), (16, 16), (3, 21)]
 
 
 def test_tfidf_reference_formula(rd):
@@ -317,3 +369,75 @@ def test_bucket_join_many_to_many_and_outer(rd):
     assert len(miss_l) == 1 and pd.isna(miss_l.v_r.iloc[0])
     miss_r = outer[outer.v_r == 90]
     assert len(miss_r) == 1 and pd.isna(miss_r.k.iloc[0])
+
+
+def test_knn_ivf_exhaustive_probe_equals_brute_force(rd):
+    # nprobe == n_cells: the probe set covers every cell, so IVF must
+    # reproduce exact search bit-for-bit (the oracle configuration)
+    from lsh_ray.stages.similarity import knn_brute_force, knn_ivf
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((150, 16)).astype(np.float32)
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(150), type=pa.int64()),
+        "embedding": pa.array([list(v) for v in vecs],
+                              type=pa.list_(pa.float32()))}))
+    q = vecs[:3].astype(np.float64)
+    ids = np.array([0, 1, 2])
+    bf = knn_brute_force(emb, q, ids, k=8).to_pandas()
+    iv = knn_ivf(emb, q, ids, k=8, n_cells=8, nprobe=8,
+                 round_to=6).to_pandas()
+    cols = ["query_id", "neighbor_id", "cosine"]
+    bf = bf[cols].sort_values(cols).reset_index(drop=True)
+    iv = iv[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(bf, iv)
+
+
+def test_knn_ivf_partial_probe_recall_on_clustered_data(rd):
+    # production configuration: nprobe << n_cells. On cluster-structured
+    # data the query's own cell holds its neighbors -> high recall while
+    # scoring only a fraction of the corpus.
+    from lsh_ray.stages.similarity import knn_brute_force, knn_ivf
+    rng = np.random.default_rng(8)
+    centers = rng.standard_normal((6, 32)) * 5
+    pts = np.concatenate([c + rng.standard_normal((40, 32)) * 0.3
+                          for c in centers]).astype(np.float32)
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(pts)), type=pa.int64()),
+        "embedding": pa.array([list(v) for v in pts],
+                              type=pa.list_(pa.float32()))}))
+    q = pts[[0, 40, 80]].astype(np.float64)
+    ids = np.array([0, 40, 80])
+    bf = knn_brute_force(emb, q, ids, k=10).to_pandas()
+    iv = knn_ivf(emb, q, ids, k=10, n_cells=12, nprobe=3).to_pandas()
+    recalls = []
+    for qid in ids:
+        truth = set(bf[bf.query_id == qid].neighbor_id)
+        got = set(iv[iv.query_id == qid].neighbor_id)
+        recalls.append(len(truth & got) / len(truth))
+    assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_ivf_centroids_deterministic_and_unit_norm():
+    from lsh_ray.stages.similarity import train_ivf_centroids
+    rng = np.random.default_rng(9)
+    sample = rng.standard_normal((500, 16))
+    c1 = train_ivf_centroids(sample, n_cells=8, seed=3)
+    c2 = train_ivf_centroids(sample, n_cells=8, seed=3)
+    np.testing.assert_array_equal(c1, c2)
+    assert c1.shape == (8, 16)
+    np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, rtol=1e-9)
+
+
+def test_hopping_windows(rd):
+    from lsh_ray.stages.windows import hopping_window_counts
+    # events at t=0s, 1800s, 3600s for user 1; windows are 1h every 30min
+    ts = pa.array([0, 1800_000_000, 3600_000_000], type=pa.timestamp("us"))
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1], type=pa.int64()), "ts": ts,
+        "value": pa.array([1.0, 2.0, 3.0])}))
+    out = hopping_window_counts(ev, 3600, 1800).to_pandas().sort_values(
+        "window_start").reset_index(drop=True)
+    # t=0 -> windows -1800, 0; t=1800 -> 0, 1800; t=3600 -> 1800, 3600
+    assert out.window_start.tolist() == [-1800, 0, 1800, 3600]
+    assert out.n_events.tolist() == [1, 2, 2, 1]
+    assert out.max_value.tolist() == [1.0, 2.0, 3.0, 3.0]
