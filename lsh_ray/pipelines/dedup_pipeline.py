@@ -100,8 +100,13 @@ def run_dedup(docs_ds, config: PipelineConfig = DEFAULT_CONFIG,
         # checkpoint lineage hashes stay stable across resumes.
         import dataclasses
         n_docs = sigs.count()
+        # measured at 500k docs on this box: tasks 62.1s/115.8s vs sort
+        # 86.2s/134.8s (32/8 CPUs) — the raw-task exchange wins at every
+        # corpus size that fits its slice-metadata bound, so the only
+        # size gate is the one exchange.py itself enforces
+        # (_TASKS_MAX_SLICES fallback). Keep "sort" for oversized jobs.
         config = dataclasses.replace(
-            config, exchange="tasks" if n_docs <= 150_000 else "sort")
+            config, exchange="tasks" if n_docs <= 20_000_000 else "sort")
     # band keys: hot groups are real dup clusters -> chain; chunk keys: hot
     # groups are boilerplate -> drop (document-frequency noise filter), and
     # pairs must share >= chunk_min_hits chunks (common-phrase noise filter).
@@ -133,9 +138,15 @@ def run_dedup(docs_ds, config: PipelineConfig = DEFAULT_CONFIG,
             pairs = _fork(pairs, checkpoint_dir, "cand_pairs", config)
         verified = _fork(verify(pairs, sigs, config), checkpoint_dir,
                          "verified", config)
-    # substring results feed both the result surface and the edge union
-    sub = _fork(substring_pass(verified, normalized, config), checkpoint_dir,
-                "substring", config)
+    # substring results feed both the result surface and the edge union.
+    # Without a checkpoint, `normalized` is lazy — fetching candidate
+    # texts through it would re-run normalize over the WHOLE corpus; pass
+    # the raw source so only candidate rows (selected by recomputed url
+    # hash) pay normalization. With a checkpoint, the persisted
+    # normalized parquet is the cheaper source.
+    sub = _fork(substring_pass(verified, normalized, config,
+                               raw_ds=None if checkpoint_dir else docs_ds),
+                checkpoint_dir, "substring", config)
 
     dup_edges = verified.map_batches(
         lambda t: t.filter(t["is_dup"]).select(["doc_a", "doc_b"]),

@@ -52,16 +52,23 @@ def extract_text_from_html(html: bytes) -> str:
     return _WS_RE.sub(" ", s).strip()
 
 
+def batch_urls(batch: pa.Table) -> pa.Array:
+    """Canonical url column of a raw batch (synthesized from doc_id for
+    testdata-shaped tables). Doc identity is ``hash_strings(batch_urls)``
+    — shared by normalize and any pre-normalize id filter, so both sides
+    agree on doc_id without normalizing first."""
+    if "url" in batch.column_names:
+        return batch["url"]
+    # testdata-shaped table (doc_id int64, ...) -> synthetic stable url
+    return pc.binary_join_element_wise(
+        pa.array(["doc://"] * batch.num_rows),
+        pc.cast(batch["doc_id"], pa.string()), "")
+
+
 def normalize_batch(batch: pa.Table) -> pa.Table:
     """One Arrow batch of web pages -> canonical rows; drops empty docs."""
     names = set(batch.column_names)
-
-    if "url" in names:
-        urls = batch["url"]
-    else:  # testdata-shaped table (doc_id int64, ...) -> synthetic stable url
-        urls = pc.binary_join_element_wise(
-            pa.array(["doc://"] * batch.num_rows),
-            pc.cast(batch["doc_id"], pa.string()), "")
+    urls = batch_urls(batch)
 
     if "text" in names:
         text = batch["text"]

@@ -46,11 +46,17 @@ def _substring_batch(batch: pa.Table, min_lcs: int) -> pa.Table:
 
 
 def substring_pass(verified_ds, normalized_ds, config: PipelineConfig,
-                   min_lcs: int = 64):
+                   min_lcs: int = 64, raw_ds=None):
     """Substring-candidate pairs -> exact substring verdicts.
 
     ``verified_ds``: output of the verify stage (filtered to
     ``is_substring_candidate`` here); ``normalized_ds``: (doc_id, text, ...).
+    ``raw_ds``: optional UN-normalized source — when given (the no-
+    checkpoint streaming path, where ``normalized_ds`` would re-run
+    normalize over the whole corpus), candidate rows are selected on the
+    raw batches by recomputing ``doc_id = hash(batch_urls)`` and only the
+    survivors (<1% of the corpus) pay normalization; byte-identical to
+    the normalized path because normalize is a pure per-row function.
     """
     cands = verified_ds.map_batches(
         lambda t: t.filter(t["is_substring_candidate"])
@@ -70,16 +76,37 @@ def substring_pass(verified_ds, normalized_ds, config: PipelineConfig,
                 else np.empty(0, dtype=np.uint64))
     ids_ref = ray.put(cand_ids)
 
-    def only_candidates(t: pa.Table) -> pa.Table:
-        ids = ray.get(ids_ref)
-        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+    def _hits(doc: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        if not len(ids):
+            return np.zeros(len(doc), bool)
         idx = np.searchsorted(ids, doc)
-        idx[idx == len(ids)] = max(len(ids) - 1, 0)
-        hit = ids[idx] == doc if len(ids) else np.zeros(len(doc), bool)
-        return t.filter(pa.array(hit))
+        idx[idx == len(ids)] = len(ids) - 1
+        return ids[idx] == doc
 
-    texts = normalized_ds.select_columns(["doc_id", "text"]).map_batches(
-        only_candidates, batch_format="pyarrow", zero_copy_batch=True)
+    if raw_ds is not None:
+        # pre-normalize semi-join: recompute doc identity on the raw
+        # batch, keep only candidate rows, THEN normalize the survivors
+        from lsh_ray.stages.normalize import (batch_urls, hash_strings,
+                                              normalize)
+
+        def raw_candidates(t: pa.Table) -> pa.Table:
+            ids = ray.get(ids_ref)
+            doc = hash_strings(
+                batch_urls(t).to_numpy(zero_copy_only=False))
+            return t.filter(pa.array(_hits(doc, ids)))
+
+        texts = normalize(
+            raw_ds.map_batches(raw_candidates, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            config).select_columns(["doc_id", "text"])
+    else:
+        def only_candidates(t: pa.Table) -> pa.Table:
+            ids = ray.get(ids_ref)
+            doc = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(_hits(doc, ids)))
+
+        texts = normalized_ds.select_columns(["doc_id", "text"]).map_batches(
+            only_candidates, batch_format="pyarrow", zero_copy_batch=True)
 
     if len(cand_ids) <= 200_000:
         # broadcast fast path: the filtered text table is small, so pin it

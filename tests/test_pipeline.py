@@ -163,3 +163,42 @@ def test_verify_from_partial_matches_unfused(ray_session):
     fused = canon(verify_from_partial(partial, sigs, cfg))
     assert len(unfused) > 0
     assert unfused.equals(fused)
+
+
+def test_verify_broadcast_matches_exchange_plan(ray_session):
+    """The broadcast-pairs verify plan (one exchange, semi-joined
+    signature reads) must produce byte-identical verified pairs to the
+    two-exchange endpoint plan at every exchange mode."""
+    import ray.data
+
+    from lsh_ray.config import PipelineConfig
+    from lsh_ray.fixtures import generate_corpus
+    from lsh_ray.stages.banding import band_rows
+    from lsh_ray.stages.candidates import (partial_mixed_pairs,
+                                           sum_mixed_pairs)
+    from lsh_ray.stages.chunking import chunk_rows_from_signatures
+    from lsh_ray.stages.minhash import signatures
+    from lsh_ray.stages.normalize import normalize
+    from lsh_ray.stages.shingle import shingle
+    from lsh_ray.stages.verify import verify_broadcast, verify_exchange
+    import dataclasses
+    ds = ray.data.from_arrow(generate_corpus(400, seed=3)["documents"])
+
+    def canon(d):
+        df = d.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(
+            drop=True)
+        return df[sorted(df.columns)]
+
+    outs = []
+    for mode in ("tasks", "sort"):
+        cfg = dataclasses.replace(PipelineConfig(), exchange=mode)
+        sigs = signatures(shingle(normalize(ds, cfg), cfg),
+                          cfg).materialize()
+        pairs = sum_mixed_pairs(partial_mixed_pairs(
+            band_rows(sigs, cfg), chunk_rows_from_signatures(sigs, cfg),
+            cfg), cfg).materialize()
+        outs.append(canon(verify_broadcast(pairs, sigs, cfg)))
+        outs.append(canon(verify_exchange(pairs, sigs, cfg)))
+    assert len(outs[0]) > 0
+    for other in outs[1:]:
+        assert outs[0].equals(other)
