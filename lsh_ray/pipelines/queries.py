@@ -268,6 +268,23 @@ def q_simhash_near_dups(sf_dir: str):
                          zero_copy_batch=True)
 
 
+def q_ngram_jaccard_dups(sf_dir: str):
+    """Sketch-free near-dup: exact word-3-gram Jaccard >= 0.7 via
+    prefix-filter inverted index (PPJoin) + exact set verification.
+    Oracle-checked ORGANICALLY (no planting): DuckDB brute-forces
+    3-gram Jaccard over all pairs; the prefix filter guarantees the
+    pipeline's candidate recall is 1.0 by construction (not just
+    measured), so the outputs must be identical."""
+    import dataclasses
+
+    from lsh_ray.stages.dedup import ngram_jaccard_pairs
+    small = dataclasses.replace(CFG, shuffle_coalesce_blocks=8)
+    return ngram_jaccard_pairs(
+        _read(f"{sf_dir}/documents.parquet",
+              columns=["doc_id", "text", "lang"]),
+        small, n=3, threshold=0.7, exact=True)
+
+
 def q_embedding_near_dups(sf_dir: str):
     """SRP-banded near-dup pairs over the embeddings table AUGMENTED with
     deterministic planted duplicates (vec_id+1e6, embedding*2 for
@@ -627,6 +644,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "minhash_signatures": q_minhash_signatures,
     "simhash_near_dups": q_simhash_near_dups,
+    "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "embedding_near_dups": q_embedding_near_dups,
     "token_counts": q_token_counts,
     "lang_distribution": q_lang_distribution,
@@ -657,29 +675,36 @@ QUERIES = {
 _TOKS = ("(SELECT doc_id, unnest(string_split_regex(lower(trim(text)), "
          "'\\s+')) AS token FROM documents WHERE trim(text) <> '')")
 
-# per-doc DISTINCT k-token shingles (k = PipelineConfig.shingle_k = 5),
-# exactly the engine's tokenizer semantics (lower + \s+ split); the ' '
-# join is unambiguous because tokens cannot contain whitespace
-_SHINGLE_CTES = (
-    "dsh AS (SELECT DISTINCT d.doc_id, "
-    "array_to_string(list_slice(d.toks, g.i, g.i + 4), ' ') AS sh "
-    "FROM (SELECT doc_id, "
-    "string_split_regex(lower(trim(text)), '\\s+') AS toks "
-    "FROM documents WHERE trim(text) <> '') d, "
-    "LATERAL (SELECT unnest(generate_series(1, len(d.toks) - 4)) AS i) g), "
-    "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id), "
-    "pinter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, "
-    "COUNT(*) AS n_inter FROM dsh a JOIN dsh b USING (sh) "
-    "WHERE a.doc_id < b.doc_id GROUP BY 1, 2), "
-    # float32 (REAL) casts mirror the engine's float32 jaccard/containment
-    # columns so threshold comparisons agree bit-for-bit
-    "pairs AS (SELECT 'doc://' || CAST(i.ida AS VARCHAR) AS ua, "
-    "'doc://' || CAST(i.idb AS VARCHAR) AS ub, i.ida, i.idb, "
-    "CAST(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) AS REAL) "
-    "AS jac, "
-    "CAST(i.n_inter * 1.0 / LEAST(sa.n_sh, sb.n_sh) AS REAL) AS cont "
-    "FROM pinter i JOIN sizes sa ON sa.doc_id = i.ida "
-    "JOIN sizes sb ON sb.doc_id = i.idb)")
+# per-doc DISTINCT k-token shingles, exactly the engine's tokenizer
+# semantics (lower + \s+ split); the ' ' join is unambiguous because
+# tokens cannot contain whitespace
+def _shingle_ctes(k: int) -> str:
+    return (
+        "dsh AS (SELECT DISTINCT d.doc_id, "
+        f"array_to_string(list_slice(d.toks, g.i, g.i + {k - 1}), ' ') "
+        "AS sh FROM (SELECT doc_id, "
+        "string_split_regex(lower(trim(text)), '\\s+') AS toks "
+        "FROM documents WHERE trim(text) <> '') d, "
+        "LATERAL (SELECT unnest(generate_series(1, len(d.toks) - "
+        f"{k - 1})) AS i) g), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh "
+        "GROUP BY doc_id), "
+        "pinter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, "
+        "COUNT(*) AS n_inter FROM dsh a JOIN dsh b USING (sh) "
+        "WHERE a.doc_id < b.doc_id GROUP BY 1, 2), "
+        # float32 (REAL) casts mirror the engine's float32
+        # jaccard/containment columns so threshold comparisons agree
+        # bit-for-bit
+        "pairs AS (SELECT 'doc://' || CAST(i.ida AS VARCHAR) AS ua, "
+        "'doc://' || CAST(i.idb AS VARCHAR) AS ub, i.ida, i.idb, "
+        "CAST(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) AS REAL) "
+        "AS jac, "
+        "CAST(i.n_inter * 1.0 / LEAST(sa.n_sh, sb.n_sh) AS REAL) AS cont "
+        "FROM pinter i JOIN sizes sa ON sa.doc_id = i.ida "
+        "JOIN sizes sb ON sb.doc_id = i.idb)")
+
+
+_SHINGLE_CTES = _shingle_ctes(5)  # k = PipelineConfig.shingle_k default
 
 
 def _lang_id_sql() -> str:
@@ -852,6 +877,10 @@ ORACLE_SQL = {
         "WITH " + _SHINGLE_CTES + " "
         "SELECT LEAST(ua, ub) AS url_a, GREATEST(ua, ub) AS url_b, "
         "jac AS jaccard FROM pairs WHERE jac >= 0.8"),
+    "ngram_jaccard_dups": (
+        "WITH " + _shingle_ctes(3) + " "
+        "SELECT LEAST(ua, ub) AS url_a, GREATEST(ua, ub) AS url_b, "
+        "jac AS jaccard FROM pairs WHERE jac >= 0.7"),
     "dedup_clusters": (
         "WITH RECURSIVE " + _SHINGLE_CTES + ", "
         "edges0 AS ("

@@ -189,6 +189,105 @@ class SRPBandRowsStage:
         })
 
 
+# ---------------------------------------------- n-gram Jaccard (prefix) ----
+
+def _prefix_index_rows(batch: pa.Table, threshold: float) -> pa.Table:
+    """(doc_id, shingles) -> (band_key, doc_id) prefix-filter index rows.
+
+    Shingle sets arrive sorted ascending (``_shingles_from_hashes``), one
+    GLOBAL order for every doc, so the prefix-filter guarantee holds: any
+    pair with Jaccard >= t shares an element among each side's first
+    ``len - ceil(t*len) + 1`` hashes (PPJoin, Xiao et al., WWW'08).
+    Index volume is ~(1-t) of the full inverted index."""
+    sh = batch["shingles"].combine_chunks()
+    offs = sh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = sh.values.to_numpy(zero_copy_only=False)
+    doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+    lens = np.diff(offs)
+    p = np.where(lens > 0,
+                 lens - np.ceil(threshold * lens).astype(np.int64) + 1, 0)
+    tot = int(p.sum())
+    if tot == 0:
+        return pa.table({"band_key": pa.array([], pa.uint64()),
+                         "doc_id": pa.array([], pa.uint64())})
+    starts0 = np.concatenate(([0], np.cumsum(p)))[:-1]
+    ranks = np.arange(tot, dtype=np.int64) - np.repeat(starts0, p)
+    take = np.repeat(offs[:-1], p) + ranks  # absolute child indices
+    return pa.table({
+        "band_key": pa.array(vals[take].astype(np.uint64),
+                             type=pa.uint64()),
+        "doc_id": pa.array(np.repeat(doc, p), type=pa.uint64()),
+    })
+
+
+def ngram_jaccard_pairs(docs_ds, config: PipelineConfig, n: int = 3,
+                        threshold: float = 0.7, exact: bool = True):
+    """documents -> (url_a, url_b, jaccard) pairs with exact word-n-gram
+    Jaccard >= ``threshold`` — no sketch (unlike MinHash): recall is
+    exact by the prefix-filter guarantee, precision by exact verification
+    over the stored n-gram sets.
+
+    Scale shape: the only wide ops are the candidate exchange over
+    PREFIX index rows (~(1-t) of a full inverted index) and the two
+    bucketed joins attaching n-gram sets to surviving pairs.
+    ``exact=True`` lifts the hot-group cap so emission is exhaustive
+    (oracle mode); at production scale leave the cap on — a prefix hash
+    shared by >cap docs is boilerplate with no dup signal (same policy
+    as the chunk-key family, candidates.py).
+    """
+    import dataclasses
+
+    from lsh_ray.config import coalesce_blocks
+    from lsh_ray.stages.normalize import normalize
+    from lsh_ray.stages.shingle import shingle
+    from lsh_ray.stages.verify import jaccard_and_containment
+
+    over = {"shingle_k": n, "shingle_stride": 1,
+            "jaccard_threshold": threshold}
+    if exact:
+        over["group_size_cap"] = 1 << 30
+    cfg = dataclasses.replace(config, **over)
+    # forked twice (index rows + verify joins): materialize the one pass
+    sigs = shingle(normalize(docs_ds, cfg), cfg) \
+        .select_columns(["doc_id", "url", "shingles"]).materialize()
+    rows = sigs.select_columns(["doc_id", "shingles"]).map_batches(
+        lambda t: _prefix_index_rows(t, threshold),
+        batch_format="pyarrow", zero_copy_batch=True)
+    pairs = candidate_pairs(rows, cfg)
+    nb = coalesce_blocks(cfg)
+    j = bucket_join(pairs, sigs, "doc_a", "doc_id", ["url", "shingles"],
+                    suffix="_a", num_blocks=nb)
+    j = bucket_join(j, sigs, "doc_b", "doc_id", ["url", "shingles"],
+                    suffix="_b", num_blocks=nb)
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"url_a": pa.array([], pa.string()),
+                             "url_b": pa.array([], pa.string()),
+                             "jaccard": pa.array([], pa.float32())})
+        sa = t["shingles_a"].combine_chunks()
+        sb = t["shingles_b"].combine_chunks()
+        offa = sa.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offb = sb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        jac, _ = jaccard_and_containment(
+            sa.flatten().to_numpy(zero_copy_only=False), offa - offa[0],
+            sb.flatten().to_numpy(zero_copy_only=False), offb - offb[0])
+        # gate in float64 on the float32 value — exactly DuckDB's
+        # REAL >= <literal> semantics, threshold-agnostic
+        keep = jac.astype(np.float64) >= threshold
+        ua = np.asarray(t["url_a"].to_pylist(), dtype=object)
+        ub = np.asarray(t["url_b"].to_pylist(), dtype=object)
+        out = pa.table({
+            "url_a": pa.array(np.minimum(ua, ub), type=pa.string()),
+            "url_b": pa.array(np.maximum(ua, ub), type=pa.string()),
+            "jaccard": pa.array(jac, type=pa.float32()),
+        })
+        return out.filter(pa.array(keep))
+
+    return j.map_batches(score, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 def embedding_near_dup_pairs(embeddings_ds, dim: int,
                              config: PipelineConfig,
                              cosine_threshold: float = 0.9,

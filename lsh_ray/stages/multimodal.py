@@ -2,12 +2,12 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata
 (mime, width/height, duration) — exactly how the 100 TB corpus carries
-them. The decode kernel is REAL for uncompressed 24-bit BMP (a pure
-numpy decoder below — no codec library needed); compressed codecs
-(JPEG/PNG/audio — reference analog: essentia/music21 decoders,
-``loader.py:69-83``) still need external libraries absent from this
-environment and raise ``NotImplementedError`` at a clearly-marked
-boundary. The Ray-side plumbing — actor-pool signature, schema, small
+them. The decode kernel is REAL for uncompressed 24-bit BMP images and
+16-bit PCM WAV audio (pure numpy decoders below — no codec library
+needed); compressed codecs (JPEG/PNG/MP3 — reference analog:
+essentia/music21 decoders, ``loader.py:69-83``) still need external
+libraries absent from this environment and raise
+``NotImplementedError`` at a clearly-marked boundary. The Ray-side plumbing — actor-pool signature, schema, small
 batch sizes for large payloads, output layout — is identical for every
 codec and fully exercised through the BMP path.
 
@@ -71,6 +71,78 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(img[:, :, ::-1])  # BGR -> RGB
 
 
+# ----------------------------------------------------------- WAV codec ----
+# Minimal RIFF/WAVE PCM codec (16-bit integer samples): a chunk walk over
+# the container plus one frombuffer — pure numpy, no audio library. The
+# reference decodes audio via essentia/music21 (loader.py:69-83); WAV is
+# the uncompressed container those decoders bottom out in.
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Mono samples (float in [-1, 1] or int16) -> 16-bit PCM WAV bytes."""
+    if samples.dtype != np.int16:
+        samples = np.round(np.clip(samples.astype(np.float64), -1.0, 1.0)
+                           * 32767.0).astype(np.int16)
+    data = samples.tobytes()
+    return struct.pack(
+        "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data)) + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM bytes -> (mono float32 samples in [-1, 1], rate).
+
+    Walks the chunk list (fmt may not be adjacent to data); rejects
+    non-PCM encodings and bit depths other than 16 explicitly;
+    multi-channel audio is averaged to mono.
+    """
+    if len(payload) < 44 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAV variant (format={audio_format}, bits={bits})")
+    raw = np.frombuffer(data, dtype="<i2",
+                        count=(len(data) // (2 * n_channels)) * n_channels)
+    x = raw.astype(np.float32) / 32768.0
+    if n_channels > 1:
+        x = x.reshape(-1, n_channels).mean(axis=1)
+    return x, sample_rate
+
+
+def audio_features(samples: np.ndarray, sample_rate: int) -> np.ndarray:
+    """Mono samples -> 16 float32 features: length, rate, duration, RMS,
+    peak, zero-crossing rate, and a 10-segment energy envelope
+    (tempo-robust shape summary, reference analog: the rescaled pitch
+    vectors fed to the matching kernels)."""
+    n = len(samples)
+    if n == 0:
+        return np.zeros(16, dtype=np.float32)
+    rms = float(np.sqrt(np.mean(samples ** 2)))
+    peak = float(np.abs(samples).max())
+    zcr = float(np.mean(np.signbit(samples[1:]) !=
+                        np.signbit(samples[:-1])))
+    seg = np.array_split(np.abs(samples), 10)
+    envelope = np.array([s.mean() if len(s) else 0.0 for s in seg],
+                        dtype=np.float32)
+    head = np.array([n, sample_rate, n / sample_rate, rms, peak, zcr],
+                    dtype=np.float32)
+    return np.concatenate([head, envelope]).astype(np.float32)
+
+
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Nearest-neighbor resize via pure index arithmetic (no loops)."""
     h, w = img.shape[:2]
@@ -112,10 +184,13 @@ class BinaryDecodeStage:
         if not self.use_fake_decoder:
             if payload[:2] == b"BM":
                 return image_features(decode_bmp(payload))
+            if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                return audio_features(*decode_wav(payload))
             raise NotImplementedError(
                 "compressed image/audio decoding requires codec libraries "
-                "not present in this environment; BMP decodes natively, or "
-                "construct with use_fake_decoder=True for the stand-in")
+                "not present in this environment; BMP and PCM WAV decode "
+                "natively, or construct with use_fake_decoder=True for "
+                "the stand-in")
         # deterministic fake: md5-seeded byte statistics as "features"
         digest = hashlib.md5(payload).digest()
         base = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)

@@ -1,0 +1,108 @@
+"""Per-stage scaling profiler: time each dedup pipeline stage separately.
+
+Replicates run_dedup's stage boundaries (same config resolution as
+bench.py) with a materialize() barrier after each stage, so per-stage
+wall times at two parallelism levels isolate WHICH stage stops scaling
+on a given box. Round-2/3 finding: candidate generation (the stage that
+must scale at 10^12 docs) measures ~1.0 efficiency 8->32; the shortfall
+is bandwidth-bound signatures + fixed per-job exchange floors.
+
+Usage:
+  RAY_GRAFT_CPUS=8 GRAFT_BENCH_DOCS=200000 python scripts/stage_scaling.py
+Prints one JSON line: {"num_cpus": N, "bench_docs": D, "stages": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import ray
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.op_resource_reservation_enabled = False
+
+    import dataclasses
+
+    import ray.data
+
+    import bench
+    from lsh_ray.config import PipelineConfig, coalesce_blocks
+    from lsh_ray.sources.readers import strip_schema_metadata
+
+    corpus = bench._corpus_dir()
+    n_docs = bench.BENCH_DOCS
+    cfg = PipelineConfig(signature_concurrency=max(2, ncpu // 2),
+                         join_num_partitions=max(16, ncpu))
+    n_blocks = max(64, n_docs // 400)
+    ray.data.read_parquet(corpus + "/documents",
+                          override_num_blocks=n_blocks).count()  # warm cache
+
+    stages: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        stages[name] = round(time.time() - t0, 2)
+        return out
+
+    from lsh_ray.stages.banding import band_rows
+    from lsh_ray.stages.candidates import (partial_mixed_pairs,
+                                           sum_mixed_pairs)
+    from lsh_ray.stages.chunking import chunk_rows_from_signatures
+    from lsh_ray.stages.cluster import clusters_table
+    from lsh_ray.stages.minhash import signatures
+    from lsh_ray.stages.normalize import normalize
+    from lsh_ray.stages.shingle import shingle
+    from lsh_ray.stages.substring import substring_pass
+    from lsh_ray.stages.verify import verify
+
+    docs = strip_schema_metadata(ray.data.read_parquet(
+        corpus + "/documents", override_num_blocks=n_blocks))
+    normalized = normalize(docs, cfg)
+    sigs = timed("signatures", lambda: signatures(
+        shingle(normalized, cfg), cfg)
+        .repartition(coalesce_blocks(cfg)).materialize())
+    cfg = dataclasses.replace(
+        cfg, exchange="tasks" if n_docs <= 20_000_000 else "sort")
+    pairs = timed("candidates", lambda: sum_mixed_pairs(
+        partial_mixed_pairs(band_rows(sigs, cfg),
+                            chunk_rows_from_signatures(sigs, cfg), cfg),
+        cfg).materialize())
+    verified = timed("verify", lambda: verify(pairs, sigs, cfg)
+                     .materialize())
+    sub = timed("substring", lambda: substring_pass(
+        verified, normalized, cfg, raw_ds=docs).materialize())
+
+    def run_cluster():
+        import pyarrow as pa
+        dup_edges = verified.map_batches(
+            lambda t: t.filter(t["is_dup"]).select(["doc_a", "doc_b"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        sub_edges = sub.map_batches(
+            lambda t: t.select(["doc_a", "doc_b"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        out = clusters_table(dup_edges.union(sub_edges))
+        out.count()
+        return out
+
+    timed("cluster", run_cluster)
+    stages["total"] = round(sum(v for k, v in stages.items()
+                                if k != "total"), 2)
+    print(json.dumps({"num_cpus": ncpu, "bench_docs": n_docs,
+                      "stages": stages}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -225,6 +225,70 @@ def test_bmp_roundtrip_and_variants():
         decode_bmp(bytes(bad))
 
 
+def test_wav_roundtrip_and_variants():
+    from lsh_ray.stages.multimodal import decode_wav, encode_wav
+    t = np.arange(1600, dtype=np.float64) / 16000.0
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    out, rate = decode_wav(encode_wav(sig, 16000))
+    assert rate == 16000
+    np.testing.assert_allclose(out, sig, atol=2 / 32768)
+    with pytest.raises(ValueError):
+        decode_wav(b"nonsense")
+    # non-PCM encodings are rejected, not mis-decoded
+    bad = bytearray(encode_wav(sig))
+    bad[20] = 3  # fmt: IEEE float
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))
+
+
+def test_wav_chunk_walk_and_stereo_downmix():
+    import struct as _s
+
+    from lsh_ray.stages.multimodal import decode_wav
+    # stereo PCM with a LIST chunk BEFORE fmt/data: the chunk walk must
+    # skip it (fmt need not be the first chunk after RIFF)
+    left = np.array([1000, -2000, 3000], dtype=np.int16)
+    right = np.array([3000, 2000, -1000], dtype=np.int16)
+    inter = np.empty(6, dtype=np.int16)
+    inter[0::2], inter[1::2] = left, right
+    data = inter.tobytes()
+    body = (_s.pack("<4sI", b"LIST", 5) + b"INFO\x00" + b"\x00"  # odd+pad
+            + _s.pack("<4sIHHIIHH", b"fmt ", 16, 1, 2, 8000, 32000, 4, 16)
+            + _s.pack("<4sI", b"data", len(data)) + data)
+    payload = _s.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+    out, rate = decode_wav(payload)
+    assert rate == 8000
+    np.testing.assert_allclose(
+        out, (left.astype(np.float32) + right) / 2 / 32768.0, atol=1e-7)
+
+
+def test_multimodal_real_wav_decode_end_to_end(rd):
+    # the decode stage runs the REAL numpy WAV kernel alongside BMP
+    # payloads in the SAME batch (per-row magic dispatch)
+    from lsh_ray.stages.multimodal import (audio_features, decode_binary,
+                                           encode_bmp, encode_wav)
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    sig = rng.standard_normal(8000).astype(np.float32) * 0.1
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.uint64()),
+        "payload": pa.array([encode_wav(sig, 8000), encode_bmp(img)],
+                            type=pa.binary()),
+        "mime": ["audio/wav", "image/bmp"],
+    }))
+    out = decode_binary(ds).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    feats = np.stack(out.features.values)
+    assert feats.shape == (2, 16)
+    # wav row: n_samples, rate, duration lead the feature vector
+    assert feats[0][0] == 8000 and feats[0][1] == 8000
+    assert abs(feats[0][2] - 1.0) < 1e-6
+    # features are computed on the QUANTIZED samples (what decode returns)
+    dec = np.round(np.clip(sig, -1, 1) * 32767).astype(np.int16)
+    expect = audio_features(dec.astype(np.float32) / 32768.0, 8000)
+    np.testing.assert_allclose(feats[0], expect, rtol=1e-6)
+
+
 def test_resize_nearest_and_features():
     from lsh_ray.stages.multimodal import image_features, resize_nearest
     img = np.zeros((32, 64, 3), dtype=np.uint8)
@@ -441,3 +505,48 @@ def test_hopping_windows(rd):
     assert out.window_start.tolist() == [-1800, 0, 1800, 3600]
     assert out.n_events.tolist() == [1, 2, 2, 1]
     assert out.max_value.tolist() == [1.0, 2.0, 3.0, 3.0]
+
+
+def test_ngram_jaccard_pairs_match_brute_force(rd, corpus_dir):
+    """Sketch-free n-gram Jaccard: prefix-filter candidates guarantee
+    recall 1.0 by construction, so the pipeline must equal brute force
+    EXACTLY (pairs and float32 jaccard values)."""
+    import dataclasses
+
+    import pyarrow.parquet as pq
+
+    from lsh_ray.config import PipelineConfig
+    from lsh_ray.stages.dedup import ngram_jaccard_pairs
+    from lsh_ray.stages.shingle import shingle_sets_from_token_lists
+
+    n, thr = 3, 0.7
+    docs = pq.read_table(corpus_dir + "/documents").slice(0, 300)
+    texts = docs["text"].to_pylist()
+    urls = docs["url"].to_pylist()
+    tok_lists = [(t or "").lower().split() for t in texts]
+    vals, offs = shingle_sets_from_token_lists(tok_lists, n, 1)
+    sets = [vals[offs[i]:offs[i + 1]] for i in range(len(tok_lists))]
+    expected = {}
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            if len(a) == 0 or len(b) == 0:
+                continue
+            if len(a) > len(b):
+                a, b = b, a
+            idx = np.searchsorted(b, a)
+            idx[idx == len(b)] = len(b) - 1
+            inter = int((b[idx] == a).sum())
+            jac = np.float32(inter / (len(a) + len(b) - inter))
+            if float(jac) >= thr:  # double-compare, same as the engine
+                ua, ub = sorted((urls[i], urls[j]))
+                expected[(ua, ub)] = jac
+    assert len(expected) > 20, "fixture must plant enough near-dups"
+
+    cfg = dataclasses.replace(PipelineConfig(),
+                              shuffle_coalesce_blocks=8)
+    out = ngram_jaccard_pairs(rd.from_arrow(docs), cfg, n=n,
+                              threshold=thr).to_pandas()
+    got = {(r.url_a, r.url_b): np.float32(r.jaccard)
+           for r in out.itertuples()}
+    assert got == expected
