@@ -326,6 +326,11 @@ def q_token_counts(sf_dir: str):
     return token_counts(_docs_text(sf_dir))
 
 
+def q_token_counts_bpe(sf_dir: str):
+    from lsh_ray.stages.text_stats import bpe_token_counts
+    return bpe_token_counts(_docs_text(sf_dir))
+
+
 def q_lang_distribution(sf_dir: str):
     from ray.data.aggregate import Count
     ds = _read(f"{sf_dir}/documents.parquet", columns=["lang"])
@@ -647,6 +652,7 @@ QUERIES = {
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "embedding_near_dups": q_embedding_near_dups,
     "token_counts": q_token_counts,
+    "token_counts_bpe": q_token_counts_bpe,
     "lang_distribution": q_lang_distribution,
     "doc_quality": q_doc_quality,
     "doc_fingerprints": q_doc_fingerprints,
@@ -740,6 +746,10 @@ ORACLE_SQL = {
         "AS n_tokens FROM documents"),
     "lang_distribution": (
         "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang"),
+    "token_counts_bpe": (
+        "SELECT doc_id, len(regexp_extract_all(COALESCE(text, ''), "
+        "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS n_bpe_tokens "
+        "FROM documents"),
     "doc_quality": (
         "SELECT doc_id, length(text) AS n_chars, "
         "ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / "

@@ -45,6 +45,31 @@ def token_counts(ds):
         token_count_batch, batch_format="pandas")
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, punctuation runs —
+# the RE2-compatible core of the GPT-2 split pattern (RE2 has no
+# lookahead; both pyarrow and DuckDB regex on RE2, so the count is
+# reproducible bit-for-bit by the SQL oracle)
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_counts(ds):
+    """documents -> (doc_id, n_bpe_tokens): regex-tokenizer counts.
+
+    One vectorized Arrow kernel (``pc.count_substring_regex``) per
+    batch — no Python loop, no pandas conversion."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.coalesce(batch["text"], ""), BPE_TOKEN_PATTERN)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_bpe_tokens": n.cast(pa.int64())})
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """Quality signals: length, alpha/digit/space ratios, mean token length.
 

@@ -550,3 +550,15 @@ def test_ngram_jaccard_pairs_match_brute_force(rd, corpus_dir):
     got = {(r.url_a, r.url_b): np.float32(r.jaccard)
            for r in out.itertuples()}
     assert got == expected
+
+
+def test_bpe_token_counts_known_values(rd):
+    from lsh_ray.stages.text_stats import bpe_token_counts
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        # "don't stop-me now" -> don|'|t|stop|-|me|now = 7
+        "text": ["don't stop-me now", "abc123 x!?", "", None],
+    }))
+    out = bpe_token_counts(ds).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert out.n_bpe_tokens.tolist() == [7, 4, 0, 0]
