@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) for the kernel invariants the
+pipeline's correctness rests on: tokenizer byte-path equivalence, the
+exact-Jaccard merge kernel, the prefix-filter guarantee, and codec
+roundtrips. Complements the example-based tests with adversarial inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# text fragments mixing unicode, whitespace runs, and empties
+_texts = st.lists(
+    st.text(alphabet=st.sampled_from(list("ab \t\nü🎵x0.")), max_size=40)
+    | st.none(),
+    min_size=0, max_size=12)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_texts)
+def test_arrow_tokenizer_equivalence_property(texts):
+    from lsh_ray.functions.bytetokens import (token_hashes_from_arrow,
+                                              token_hashes_from_texts)
+    h_a, c_a = token_hashes_from_arrow(pa.array(texts, type=pa.string()))
+    h_t, c_t = token_hashes_from_texts(texts)
+    assert np.array_equal(h_a, h_t)
+    assert np.array_equal(c_a, c_t)
+
+
+_sets = st.lists(st.integers(0, 50), min_size=0, max_size=40).map(
+    lambda xs: np.array(sorted(set(xs)), dtype=np.uint32))
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.tuples(_sets, _sets), min_size=1, max_size=6))
+def test_jaccard_kernel_matches_set_math(pairs):
+    from lsh_ray.stages.verify import jaccard_and_containment
+    va = np.concatenate([a for a, _ in pairs]) if pairs else \
+        np.empty(0, np.uint32)
+    vb = np.concatenate([b for _, b in pairs]) if pairs else \
+        np.empty(0, np.uint32)
+    offa = np.concatenate(([0], np.cumsum([len(a) for a, _ in pairs])))
+    offb = np.concatenate(([0], np.cumsum([len(b) for _, b in pairs])))
+    jac, cont = jaccard_and_containment(va, offa, vb, offb)
+    for i, (a, b) in enumerate(pairs):
+        sa, sb = set(a.tolist()), set(b.tolist())
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        exp_j = np.float32(inter / union) if union else np.float32(0)
+        exp_c = np.float32(inter / min(len(sa), len(sb))) \
+            if sa and sb else np.float32(0)
+        assert jac[i] == exp_j, (i, sa, sb)
+        assert cont[i] == exp_c, (i, sa, sb)
+
+
+@settings(max_examples=80, deadline=None)
+@given(_sets, _sets, st.sampled_from([0.5, 0.7, 0.8, 0.9]))
+def test_prefix_filter_guarantee(a, b, t):
+    """The invariant ngram_jaccard_pairs' recall rests on: if
+    J(a, b) >= t then the two prefixes (first len - ceil(t*len) + 1
+    elements of each SORTED set) share at least one element."""
+    sa, sb = set(a.tolist()), set(b.tolist())
+    if not sa or not sb:
+        return
+    jac = len(sa & sb) / len(sa | sb)
+    if jac < t:
+        return
+    pa_ = a[: len(a) - int(np.ceil(t * len(a))) + 1]
+    pb_ = b[: len(b) - int(np.ceil(t * len(b))) + 1]
+    assert set(pa_.tolist()) & set(pb_.tolist()), (sa, sb, t, jac)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=0, max_size=400),
+       st.sampled_from([8000, 16000, 44100]))
+def test_wav_roundtrip_property(samples, rate):
+    from lsh_ray.stages.multimodal import decode_wav, encode_wav
+    x = np.array(samples, dtype=np.int16)
+    out, r = decode_wav(encode_wav(x, rate))
+    assert r == rate
+    np.testing.assert_array_equal(
+        np.round(out * 32768.0).astype(np.int16), x)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 12), st.integers(0, 2**32 - 1))
+def test_bmp_roundtrip_property(h, w, seed):
+    from lsh_ray.stages.multimodal import decode_bmp, encode_bmp
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_bmp(encode_bmp(img)), img)
