@@ -7,6 +7,9 @@ Usage:
         [--num-perms 128] [--bands 32] [--rows 4] [--jaccard 0.8]
         [--seed 42] [--limit N] [--num-cpus N] [--distributed-cc]
     python -m lsh_ray.cli signatures --input DIR --output DIR ...
+    python -m lsh_ray.cli exact|simhash|ngram --input DIR --output DIR ...
+    python -m lsh_ray.cli knn --input embeddings.parquet --output DIR
+        [--k 10] [--queries 5]
     python -m lsh_ray.cli gen-corpus --output DIR --docs 50000 [--seed 42]
 
 Owns its Ray session (guarded init), per the driver contract: library code
@@ -77,6 +80,34 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", required=True)
     _add_config_flags(p)
 
+    p = sub.add_parser("exact", help="exact dedup (content-hash groups)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    _add_config_flags(p)
+
+    p = sub.add_parser("simhash", help="SimHash near-dup pairs")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--hamming-max", type=int, default=3)
+    _add_config_flags(p)
+
+    p = sub.add_parser("ngram", help="exact n-gram Jaccard near-dup pairs"
+                       " (prefix-filter index, no sketch)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--ngram-n", type=int, default=3)
+    p.add_argument("--threshold", type=float, default=0.7)
+    _add_config_flags(p)
+
+    p = sub.add_parser("knn", help="brute-force cosine top-k over an"
+                       " embeddings parquet (vec_id, embedding)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--queries", type=int, default=5,
+                   help="use the first N vec_ids as query vectors")
+    _add_config_flags(p)
+
     p = sub.add_parser("gen-corpus", help="deterministic synthetic corpus")
     p.add_argument("--output", required=True)
     p.add_argument("--docs", type=int, default=50_000)
@@ -110,6 +141,54 @@ def main(argv: list[str] | None = None) -> int:
             signatures(shingle(normalize(docs, cfg), cfg),
                        cfg).write_parquet(args.output)
             print(json.dumps({"output": args.output,
+                              "wall_s": round(time.time() - t0, 2)}))
+            return 0
+        if args.cmd == "exact":
+            from lsh_ray.stages.dedup import exact_dup_groups
+            out = exact_dup_groups(docs)
+            out.write_parquet(args.output)
+            print(json.dumps({"output": args.output,
+                              "groups": out.count(),
+                              "wall_s": round(time.time() - t0, 2)}))
+            return 0
+        if args.cmd == "simhash":
+            import dataclasses
+
+            from lsh_ray.stages.dedup import simhash_near_dup_pairs
+            from lsh_ray.stages.minhash import signatures
+            from lsh_ray.stages.normalize import normalize
+            from lsh_ray.stages.shingle import shingle
+            scfg = dataclasses.replace(
+                cfg, simhash_hamming_max=args.hamming_max)
+            sigs = signatures(shingle(normalize(docs, scfg), scfg),
+                              scfg).materialize()
+            pairs = simhash_near_dup_pairs(sigs, scfg)
+            pairs.write_parquet(args.output)
+            print(json.dumps({"output": args.output,
+                              "pairs": pairs.count(),
+                              "wall_s": round(time.time() - t0, 2)}))
+            return 0
+        if args.cmd == "ngram":
+            from lsh_ray.stages.dedup import ngram_jaccard_pairs
+            pairs = ngram_jaccard_pairs(docs, cfg, n=args.ngram_n,
+                                        threshold=args.threshold)
+            pairs.write_parquet(args.output)
+            print(json.dumps({"output": args.output,
+                              "pairs": pairs.count(),
+                              "wall_s": round(time.time() - t0, 2)}))
+            return 0
+        if args.cmd == "knn":
+            import numpy as np
+
+            from lsh_ray.stages.similarity import knn_brute_force
+            head = docs.limit(args.queries).to_pandas()
+            q = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in head["embedding"]])
+            out = knn_brute_force(docs, q, head["vec_id"].to_numpy(),
+                                  k=args.k)
+            out.write_parquet(args.output)
+            print(json.dumps({"output": args.output,
+                              "rows": out.count(),
                               "wall_s": round(time.time() - t0, 2)}))
             return 0
         from lsh_ray.pipelines.dedup_pipeline import run_dedup
