@@ -713,6 +713,17 @@ def _shingle_ctes(k: int) -> str:
 _SHINGLE_CTES = _shingle_ctes(5)  # k = PipelineConfig.shingle_k default
 
 
+def _en_stopword_pattern() -> str:
+    # one definition shared with the engine; DuckDB single-quoted
+    # strings pass backslashes through to RE2 unmodified, so the Python
+    # regex embeds verbatim
+    from lsh_ray.stages.text_stats import STOPWORD_PATTERN
+    return STOPWORD_PATTERN
+
+
+_EN_STOPWORD_PATTERN = _en_stopword_pattern()
+
+
 def _lang_id_sql() -> str:
     """Mirror of LangIdStage (lsh_ray/stages/text_stats.py): distinct of
     the first 500 tokens intersected with each language's stopword set,
@@ -757,7 +768,17 @@ ORACLE_SQL = {
         "ROUND(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / "
         "GREATEST(length(text), 1), 6) AS digit_ratio, "
         "ROUND((length(text) - length(replace(text, ' ', ''))) * 1.0 / "
-        "GREATEST(length(text), 1), 6) AS space_ratio FROM documents"),
+        "GREATEST(length(text), 1), 6) AS space_ratio, "
+        # punct = chars outside [alnum + ASCII whitespace]; the class is
+        # spelled out (no \s) to match the engine exactly (RE2 vs re)
+        "ROUND(length(regexp_replace(text, "
+        "'[A-Za-z0-9\\t\\n\\f\\r ]', '', 'g')) * 1.0 / "
+        "GREATEST(length(text), 1), 6) AS punct_ratio, "
+        "ROUND(len(regexp_extract_all(lower(text), "
+        f"'{_EN_STOPWORD_PATTERN}')) * 1.0 / GREATEST("
+        "CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "array_length(string_split_regex(trim(text), '\\s+')) END, 1), 6) "
+        "AS stopword_ratio FROM documents"),
     "doc_fingerprints": (
         "SELECT doc_id, md5(text) AS md5_fp FROM documents"),
     "doc_token_stats": (

@@ -70,8 +70,18 @@ def bpe_token_counts(ds):
         f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# explicit ASCII classes (no \s): Python re treats \s as unicode
+# whitespace while RE2 (DuckDB) pins it to [\t\n\f\r ] — spelling the
+# class out keeps both sides byte-identical on any input
+_PUNCT_CLASS = r"[^A-Za-z0-9\t\n\f\r ]"
+# stopword OCCURRENCES by word boundary on lowercased text (\b is
+# ASCII-identical in Python re and RE2); see STOPWORD_PATTERN users
+STOPWORD_PATTERN = r"\b(?:" + "|".join(sorted(_STOPWORDS["en"])) + r")\b"
+
+
 def quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    """Quality signals: length, alpha/digit/space ratios, mean token length.
+    """Quality signals: length, alpha/digit/space/punct ratios and the
+    English stopword-hit ratio (per token).
 
     Ratios are rounded to 6 decimals so the DuckDB oracle can reproduce
     them bit-for-bit on float64.
@@ -81,13 +91,22 @@ def quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
     n_alpha = t.str.count(r"[A-Za-z]").astype("int64")
     n_digit = t.str.count(r"[0-9]").astype("int64")
     n_space = t.str.count(r" ").astype("int64")
+    n_punct = t.str.count(_PUNCT_CLASS).astype("int64")
+    n_stop = t.str.lower().str.count(STOPWORD_PATTERN).astype("int64")
+    stripped = t.str.strip()
+    n_tokens = stripped.str.split().str.len().fillna(0).astype("int64")
+    n_tokens[stripped == ""] = 0
     denom = n_chars.where(n_chars > 0, 1)
+    tok_denom = n_tokens.where(n_tokens > 0, 1)
     return pd.DataFrame({
         "doc_id": batch["doc_id"],
         "n_chars": n_chars,
         "alpha_ratio": round_half_away((n_alpha / denom).to_numpy(), 6),
         "digit_ratio": round_half_away((n_digit / denom).to_numpy(), 6),
         "space_ratio": round_half_away((n_space / denom).to_numpy(), 6),
+        "punct_ratio": round_half_away((n_punct / denom).to_numpy(), 6),
+        "stopword_ratio": round_half_away(
+            (n_stop / tok_denom).to_numpy(), 6),
     })
 
 

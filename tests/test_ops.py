@@ -562,3 +562,21 @@ def test_bpe_token_counts_known_values(rd):
     out = bpe_token_counts(ds).to_pandas().sort_values(
         "doc_id").reset_index(drop=True)
     assert out.n_bpe_tokens.tolist() == [7, 4, 0, 0]
+
+
+def test_doc_quality_punct_and_stopword_ratios(rd):
+    from lsh_ray.stages.text_stats import quality_scores
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        # doc 1: 9 tokens, 4 stopword hits (the, of, on, the); punct , , .
+        "text": ["The cat, of all things, sat on the mat.", "x!"],
+    }))
+    out = quality_scores(ds).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    r1 = out.iloc[0]
+    text = "The cat, of all things, sat on the mat."
+    assert r1.n_chars == len(text)
+    assert r1.punct_ratio == round(3 / len(text), 6)  # two commas + period
+    assert r1.stopword_ratio == round(4 / 9, 6)  # the,of,on,the / 9 tokens
+    r2 = out.iloc[1]
+    assert r2.punct_ratio == round(1 / 2, 6) and r2.stopword_ratio == 0.0
