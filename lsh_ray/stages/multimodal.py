@@ -71,6 +71,60 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(img[:, :, ::-1])  # BGR -> RGB
 
 
+# ----------------------------------------------------- frame container ----
+# Minimal multi-frame container for video-shaped payloads: a "BMPV"
+# header (frame count + fps) followed by length-prefixed BMP frames.
+# The uncompressed stand-in for real video codecs (absent from this
+# environment): the frame-sampling plumbing — stride selection, per-frame
+# decode, feature layout — is identical for any codec.
+
+
+def encode_bmpv(frames: list[np.ndarray], fps: int = 25) -> bytes:
+    """List of (H, W, 3) uint8 RGB frames -> BMPV container bytes."""
+    parts = [struct.pack("<4sII", b"BMPV", len(frames), fps)]
+    for f in frames:
+        payload = encode_bmp(f)
+        parts.append(struct.pack("<I", len(payload)))
+        parts.append(payload)
+    return b"".join(parts)
+
+
+def sample_frames(payload: bytes, every_nth: int = 1,
+                  max_frames: int | None = None) -> list[np.ndarray]:
+    """BMPV bytes -> every ``every_nth``-th decoded frame (bounded by
+    ``max_frames``). Skips (seeks past) unsampled frames without
+    decoding them — the property that matters when one frame decode is
+    expensive."""
+    if len(payload) < 12 or payload[:4] != b"BMPV":
+        raise ValueError("not a BMPV payload")
+    n_frames, _fps = struct.unpack_from("<II", payload, 4)
+    out: list[np.ndarray] = []
+    pos = 12
+    for i in range(n_frames):
+        (size,) = struct.unpack_from("<I", payload, pos)
+        pos += 4
+        if i % every_nth == 0:
+            out.append(decode_bmp(payload[pos:pos + size]))
+            if max_frames is not None and len(out) >= max_frames:
+                break
+        pos += size
+    return out
+
+
+def video_features(payload: bytes, every_nth: int = 2,
+                   max_frames: int = 8) -> np.ndarray:
+    """BMPV bytes -> 16 float32 features: frame count, fps, sampled
+    count, then the mean over sampled frames of the leading 13 image
+    features (dims, aspect, luma, channel means...)."""
+    n_frames, fps = struct.unpack_from("<II", payload, 4)
+    frames = sample_frames(payload, every_nth, max_frames)
+    if not frames:
+        return np.zeros(16, dtype=np.float32)
+    per = np.stack([image_features(f) for f in frames]).mean(axis=0)
+    head = np.array([n_frames, fps, len(frames)], dtype=np.float32)
+    return np.concatenate([head, per[:13]]).astype(np.float32)
+
+
 # ----------------------------------------------------------- WAV codec ----
 # Minimal RIFF/WAVE PCM codec (16-bit integer samples): a chunk walk over
 # the container plus one frombuffer — pure numpy, no audio library. The
@@ -182,6 +236,8 @@ class BinaryDecodeStage:
 
     def _decode_one(self, payload: bytes) -> np.ndarray:
         if not self.use_fake_decoder:
+            if payload[:4] == b"BMPV":  # before "BM": shared prefix
+                return video_features(payload)
             if payload[:2] == b"BM":
                 return image_features(decode_bmp(payload))
             if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":

@@ -580,3 +580,33 @@ def test_doc_quality_punct_and_stopword_ratios(rd):
     assert r1.stopword_ratio == round(4 / 9, 6)  # the,of,on,the / 9 tokens
     r2 = out.iloc[1]
     assert r2.punct_ratio == round(1 / 2, 6) and r2.stopword_ratio == 0.0
+
+
+def test_bmpv_frame_sampling_and_features(rd):
+    from lsh_ray.stages.multimodal import (decode_binary, encode_bmpv,
+                                           image_features, sample_frames)
+    rng = np.random.default_rng(14)
+    frames = [rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+              for _ in range(10)]
+    payload = encode_bmpv(frames, fps=25)
+    # stride sampling picks frames 0, 3, 6, 9
+    got = sample_frames(payload, every_nth=3)
+    assert len(got) == 4
+    for g, idx in zip(got, (0, 3, 6, 9)):
+        np.testing.assert_array_equal(g, frames[idx])
+    # max_frames bounds the decode work
+    assert len(sample_frames(payload, every_nth=1, max_frames=2)) == 2
+    with pytest.raises(ValueError):
+        sample_frames(b"nope", 1)
+    # end-to-end through the decode stage (magic dispatch, 3rd modality)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], type=pa.uint64()),
+        "payload": pa.array([payload], type=pa.binary()),
+        "mime": ["video/x-bmpv"],
+    }))
+    out = decode_binary(ds).to_pandas()
+    feat = np.stack(out.features.values)[0]
+    assert feat[0] == 10 and feat[1] == 25 and feat[2] == 5  # n, fps, sampled
+    expect = np.stack([image_features(f)
+                       for f in frames[::2][:8]]).mean(axis=0)[:13]
+    np.testing.assert_allclose(feat[3:], expect, rtol=1e-6)
