@@ -725,21 +725,21 @@ _EN_STOPWORD_PATTERN = _en_stopword_pattern()
 
 
 def _lang_id_sql() -> str:
-    """Mirror of LangIdStage (lsh_ray/stages/text_stats.py): distinct of
-    the first 500 tokens intersected with each language's stopword set,
-    argmax with first-in-sorted-order tie-break, 'unknown' on zero."""
+    """Mirror of LangIdStage (lsh_ray/stages/text_stats.py): per-language
+    stopword-occurrence counts via ONE word-boundary RE2 scan each (both
+    Arrow and DuckDB regex on RE2, so counts agree exactly), argmax with
+    first-in-sorted-order tie-break, 'unknown' on zero."""
     from lsh_ray.stages.text_stats import _STOPWORDS
     langs = sorted(_STOPWORDS)  # ['de', 'en', 'pt'] — argmax priority order
-    lit = {l: "[" + ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[l])) + "]"
+    pat = {l: r"\b(?:" + "|".join(sorted(_STOPWORDS[l])) + r")\b"
            for l in langs}
     return (
-        "WITH t AS (SELECT doc_id, list_distinct(list_slice("
-        "string_split_regex(lower(trim(COALESCE(text, ''))), '\\s+'), "
-        "1, 500)) AS ws FROM documents), "
+        "WITH t AS (SELECT doc_id, lower(COALESCE(text, '')) AS low "
+        "FROM documents), "
         "s AS (SELECT doc_id, "
-        f"len(list_intersect(ws, {lit['de']})) AS h_de, "
-        f"len(list_intersect(ws, {lit['en']})) AS h_en, "
-        f"len(list_intersect(ws, {lit['pt']})) AS h_pt FROM t) "
+        f"len(regexp_extract_all(low, '{pat['de']}')) AS h_de, "
+        f"len(regexp_extract_all(low, '{pat['en']}')) AS h_en, "
+        f"len(regexp_extract_all(low, '{pat['pt']}')) AS h_pt FROM t) "
         "SELECT doc_id, CASE "
         "WHEN GREATEST(h_de, h_en, h_pt) = 0 THEN 'unknown' "
         "WHEN h_de >= h_en AND h_de >= h_pt THEN 'de' "
