@@ -80,9 +80,14 @@ def run_bench() -> dict:
     # the scaling comparison changes exactly one variable
     n_blocks = max(64, BENCH_DOCS // 400)
 
-    # warm the page cache so we measure compute + shuffle, not first read
-    ray.data.read_parquet(corpus + "/documents",
-                          override_num_blocks=n_blocks).count()
+    # warm the page cache so we measure compute + shuffle, not first
+    # read. NOTE: ray.data.read_parquet(...).count() is a metadata-only
+    # fast path (no bytes touched) — read the files for real
+    import glob
+    for f in glob.glob(corpus + "/documents/*"):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
 
     queries: dict[str, float] = {}
 

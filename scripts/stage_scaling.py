@@ -45,8 +45,11 @@ def main() -> None:
     cfg = PipelineConfig(signature_concurrency=max(2, ncpu // 2),
                          join_num_partitions=max(16, ncpu))
     n_blocks = max(64, n_docs // 400)
-    ray.data.read_parquet(corpus + "/documents",
-                          override_num_blocks=n_blocks).count()  # warm cache
+    import glob
+    for f in glob.glob(corpus + "/documents/*"):  # warm page cache for real
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
 
     stages: dict[str, float] = {}
 
