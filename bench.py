@@ -95,13 +95,12 @@ def run_bench() -> dict:
     # back-to-back runs >2x (BASELINE.md); one spike mid-run should not
     # define the round's number. All samples are reported alongside.
     repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "2"))
-    from lsh_ray.sources.readers import strip_schema_metadata
+    from lsh_ray.sources.readers import read_documents_for_dedup
     samples = []
     for _ in range(max(1, repeat)):
         t0 = time.time()
-        res = run_dedup(strip_schema_metadata(
-            ray.data.read_parquet(corpus + "/documents",
-                                  override_num_blocks=n_blocks)), cfg)
+        res = run_dedup(read_documents_for_dedup(
+            corpus + "/documents", override_num_blocks=n_blocks), cfg)
         n_pairs = res.verified.count()
         n_clustered = res.clusters.count()
         samples.append(time.time() - t0)

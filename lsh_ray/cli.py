@@ -130,8 +130,8 @@ def main(argv: list[str] | None = None) -> int:
     cfg = _config(args)
     t0 = time.time()
     try:
-        from lsh_ray.sources.readers import strip_schema_metadata
-        docs = strip_schema_metadata(ray.data.read_parquet(args.input))
+        from lsh_ray.sources.readers import read_documents_for_dedup
+        docs = read_documents_for_dedup(args.input)
         if args.limit:
             docs = docs.limit(args.limit)
         if args.cmd == "signatures":

@@ -175,7 +175,8 @@ def run_dedup(docs_ds, config: PipelineConfig = DEFAULT_CONFIG,
 def dedup_documents(input_path: str | list[str],
                     config: PipelineConfig = DEFAULT_CONFIG,
                     checkpoint_dir: str | None = None) -> DedupResult:
-    """Convenience entry: parquet path(s) -> DedupResult."""
-    from lsh_ray.sources.readers import strip_schema_metadata
-    ds = strip_schema_metadata(ray.data.read_parquet(input_path))
+    """Convenience entry: parquet path(s) -> DedupResult (html column
+    pruned at the read when parquet statistics prove text is never null)."""
+    from lsh_ray.sources.readers import read_documents_for_dedup
+    ds = read_documents_for_dedup(input_path)
     return run_dedup(ds, config, checkpoint_dir=checkpoint_dir)

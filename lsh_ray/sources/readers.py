@@ -51,6 +51,58 @@ def read_documents(path: str | list[str], columns: list[str] | None = None,
     return ds
 
 
+def read_documents_for_dedup(path: str | list[str],
+                             override_num_blocks: int | None = None):
+    """Metadata-planned projection for the dedup pipeline read.
+
+    The pipeline consumes (url, text, lang); the heavy ``html`` payload
+    (half the bytes of a CC-style table) is consulted ONLY as normalize's
+    extraction fallback for rows with NULL ``text``. Parquet column
+    statistics prove per-file whether such rows exist: when every file
+    reports ``null_count == 0`` for ``text``, the read skips ``html``
+    (and ``warc_ts``, which normalize drops) entirely. Files without
+    statistics, or with any null text, keep the full column set — the
+    plan is always correct, just sometimes un-pruned.
+    """
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    paths = [path] if isinstance(path, str) else list(path)
+    files: list[str] = []
+    for p in paths:
+        if _os.path.isdir(p):
+            files.extend(sorted(_glob.glob(_os.path.join(p, "**", "*.parquet"),
+                                           recursive=True)))
+        else:
+            files.append(p)
+    columns = None
+    try:
+        prunable = bool(files)
+        for f in files:
+            md = _pq.ParquetFile(f).metadata
+            names = md.schema.names
+            if "text" not in names or "html" not in names:
+                prunable = False
+                break
+            ti = names.index("text")
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ti).statistics
+                if st is None or st.null_count is None or st.null_count > 0:
+                    prunable = False
+                    break
+            if not prunable:
+                break
+        if prunable:
+            keep = {"url", "text", "lang", "doc_id"}
+            columns = [c for c in md.schema.names if c in keep]
+    except Exception:
+        columns = None
+    return read_documents(path, columns=columns,
+                          override_num_blocks=override_num_blocks)
+
+
 def read_text_documents(paths: str | list[str]):
     """Plain text files -> (url, text) rows (one doc per line).
 

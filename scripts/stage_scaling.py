@@ -59,6 +59,15 @@ def main() -> None:
         stages[name] = round(time.time() - t0, 2)
         return out
 
+    # steady-state warm-up: a tiny end-to-end run first, so worker-process
+    # imports (numpy/pyarrow/lsh_ray, ~1-2s x num_cpus workers) are not
+    # billed to whichever stage happens to run first — at 32 CPUs that
+    # one-off is a visible fraction of the 200k-doc wall and distorts the
+    # per-stage scaling ratios this script exists to measure
+    from lsh_ray.pipelines.dedup_pipeline import run_dedup
+    run_dedup(strip_schema_metadata(ray.data.read_parquet(
+        corpus + "/documents")).limit(2000), cfg).clusters.count()
+
     from lsh_ray.stages.banding import band_rows
     from lsh_ray.stages.candidates import (partial_mixed_pairs,
                                            sum_mixed_pairs)

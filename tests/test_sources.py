@@ -72,3 +72,33 @@ def test_read_documents_parquet_pruned(rd, tmp_path):
     assert set(rows[0].keys()) == {"doc_id", "text"}
     ds2 = read_documents(str(p), lang="en")
     assert [r["doc_id"] for r in ds2.take_all()] == [1]
+
+
+def test_read_documents_for_dedup_metadata_projection(rd, tmp_path):
+    """html is skipped at the read iff parquet statistics prove text is
+    never null; a null-text corpus keeps html so normalize can extract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lsh_ray.sources.readers import read_documents_for_dedup
+    d = tmp_path / "corpus"
+    d.mkdir()
+    full = pa.table({
+        "url": ["u1", "u2"],
+        "warc_ts": pa.array([1, 2], pa.timestamp("us")),
+        "html": [b"<html><body>from html</body></html>", b"<x>y</x>"],
+        "text": pa.array(["plain text", None], pa.string()),
+        "lang": ["en", "en"],
+    })
+    pq.write_table(full, d / "a.parquet")
+    ds = read_documents_for_dedup(str(d))
+    assert "html" in ds.schema().names
+    from lsh_ray.stages.normalize import normalize
+    out = sorted(r["text"] for r in normalize(ds, None).take_all())
+    assert out == ["plain text", "y"]  # null text extracted from html
+
+    pq.write_table(
+        full.set_column(3, "text", pa.array(["a b c", "d e f"])),
+        d / "a.parquet")
+    ds2 = read_documents_for_dedup(str(d))
+    assert set(ds2.schema().names) == {"url", "text", "lang"}
