@@ -204,3 +204,32 @@ def test_verify_broadcast_matches_exchange_plan(ray_session):
     assert len(outs[0]) > 0
     for other in outs[1:]:
         assert outs[0].equals(other)
+
+
+def test_verify_blockpairs_drops_missing_endpoints(ray_session):
+    """A candidate pair whose endpoint is absent from the signature table
+    cannot be verified; every plan drops it (the exchange plans lose it in
+    the complete-pair regroup, blockpairs at the locate step)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lsh_ray.config import PipelineConfig
+    from lsh_ray.stages.verify import verify_blockpairs
+
+    cfg = PipelineConfig()
+    sh = pa.array([[1, 2, 3], [1, 2, 3], [7, 8, 9]],
+                  type=pa.list_(pa.uint32()))
+    sigs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.uint64()),
+        "shingles": sh,
+        "simhash": pa.array([0, 0, 1], pa.uint64()),
+    }))
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([10, 10], pa.uint64()),
+        "doc_b": pa.array([11, 99], pa.uint64()),  # 99 not in sigs
+        "n_band_hits": pa.array([3, 3], pa.int32()),
+    }))
+    out = verify_blockpairs(pairs, sigs, cfg).to_pandas()
+    assert list(out["doc_a"]) == [10] and list(out["doc_b"]) == [11]
+    assert out["jaccard"].iloc[0] == 1.0
