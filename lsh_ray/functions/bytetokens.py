@@ -42,22 +42,38 @@ _P1_INV = np.uint64(_inv)
 _CHUNK_DOCS = 256  # docs per inner chunk: bounds temp arrays
 
 
+_PW_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _power_tables(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(P^i for i<=n, P^-i for i<n) — cached and grown geometrically:
+    they are pure constants, and recomputing two uint64 cumprods per
+    chunk was two of the five full-width passes of the hot loop."""
+    for size, tabs in _PW_CACHE.items():
+        if size >= n:
+            return tabs
+    size = max(1 << 19, 1 << (int(n - 1).bit_length()))
+    with np.errstate(over="ignore"):
+        pw = np.ones(size + 1, dtype=np.uint64)
+        pw[1:] = np.cumprod(np.full(size, _P1, dtype=np.uint64))
+        pwinv = np.ones(size, dtype=np.uint64)
+        pwinv[1:] = np.cumprod(np.full(size - 1, _P1_INV, dtype=np.uint64))
+    _PW_CACHE.clear()
+    _PW_CACHE[size] = (pw, pwinv)
+    return pw, pwinv
+
+
 def _span_hashes(data: np.ndarray, starts: np.ndarray,
                  ends: np.ndarray) -> np.ndarray:
     """Polynomial hash of byte spans [start, end) of ``data``, O(1)/span."""
     n = len(data)
     with np.errstate(over="ignore"):
-        pw = np.ones(n + 1, dtype=np.uint64)
-        if n:
-            pw[1:] = np.cumprod(np.full(n, _P1, dtype=np.uint64))
-        pwinv = np.ones(n, dtype=np.uint64)
-        if n > 1:
-            pwinv[1:] = np.cumprod(np.full(n - 1, _P1_INV, dtype=np.uint64))
+        pw, pwinv = _power_tables(n)
         H = np.zeros(n + 1, dtype=np.uint64)
         if n:
             # H[i] = sum_{j<i} (data[j]+1) * P^(i-1-j)
-            H[1:] = np.cumsum((data.astype(np.uint64) + _U64(1)) * pwinv,
-                              dtype=np.uint64) * pw[:n]
+            H[1:] = np.cumsum((data.astype(np.uint64) + _U64(1))
+                              * pwinv[:n], dtype=np.uint64) * pw[:n]
         span = H[ends] - H[starts] * pw[ends - starts]
     return splitmix64(span)
 
