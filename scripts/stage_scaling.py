@@ -38,7 +38,7 @@ def main() -> None:
 
     import bench
     from lsh_ray.config import PipelineConfig, coalesce_blocks
-    from lsh_ray.sources.readers import strip_schema_metadata
+    from lsh_ray.sources.readers import read_documents_for_dedup
 
     corpus = bench._corpus_dir()
     n_docs = bench.BENCH_DOCS
@@ -65,8 +65,8 @@ def main() -> None:
     # one-off is a visible fraction of the 200k-doc wall and distorts the
     # per-stage scaling ratios this script exists to measure
     from lsh_ray.pipelines.dedup_pipeline import run_dedup
-    run_dedup(strip_schema_metadata(ray.data.read_parquet(
-        corpus + "/documents")).limit(2000), cfg).clusters.count()
+    run_dedup(read_documents_for_dedup(
+        corpus + "/documents").limit(2000), cfg).clusters.count()
 
     from lsh_ray.stages.banding import band_rows
     from lsh_ray.stages.candidates import (partial_mixed_pairs,
@@ -79,8 +79,8 @@ def main() -> None:
     from lsh_ray.stages.substring import substring_pass
     from lsh_ray.stages.verify import verify
 
-    docs = strip_schema_metadata(ray.data.read_parquet(
-        corpus + "/documents", override_num_blocks=n_blocks))
+    docs = read_documents_for_dedup(
+        corpus + "/documents", override_num_blocks=n_blocks)
     normalized = normalize(docs, cfg)
     sigs = timed("signatures", lambda: signatures(
         shingle(normalized, cfg), cfg)
