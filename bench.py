@@ -169,7 +169,12 @@ def run_scaling() -> dict:
             # high level; the headline bench keeps the smaller default
             env.setdefault("GRAFT_BENCH_DOCS", "500000")
             env["GRAFT_SKIP_QUERIES"] = "1"  # measure the dedup job only
-            env["GRAFT_BENCH_REPEAT"] = "1"  # best-of-k is done HERE
+            # each child reports its in-process best-of-2: the first run
+            # pays one-off worker imports (~1-2s x num_cpus processes,
+            # proportionally worse at the high level), the second is the
+            # steady state a long-running cluster job actually sees
+            env["GRAFT_BENCH_REPEAT"] = os.environ.get(
+                "GRAFT_SCALE_INNER_REPEAT", "2")
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, check=True)
