@@ -88,10 +88,12 @@ class PipelineConfig:
     join_num_partitions: int = 32
     verify_broadcast_max_pairs: int = 4_000_000
     # ^ verify-plan crossover: at or below this many candidate pairs the
-    #   pair list is broadcast (one ~100 MB object at the cap) and verify
-    #   pays ONE pair-id exchange over just the participating endpoints;
-    #   above it, the two-exchange endpoint plan (O(corpus) shuffle
-    #   volume, O(1) driver memory) takes over — the 10^12-doc path.
+    #   pair table fits the driver and verify uses the block-pair gather
+    #   plan (endpoint rows pulled zero-copy from the pinned signature
+    #   blocks — no payload shuffle at all; verify_broadcast remains the
+    #   one-exchange A/B alternative); above it, the two-exchange
+    #   endpoint plan (O(corpus) shuffle volume, O(1) driver memory)
+    #   takes over — the 10^12-doc path.
     shuffle_coalesce_blocks: int | None = None
     # ^ pre-shuffle coalesce width for bucketed groupby/join passes.
     #   None derives 2 x cluster CPUs (min 64) at execution time, so
