@@ -56,9 +56,14 @@ class PipelineConfig:
                                  # contains >=2 boundaries w.h.p. (recall),
                                  # at ~tokens/divisor extra shuffle rows (cost).
     chunk_min_tokens: int = 4    # spans shorter than this emit no key
-    chunk_min_hits: int = 2      # pairs must share >= this many chunk keys
-                                 # (a verbatim embedded run shares many; a
-                                 # coincidental common phrase shares one)
+    chunk_min_hits: int = 1      # pairs must share >= this many chunk keys.
+    # Keys are BIGRAMS of consecutive content-defined chunks (see
+    # stages/chunking.py): one shared bigram already witnesses two shared
+    # consecutive chunks — the evidence the old single-chunk scheme needed
+    # min_hits=2 to collect — while single shared phrases (boilerplate)
+    # no longer emit candidates at all. min_hits=1 reproduces the old
+    # scheme's verified output exactly (measured at 200k docs); 2 trades
+    # a little tail recall (2 of 92k pairs) for a smaller verify load.
 
     # candidate generation / skew handling
     group_size_cap: int = 256   # band groups larger than this stop emitting

@@ -113,21 +113,20 @@ def run_dedup(docs_ds, config: PipelineConfig = DEFAULT_CONFIG,
         # (_TASKS_MAX_SLICES fallback). Keep "sort" for oversized jobs.
         config = dataclasses.replace(
             config, exchange="tasks" if n_docs <= 20_000_000 else "sort")
-    # band keys: hot groups are real dup clusters -> chain; chunk keys: hot
-    # groups are boilerplate -> drop (document-frequency noise filter), and
-    # pairs must share >= chunk_min_hits chunks (common-phrase noise filter).
-    # Both families resolve in ONE unified two-shuffle pass.
+    # band keys: hot groups are real dup clusters -> chain; chunk-bigram
+    # keys: hot groups are boilerplate -> drop (document-frequency noise
+    # filter); single shared phrases emit no key at all (bigram scheme,
+    # see stages/chunking.py). Both families resolve in ONE unified
+    # two-shuffle pass.
     if config.enable_chunk_keys:
         from lsh_ray.stages.candidates import (partial_mixed_pairs,
                                                sum_mixed_pairs)
         from lsh_ray.stages.chunking import chunk_rows_from_signatures
         # two-stage plan: sum/gate the partial pairs in their own (small)
-        # shuffle BEFORE verify ships signature payloads. Measured: with
-        # the selective chunk gate (chunk_min_hits=2 drops the single-
-        # shared-chunk noise mass) this beats the fused
-        # verify_from_partial plan ~2x — the gate prunes millions of
-        # endpoint rows out of the payload exchange. verify_from_partial
-        # remains the right plan when the gate keeps most pairs.
+        # shuffle BEFORE verify touches signature payloads; the bigram
+        # chunk keys already keep the single-shared-phrase noise mass out
+        # of the pair exchange entirely. verify_from_partial remains the
+        # right plan when the gate keeps most pairs.
         partial = partial_mixed_pairs(
             band_rows(sigs, config),
             chunk_rows_from_signatures(sigs, config), config)

