@@ -84,3 +84,39 @@ def test_arrow_tokenizer_matches_text_path():
         h_t, c_t = token_hashes_from_texts(edge)
         assert np.array_equal(h_a, h_t), edge
         assert np.array_equal(c_a, c_t), edge
+
+
+def test_chunk_bigram_keys_position_independent_and_noise_free():
+    """Chunk keys are bigrams of consecutive content-defined chunks: a
+    long verbatim run shared at DIFFERENT positions yields shared keys
+    (substring recall), while a single short shared phrase (one chunk,
+    the boilerplate noise case) yields none."""
+    import numpy as np
+
+    from lsh_ray.stages.chunking import chunk_keys_for_batch
+
+    rng = np.random.default_rng(7)
+    run = rng.integers(0, 2**64, 400, dtype=np.uint64)     # shared run
+    pre = rng.integers(0, 2**64, 150, dtype=np.uint64)
+    post = rng.integers(0, 2**64, 250, dtype=np.uint64)
+    doc_a = run                                            # run at pos 0
+    doc_b = np.concatenate([pre, run, post])               # run shifted
+    offs = np.array([0, len(doc_a), len(doc_a) + len(doc_b)], np.int64)
+    keys, docs = chunk_keys_for_batch(
+        np.concatenate([doc_a, doc_b]), offs, divisor=8, min_tokens=4)
+    shared = np.intersect1d(keys[docs == 0], keys[docs == 1])
+    assert len(shared) >= 1, "long shared run must share a chunk bigram"
+
+    # a single ~chunk-sized shared phrase must NOT create a candidate key
+    phrase = rng.integers(0, 2**64, 8, dtype=np.uint64)
+    doc_c = np.concatenate([rng.integers(0, 2**64, 300, dtype=np.uint64),
+                            phrase,
+                            rng.integers(0, 2**64, 300, dtype=np.uint64)])
+    doc_d = np.concatenate([rng.integers(0, 2**64, 200, dtype=np.uint64),
+                            phrase,
+                            rng.integers(0, 2**64, 400, dtype=np.uint64)])
+    offs2 = np.array([0, len(doc_c), len(doc_c) + len(doc_d)], np.int64)
+    keys2, docs2 = chunk_keys_for_batch(
+        np.concatenate([doc_c, doc_d]), offs2, divisor=8, min_tokens=4)
+    shared2 = np.intersect1d(keys2[docs2 == 0], keys2[docs2 == 1])
+    assert len(shared2) == 0, "one shared phrase must not emit a key"
