@@ -43,12 +43,19 @@ _CHUNK_DOCS = 256  # docs per inner chunk: bounds temp arrays
 
 
 _PW_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+# largest table worth RETAINING: 2^22 entries x 8 B x 2 tables = 64 MB per
+# worker process. A single document bigger than this becomes one
+# tokenization chunk of its full length; computing its tables transiently
+# (the pre-cache behavior) is fine — pinning gigabytes per worker is not.
+_PW_CACHE_MAX = 1 << 22
 
 
 def _power_tables(n: int) -> tuple[np.ndarray, np.ndarray]:
     """(P^i for i<=n, P^-i for i<n) — cached and grown geometrically:
     they are pure constants, and recomputing two uint64 cumprods per
-    chunk was two of the five full-width passes of the hot loop."""
+    chunk was two of the five full-width passes of the hot loop.
+    Oversized requests (one huge document = one chunk) are computed
+    transiently, never retained."""
     for size, tabs in _PW_CACHE.items():
         if size >= n:
             return tabs
@@ -58,8 +65,9 @@ def _power_tables(n: int) -> tuple[np.ndarray, np.ndarray]:
         pw[1:] = np.cumprod(np.full(size, _P1, dtype=np.uint64))
         pwinv = np.ones(size, dtype=np.uint64)
         pwinv[1:] = np.cumprod(np.full(size - 1, _P1_INV, dtype=np.uint64))
-    _PW_CACHE.clear()
-    _PW_CACHE[size] = (pw, pwinv)
+    if size <= _PW_CACHE_MAX:
+        _PW_CACHE.clear()
+        _PW_CACHE[size] = (pw, pwinv)
     return pw, pwinv
 
 

@@ -341,6 +341,23 @@ def verify_exchange(pairs_ds, signatures_ds, config: PipelineConfig):
                         mode=config.exchange)
 
 
+def _pairs_to_numpy(pairs_ds):
+    """Pull the (tiny, fixed-width) candidate pair table to the driver as
+    (doc_a, doc_b, n_band_hits) numpy arrays; None when empty. Shared by
+    the driver-side verify plans (broadcast, blockpairs)."""
+    pairs = pairs_ds.materialize()
+    a_parts, b_parts, h_parts = [], [], []
+    for b in pairs.iter_batches(batch_size=262144, batch_format="pyarrow"):
+        a_parts.append(b["doc_a"].to_numpy(zero_copy_only=False))
+        b_parts.append(b["doc_b"].to_numpy(zero_copy_only=False))
+        h_parts.append(b["n_band_hits"].to_numpy(zero_copy_only=False))
+    if not a_parts:
+        return None
+    return (np.concatenate(a_parts).astype(np.uint64),
+            np.concatenate(b_parts).astype(np.uint64),
+            np.concatenate(h_parts).astype(np.int32))
+
+
 def verify_broadcast(pairs_ds, signatures_ds, config: PipelineConfig):
     """cand_pairs + signatures -> verified pairs, in ONE shuffle.
 
@@ -373,17 +390,10 @@ def verify_broadcast(pairs_ds, signatures_ds, config: PipelineConfig):
         pa.uint64() if config.shingle_hash_bits == 64 else pa.uint32())
     nb = max(config.join_num_partitions, coalesce_blocks(config))
 
-    pairs = pairs_ds.materialize()
-    a_parts, b_parts, h_parts = [], [], []
-    for b in pairs.iter_batches(batch_size=262144, batch_format="pyarrow"):
-        a_parts.append(b["doc_a"].to_numpy(zero_copy_only=False))
-        b_parts.append(b["doc_b"].to_numpy(zero_copy_only=False))
-        h_parts.append(b["n_band_hits"].to_numpy(zero_copy_only=False))
-    if not a_parts:
+    pulled = _pairs_to_numpy(pairs_ds)
+    if pulled is None:
         return ray.data.from_arrow([_EMPTY_VERIFIED])
-    doc_a = np.concatenate(a_parts)
-    doc_b = np.concatenate(b_parts)
-    hits = np.concatenate(h_parts).astype(np.int32)
+    doc_a, doc_b, hits = pulled
     n = len(doc_a)
     # endpoint lookup table: sorted doc id -> (pair index, rank)
     ep_doc = np.concatenate([doc_a, doc_b])
@@ -494,23 +504,18 @@ def verify_blockpairs(pairs_ds, signatures_ds, config: PipelineConfig):
     """
     import ray
 
-    pairs = pairs_ds.materialize()
-    a_parts, b_parts, h_parts = [], [], []
-    for b in pairs.iter_batches(batch_size=262144, batch_format="pyarrow"):
-        a_parts.append(b["doc_a"].to_numpy(zero_copy_only=False))
-        b_parts.append(b["doc_b"].to_numpy(zero_copy_only=False))
-        h_parts.append(b["n_band_hits"].to_numpy(zero_copy_only=False))
-    if not a_parts:
+    pulled = _pairs_to_numpy(pairs_ds)
+    if pulled is None:
         return ray.data.from_arrow([_EMPTY_VERIFIED])
-    doc_a = np.concatenate(a_parts).astype(np.uint64)
-    doc_b = np.concatenate(b_parts).astype(np.uint64)
-    hits = np.concatenate(h_parts).astype(np.int32)
+    doc_a, doc_b, hits = pulled
 
     mat = signatures_ds.materialize()
     block_refs = []
     for bundle in mat.iter_internal_ref_bundles():
         for ref, meta in zip(bundle.block_refs, bundle.metadata):
-            if meta.num_rows:
+            # num_rows None means UNKNOWN, not empty — dropping such a
+            # block would silently lose every pair touching its docs
+            if meta.num_rows is None or meta.num_rows:
                 block_refs.append(ref)
     if not block_refs:
         return ray.data.from_arrow([_EMPTY_VERIFIED])
@@ -624,13 +629,14 @@ def verify_from_partial(partial_pairs_ds, signatures_ds,
     min-hits gate in place — identical output (verified at 200k docs),
     two fewer all-to-all barriers.
 
-    WHEN TO USE: only when the min-hits gate is UNSELECTIVE. With a
-    selective gate (the default chunk_min_hits=2 drops the large single-
-    shared-chunk noise mass), the unfused plan's small dedicated sum
-    shuffle prunes those pairs BEFORE the signature-payload exchange and
-    wins ~2x (measured at 200k docs); fusing ships every pre-gate pair
-    as endpoint rows through the big shuffle. run_dedup therefore uses
-    the unfused plan; this path exists for gate-light configs.
+    WHEN TO USE: only when the candidate gates are UNSELECTIVE. With the
+    bigram chunk keys (single shared phrases emit no candidate at all)
+    and the band/chunk min-hits gates, the unfused plan's small dedicated
+    sum shuffle prunes pre-gate pairs BEFORE any signature payload moves
+    and wins (measured ~2x at 200k docs under the old single-chunk
+    scheme, where the gate carried the whole noise mass). run_dedup
+    therefore uses the unfused plan; this path exists for gate-light
+    configs.
     """
     from lsh_ray.config import coalesce_blocks
     from lsh_ray.functions.hashing import hash_pair

@@ -102,3 +102,25 @@ def test_read_documents_for_dedup_metadata_projection(rd, tmp_path):
         d / "a.parquet")
     ds2 = read_documents_for_dedup(str(d))
     assert set(ds2.schema().names) == {"url", "text", "lang"}
+
+
+def test_read_documents_for_dedup_heterogeneous_schemas(rd, tmp_path):
+    """Files with different column sets must not crash the pruned read:
+    the projection keeps only columns present in EVERY file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lsh_ray.sources.readers import read_documents_for_dedup
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "url": ["u1"], "html": [b"<x>"],
+        "text": pa.array(["a b"], pa.string())}), d / "a.parquet")
+    pq.write_table(pa.table({
+        "url": ["u2"], "html": [b"<y>"],
+        "text": pa.array(["c d"], pa.string()),
+        "lang": ["en"]}), d / "b.parquet")
+    ds = read_documents_for_dedup(str(d))
+    rows = ds.take_all()
+    assert len(rows) == 2
+    assert {"url", "text"} <= set(rows[0].keys())
