@@ -26,7 +26,6 @@ from typing import Any
 import ray.data
 
 from lsh_ray.config import DEFAULT_CONFIG, PipelineConfig
-from lsh_ray.stages.banding import band_rows
 from lsh_ray.stages.cluster import clusters_table
 from lsh_ray.stages.minhash import signatures
 from lsh_ray.stages.normalize import normalize
@@ -116,33 +115,19 @@ def run_dedup(docs_ds, config: PipelineConfig = DEFAULT_CONFIG,
     # band keys: hot groups are real dup clusters -> chain; chunk-bigram
     # keys: hot groups are boilerplate -> drop (document-frequency noise
     # filter); single shared phrases emit no key at all (bigram scheme,
-    # see stages/chunking.py). Both families resolve in ONE unified
-    # two-shuffle pass.
-    if config.enable_chunk_keys:
-        from lsh_ray.stages.candidates import (partial_mixed_pairs,
-                                               sum_mixed_pairs)
-        from lsh_ray.stages.chunking import chunk_rows_from_signatures
-        # two-stage plan: sum/gate the partial pairs in their own (small)
-        # shuffle BEFORE verify touches signature payloads; the bigram
-        # chunk keys already keep the single-shared-phrase noise mass out
-        # of the pair exchange entirely. verify_from_partial remains the
-        # right plan when the gate keeps most pairs.
-        partial = partial_mixed_pairs(
-            band_rows(sigs, config),
-            chunk_rows_from_signatures(sigs, config), config)
-        pairs = sum_mixed_pairs(partial, config)
-        if checkpoint_dir:
-            pairs = _fork(pairs, checkpoint_dir, "cand_pairs", config)
-        verified = _fork(verify(pairs, sigs, config), checkpoint_dir,
-                         "verified", config)
-    else:
-        from lsh_ray.stages.candidates import candidate_pairs
-        pairs = candidate_pairs(band_rows(sigs, config), config,
-                                hot_policy="chain")
-        if checkpoint_dir:
-            pairs = _fork(pairs, checkpoint_dir, "cand_pairs", config)
-        verified = _fork(verify(pairs, sigs, config), checkpoint_dir,
-                         "verified", config)
+    # see stages/chunking.py). Both families resolve in the FUSED
+    # three-wave task pipeline (band+chunk emission inside the task that
+    # holds each pinned signature block, pair-gen fused with its own
+    # re-partition — see candidates.candidate_pairs_from_signatures),
+    # falling back to the generic two-exchange plan under "sort"/"hash"
+    # modes or above the slice-metadata bound. The sum/gate still runs
+    # BEFORE verify touches signature payloads.
+    from lsh_ray.stages.candidates import candidate_pairs_from_signatures
+    pairs = candidate_pairs_from_signatures(sigs, config)
+    if checkpoint_dir:
+        pairs = _fork(pairs, checkpoint_dir, "cand_pairs", config)
+    verified = _fork(verify(pairs, sigs, config), checkpoint_dir,
+                     "verified", config)
     # substring results feed both the result surface and the edge union.
     # Without a checkpoint, `normalized` is lazy — fetching candidate
     # texts through it would re-run normalize over the WHOLE corpus; pass

@@ -83,10 +83,9 @@ def _attach_pair_urls(pairs_ds, sigs_ds, carry_cols: list[str],
                     num_blocks=num_blocks)
 
     def proj(t: pa.Table) -> pa.Table:
-        ua = np.asarray(t["url_a"].to_pylist(), dtype=object)
-        ub = np.asarray(t["url_b"].to_pylist(), dtype=object)
-        out = {"url_a": pa.array(np.minimum(ua, ub), type=pa.string()),
-               "url_b": pa.array(np.maximum(ua, ub), type=pa.string())}
+        from lsh_ray.functions.num import string_pair_min_max
+        lo, hi = string_pair_min_max(t["url_a"], t["url_b"])
+        out = {"url_a": lo, "url_b": hi}
         for c in carry_cols:
             out[c] = t[c]
         return pa.table(out)
@@ -137,16 +136,23 @@ def q_dedup_clusters(sf_dir: str):
             "bucket", pa.array((cid % nbu).astype(np.int32)))
 
     def relabel(t: pa.Table) -> pa.Table:
-        cid = t["cluster_id"].to_numpy(zero_copy_only=False)
-        us = np.asarray(t["url"].to_pylist(), dtype=object)
-        order = np.lexsort((us, cid))
-        cid_s, url_s = cid[order], us[order]
+        import pyarrow as pa_
+        import pyarrow.compute as pc_
+        # Arrow-native group-min: sort (cluster_id, url) in C++, find
+        # group firsts on the numeric key, gather the first url per
+        # group — the string column never round-trips through Python
+        order = pc_.sort_indices(
+            t, sort_keys=[("cluster_id", "ascending"),
+                          ("url", "ascending")])
+        cid_s = t["cluster_id"].take(order).to_numpy(zero_copy_only=False)
+        url_s = t["url"].take(order).combine_chunks()
         new = np.concatenate(([True], cid_s[1:] != cid_s[:-1]))
         gid = np.cumsum(new) - 1
-        first = url_s[new]  # min url per cluster (url-sorted within id)
-        return pa.table({
-            "url": pa.array(url_s, type=pa.string()),
-            "cluster_url": pa.array(first[gid], type=pa.string()),
+        first_idx = np.flatnonzero(new)
+        return pa_.table({
+            "url": url_s,
+            "cluster_url": url_s.take(
+                pa_.array(first_idx[gid], type=pa_.int64())),
         })
 
     return (withurl.map_batches(add_bucket, batch_format="pyarrow",
@@ -256,12 +262,12 @@ def q_simhash_near_dups(sf_dir: str):
                     suffix="_b", num_blocks=nb)
 
     def finish(t: pa.Table) -> pa.Table:
+        from lsh_ray.functions.num import string_pair_min_max
         t = t.filter(pc.equal(t["text_hash_a"], t["text_hash_b"]))
-        ua = np.asarray(t["url_a"].to_pylist(), dtype=object)
-        ub = np.asarray(t["url_b"].to_pylist(), dtype=object)
+        lo, hi = string_pair_min_max(t["url_a"], t["url_b"])
         return pa.table({
-            "url_a": pa.array(np.minimum(ua, ub), type=pa.string()),
-            "url_b": pa.array(np.maximum(ua, ub), type=pa.string()),
+            "url_a": lo,
+            "url_b": hi,
             "hamming": t["hamming"],
         })
     return j.map_batches(finish, batch_format="pyarrow",
@@ -724,6 +730,17 @@ def _en_stopword_pattern() -> str:
 _EN_STOPWORD_PATTERN = _en_stopword_pattern()
 
 
+def _token_run_pattern() -> str:
+    # shared token definition (maximal non-whitespace runs, explicit RE2
+    # ASCII class): engine counts with pyarrow count_substring_regex,
+    # oracle with regexp_extract_all — same engine, same pattern
+    from lsh_ray.stages.text_stats import TOKEN_RUN_PATTERN
+    return TOKEN_RUN_PATTERN
+
+
+_TOKEN_RUN = _token_run_pattern()
+
+
 def _lang_id_sql() -> str:
     """Mirror of LangIdStage (lsh_ray/stages/text_stats.py): per-language
     stopword-occurrence counts via ONE word-boundary RE2 scan each (both
@@ -752,9 +769,8 @@ ORACLE_SQL = {
     "exact_dedup": (
         "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)"),
     "token_counts": (
-        "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
-        "array_length(string_split_regex(trim(text), '\\s+')) END "
-        "AS n_tokens FROM documents"),
+        "SELECT doc_id, len(regexp_extract_all(COALESCE(text, ''), "
+        f"'{_TOKEN_RUN}')) AS n_tokens FROM documents"),
     "lang_distribution": (
         "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang"),
     "token_counts_bpe": (
@@ -776,8 +792,7 @@ ORACLE_SQL = {
         "GREATEST(length(text), 1), 6) AS punct_ratio, "
         "ROUND(len(regexp_extract_all(lower(text), "
         f"'{_EN_STOPWORD_PATTERN}')) * 1.0 / GREATEST("
-        "CASE WHEN trim(text) = '' THEN 0 ELSE "
-        "array_length(string_split_regex(trim(text), '\\s+')) END, 1), 6) "
+        f"len(regexp_extract_all(text, '{_TOKEN_RUN}')), 1), 6) "
         "AS stopword_ratio FROM documents"),
     "doc_fingerprints": (
         "SELECT doc_id, md5(text) AS md5_fp FROM documents"),

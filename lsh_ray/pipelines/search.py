@@ -35,9 +35,7 @@ import ray
 from lsh_ray.config import DEFAULT_CONFIG, PipelineConfig
 from lsh_ray.functions.hashing import hash_pair, hash_strings
 from lsh_ray.functions.metrics import mean_reciprocal_rank
-from lsh_ray.stages.banding import band_rows
-from lsh_ray.stages.candidates import candidate_pairs_two_family
-from lsh_ray.stages.chunking import chunk_rows_from_signatures
+from lsh_ray.stages.candidates import candidate_pairs_from_signatures
 from lsh_ray.stages.join import bucket_join
 from lsh_ray.stages.minhash import signatures
 from lsh_ray.stages.normalize import normalize
@@ -116,9 +114,7 @@ def search(corpus_ds, queries_ds, config: PipelineConfig = DEFAULT_CONFIG,
     cnorm = normalize(corpus_ds, config)
     combined = cnorm.union(qnorm)
     sigs = signatures(shingle(combined, config), config).materialize()
-    pairs = candidate_pairs_two_family(
-        band_rows(sigs, config), chunk_rows_from_signatures(sigs, config),
-        config)
+    pairs = candidate_pairs_from_signatures(sigs, config)
 
     def mixed_only(t: pa.Table) -> pa.Table:
         qids = ray.get(qid_ref)
@@ -282,6 +278,46 @@ def train_confidence_threshold(results: pd.DataFrame,
     if wrong.empty:
         return 0.0
     return float(wrong.confidence.max())
+
+
+def save_confidence_threshold(path: str, threshold: float,
+                              config: PipelineConfig | None = None) -> str:
+    """Persist the trained clip threshold as a JSON artifact (reference
+    ``utils.py:154-171`` writes ``generated_files/confidence_threshold.txt``
+    and reloads it at inference; here the artifact carries the config
+    hash so a threshold trained under one sketch config is never silently
+    applied under another). Atomic write (tmp + rename)."""
+    import json
+    import os
+    payload = {"schema_version": 1,
+               "confidence_threshold": float(threshold)}
+    if config is not None:
+        payload["config_hash"] = config.config_hash()
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+    return path
+
+
+def load_confidence_threshold(path: str,
+                              config: PipelineConfig | None = None
+                              ) -> float:
+    """Reload a persisted clip threshold (reference ``utils.py:165-171``).
+    Raises ValueError when the artifact was trained under a different
+    config than the one about to consume it."""
+    import json
+    with open(path) as f:
+        payload = json.load(f)
+    if config is not None and "config_hash" in payload \
+            and payload["config_hash"] != config.config_hash():
+        raise ValueError(
+            f"confidence threshold at {path} was trained under config "
+            f"{payload['config_hash']}, not {config.config_hash()}; "
+            "retrain or pass the matching config")
+    return float(payload["confidence_threshold"])
 
 
 def evaluate_mrr(results: pd.DataFrame, golden: dict[str, str]) -> float:

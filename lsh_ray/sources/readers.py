@@ -71,8 +71,17 @@ def read_documents_for_dedup(path: str | list[str],
     files: list[str] = []
     for p in paths:
         if _os.path.isdir(p):
-            files.extend(sorted(_glob.glob(_os.path.join(p, "**", "*.parquet"),
-                                           recursive=True)))
+            # scan the SAME file set the read consumes: ray.data
+            # read_parquet (file_extensions=None) reads every regular
+            # file under the directory, not just *.parquet — a parquet
+            # file with a different extension must not escape the
+            # null-count check (its null-text rows would be silently
+            # dropped by a pruned read). Unscannable files make
+            # _dedup_read_columns fall back to the full column set.
+            files.extend(sorted(
+                f for f in _glob.glob(_os.path.join(p, "**", "*"),
+                                      recursive=True)
+                if _os.path.isfile(f)))
         else:
             files.append(p)
     try:

@@ -250,8 +250,35 @@ def _pairs_for_mixed_bucket(group: pa.Table, cap: int,
     (few by construction) take the loop."""
     if group.num_rows == 0:
         return _empty_mixed_pairs()
-    fam_all = group["family"].to_numpy(zero_copy_only=False)
-    order, keep, bk, doc = _sorted_unique_rows(group)
+    ua, ub, band_hits, chunk_hits = _pairs_for_mixed_arrays(
+        group["band_key"].to_numpy(zero_copy_only=False),
+        group["doc_id"].to_numpy(zero_copy_only=False),
+        group["family"].to_numpy(zero_copy_only=False),
+        cap, salt_buckets)
+    return pa.table({
+        "doc_a": pa.array(ua, type=pa.uint64()),
+        "doc_b": pa.array(ub, type=pa.uint64()),
+        "band_hits": pa.array(band_hits, type=pa.int32()),
+        "chunk_hits": pa.array(chunk_hits, type=pa.int32()),
+    })
+
+
+def _pairs_for_mixed_arrays(bk_all: np.ndarray, doc_all: np.ndarray,
+                            fam_all: np.ndarray, cap: int,
+                            salt_buckets: int = 8
+                            ) -> tuple[np.ndarray, ...]:
+    """Array core of ``_pairs_for_mixed_bucket`` (shared with the fused
+    task pipeline): (band_key, doc_id, family) rows of one co-located
+    partition -> deduped (doc_a, doc_b, band_hits, chunk_hits)."""
+    if len(bk_all) == 0:
+        e = np.empty(0, dtype=np.uint64)
+        zi = np.empty(0, dtype=np.int32)
+        return e, e, zi, zi
+    order = np.lexsort((doc_all, bk_all))
+    bk, doc = bk_all[order], doc_all[order]
+    keep = np.concatenate(
+        ([True], (bk[1:] != bk[:-1]) | (doc[1:] != doc[:-1])))
+    bk, doc = bk[keep], doc[keep]
     fam = fam_all[order][keep]
     n = len(bk)
     starts = np.flatnonzero(np.concatenate(([True], bk[1:] != bk[:-1])))
@@ -282,15 +309,12 @@ def _pairs_for_mixed_bucket(group: pa.Table, cap: int,
     a = np.concatenate(a_parts); b = np.concatenate(b_parts)
     f = np.concatenate(f_parts)
     if len(a) == 0:
-        return _empty_mixed_pairs()
+        e = np.empty(0, dtype=np.uint64)
+        zi = np.empty(0, dtype=np.int32)
+        return e, e, zi, zi
     ua, ub, (band_hits, chunk_hits) = _dedup_pairs_with_counts(
         a, b, (f == 0).astype(np.int32), (f == 1).astype(np.int32))
-    return pa.table({
-        "doc_a": pa.array(ua, type=pa.uint64()),
-        "doc_b": pa.array(ub, type=pa.uint64()),
-        "band_hits": pa.array(band_hits, type=pa.int32()),
-        "chunk_hits": pa.array(chunk_hits, type=pa.int32()),
-    })
+    return ua, ub, band_hits, chunk_hits
 
 
 def _empty_mixed_pairs() -> pa.Table:
@@ -302,10 +326,19 @@ def _empty_mixed_pairs() -> pa.Table:
 
 def _sum_mixed_bucket(group: pa.Table, min_band: int,
                       min_chunk: int) -> pa.Table:
-    a = group["doc_a"].to_numpy(zero_copy_only=False)
-    b = group["doc_b"].to_numpy(zero_copy_only=False)
-    bh = group["band_hits"].to_numpy(zero_copy_only=False)
-    ch = group["chunk_hits"].to_numpy(zero_copy_only=False)
+    return _sum_mixed_arrays(
+        group["doc_a"].to_numpy(zero_copy_only=False),
+        group["doc_b"].to_numpy(zero_copy_only=False),
+        group["band_hits"].to_numpy(zero_copy_only=False),
+        group["chunk_hits"].to_numpy(zero_copy_only=False),
+        min_band, min_chunk)
+
+
+def _sum_mixed_arrays(a: np.ndarray, b: np.ndarray, bh: np.ndarray,
+                      ch: np.ndarray, min_band: int,
+                      min_chunk: int) -> pa.Table:
+    """Array core of ``_sum_mixed_bucket`` (shared with the fused task
+    pipeline): co-located partial pairs -> summed/gated candidates."""
     if len(a) == 0:
         return _empty_pairs_summed()
     ua, ub, (band_sum, chunk_sum) = _dedup_pairs_with_counts(a, b, bh, ch)
@@ -388,3 +421,167 @@ def candidate_pairs_two_family(band_rows_ds, chunk_rows_ds,
         partial_mixed_pairs(band_rows_ds, chunk_rows_ds, config,
                             num_buckets),
         config, num_buckets)
+
+
+# ------------------- fused candidates pipeline (tasks-exchange mode) -------
+
+def _sig_block_refs(sigs_mat):
+    """Non-empty block refs of a materialized signatures dataset (blocks
+    stay in the object store; only refs reach the driver)."""
+    refs = []
+    for bundle in sigs_mat.iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            # num_rows None means UNKNOWN, not empty
+            if meta.num_rows is None or meta.num_rows:
+                refs.append(ref)
+    return refs
+
+
+def _partition_arrays(h: np.ndarray, W: int, arrays: tuple
+                      ) -> list[tuple[np.ndarray, ...]]:
+    """int64 partition ids in [0, W) -> W contiguous slice-tuples of the
+    given arrays (one argsort; each slice is a contiguous view, which
+    pickle-5 ships without copying the full base buffer)."""
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    bounds = np.searchsorted(hs, np.arange(W + 1, dtype=np.int64))
+    moved = [a[order] for a in arrays]
+    return [tuple(m[bounds[w]:bounds[w + 1]] for m in moved)
+            for w in range(W)]
+
+
+def candidate_pairs_from_signatures(sigs_mat, config: PipelineConfig,
+                                    num_blocks: int | None = None):
+    """MATERIALIZED signatures -> summed/gated candidate pairs
+    (doc_a, doc_b, n_band_hits), picking the cheapest plan.
+
+    FUSED plan (exchange mode "tasks", chunk keys on): a three-wave raw-
+    task pipeline replacing the unfused ``band_rows + chunk_rows -> union
+    -> exchange#1 -> exchange#2`` chain —
+
+    - wave 1 (one task per pinned signature block, ``num_returns=W``):
+      emits band keys (from the block's minhash column) AND chunk-key
+      rows (pure explode of the stored ``chunk_keys``) and hash-
+      partitions them by key IN THE TASK THAT ALREADY HOLDS THE BLOCK.
+      The unfused plan reads every signature block twice (two map
+      stages), materializes the 10x-corpus row table once, and pays a
+      separate split wave with a full argsort+take copy — all three
+      costs deleted (the r3 per-stage profile pinned the 8->32 scaling
+      shortfall exactly here: candidates-exchange split/concat eff 0.35).
+    - wave 2 (one task per key partition, ``num_returns=W``): concats
+      its slices, runs the shared pair kernel
+      (``_pairs_for_mixed_arrays``), and re-partitions the partial pairs
+      by pair hash in the same task. Partial hit counts ship as
+      SATURATING int16 (the downstream gate only needs ``>= min_hits``;
+      sums resume in int32) — 24 -> 20 bytes/pair-row through the only
+      remaining exchange.
+    - wave 3 (one task per pair partition): concat + global dedup/sum/
+      gate (``_sum_mixed_arrays``).
+
+    Slices move as raw numpy tuples (pickle-5 zero-copy), not Arrow
+    tables — no per-slice schema/metadata overhead at W x W scale.
+
+    Output is IDENTICAL (up to row order) to
+    ``candidate_pairs_two_family``: same key co-location, same kernels,
+    same global pair grouping (asserted by tests).
+
+    SCALE BOUND: (n_blocks + W) x W slice refs is the simple-shuffle
+    quadratic; above ``_TASKS_MAX_SLICES`` — or under "sort"/"hash"
+    exchange modes, or with chunk keys disabled — this falls back to the
+    generic exchange plans, whose shuffles stream at any size.
+    """
+    from lsh_ray.config import coalesce_blocks
+    from lsh_ray.stages.exchange import _TASKS_MAX_SLICES, exchange_mode
+    W = int(num_blocks or coalesce_blocks(config))
+    refs = None
+    if exchange_mode(config.exchange) == "tasks" and config.enable_chunk_keys:
+        try:
+            refs = _sig_block_refs(sigs_mat)
+        except Exception:
+            refs = None
+        if refs is not None and (len(refs) + W) * W > _TASKS_MAX_SLICES:
+            refs = None
+    if refs is None:
+        from lsh_ray.stages.banding import band_rows
+        if config.enable_chunk_keys:
+            from lsh_ray.stages.chunking import chunk_rows_from_signatures
+            return candidate_pairs_two_family(
+                band_rows(sigs_mat, config),
+                chunk_rows_from_signatures(sigs_mat, config), config)
+        return candidate_pairs(band_rows(sigs_mat, config), config,
+                               hot_policy="chain")
+    if not refs:
+        import ray.data
+        return ray.data.from_arrow([_empty_pairs_summed()])
+    return _fused_mixed_pairs(refs, config, W)
+
+
+def _fused_mixed_pairs(block_refs: list, config: PipelineConfig, W: int):
+    import ray
+
+    import ray.data
+
+    from lsh_ray.functions.hashing import splitmix64
+    from lsh_ray.stages.banding import band_keys_from_minhash
+
+    bands, rows_per_band = config.bands, config.rows_per_band
+    num_perms = config.num_perms
+    cap, salt = config.group_size_cap, config.salt_buckets
+    min_band, min_chunk = config.min_band_hits, config.chunk_min_hits
+    Wu = np.uint64(W)
+
+    @ray.remote(num_returns=W)
+    def emit_split(tab: pa.Table):
+        n = tab.num_rows
+        doc_ids = tab["doc_id"].to_numpy(zero_copy_only=False)
+        mh = (tab["minhash"].combine_chunks().values
+              .to_numpy(zero_copy_only=False).reshape(n, num_perms))
+        bkeys = band_keys_from_minhash(mh, bands, rows_per_band).reshape(-1)
+        bdocs = np.repeat(doc_ids, bands)
+        if "chunk_keys" in tab.column_names:
+            ck = tab["chunk_keys"].combine_chunks()
+            coffs = ck.offsets.to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            ckeys = ck.flatten().to_numpy(zero_copy_only=False).astype(
+                np.uint64)
+            cdocs = np.repeat(doc_ids, np.diff(coffs))
+        else:
+            ckeys = np.empty(0, dtype=np.uint64)
+            cdocs = np.empty(0, dtype=doc_ids.dtype)
+        keys = np.concatenate([bkeys, ckeys])
+        docs = np.concatenate([bdocs, cdocs]).astype(np.uint64)
+        fam = np.concatenate([np.zeros(len(bkeys), dtype=np.int8),
+                              np.ones(len(ckeys), dtype=np.int8)])
+        h = (splitmix64(keys) % Wu).astype(np.int64)
+        parts = _partition_arrays(h, W, (keys, docs, fam))
+        return parts if W > 1 else parts[0]
+
+    @ray.remote(num_returns=W)
+    def pairgen_split(*slices):
+        keys = np.concatenate([s[0] for s in slices])
+        docs = np.concatenate([s[1] for s in slices])
+        fam = np.concatenate([s[2] for s in slices])
+        ua, ub, bh, ch = _pairs_for_mixed_arrays(keys, docs, fam, cap,
+                                                 salt)
+        bh16 = np.minimum(bh, 32767).astype(np.int16)
+        ch16 = np.minimum(ch, 32767).astype(np.int16)
+        h = (hash_pair(ua, ub) % Wu).astype(np.int64)
+        parts = _partition_arrays(h, W, (ua, ub, bh16, ch16))
+        return parts if W > 1 else parts[0]
+
+    @ray.remote
+    def sum_gate(*slices) -> pa.Table:
+        a = np.concatenate([s[0] for s in slices])
+        b = np.concatenate([s[1] for s in slices])
+        bh = np.concatenate([s[2] for s in slices]).astype(np.int32)
+        ch = np.concatenate([s[3] for s in slices]).astype(np.int32)
+        return _sum_mixed_arrays(a, b, bh, ch, min_band, min_chunk)
+
+    splits = [emit_split.remote(r) for r in block_refs]
+    if W == 1:
+        outs = [sum_gate.remote(pairgen_split.remote(*splits))]
+    else:
+        mids = [pairgen_split.remote(*[s[w] for s in splits])
+                for w in range(W)]
+        outs = [sum_gate.remote(*[m[w] for m in mids]) for w in range(W)]
+    return ray.data.from_arrow_refs(outs)

@@ -275,11 +275,11 @@ def ngram_jaccard_pairs(docs_ds, config: PipelineConfig, n: int = 3,
         # gate in float64 on the float32 value — exactly DuckDB's
         # REAL >= <literal> semantics, threshold-agnostic
         keep = jac.astype(np.float64) >= threshold
-        ua = np.asarray(t["url_a"].to_pylist(), dtype=object)
-        ub = np.asarray(t["url_b"].to_pylist(), dtype=object)
+        from lsh_ray.functions.num import string_pair_min_max
+        lo, hi = string_pair_min_max(t["url_a"], t["url_b"])
         out = pa.table({
-            "url_a": pa.array(np.minimum(ua, ub), type=pa.string()),
-            "url_b": pa.array(np.maximum(ua, ub), type=pa.string()),
+            "url_a": lo,
+            "url_b": hi,
             "jaccard": pa.array(jac, type=pa.float32()),
         })
         return out.filter(pa.array(keep))

@@ -64,6 +64,9 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     top_down = h < 0
     h = abs(h)
     row_bytes = (w * 3 + 3) & ~3
+    if w < 0 or pix_offset + row_bytes * h > len(payload):
+        raise ValueError("truncated BMP payload (declared dimensions "
+                         "exceed the available bytes)")
     data = np.frombuffer(payload, dtype=np.uint8,
                          count=row_bytes * h, offset=pix_offset)
     rows = data.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
@@ -101,8 +104,16 @@ def sample_frames(payload: bytes, every_nth: int = 1,
     out: list[np.ndarray] = []
     pos = 12
     for i in range(n_frames):
+        # bounds-check declared sizes: a truncated or size-lying payload
+        # must raise the documented ValueError, not struct.error
+        if pos + 4 > len(payload):
+            raise ValueError("truncated BMPV payload (frame length "
+                             "prefix past end of data)")
         (size,) = struct.unpack_from("<I", payload, pos)
         pos += 4
+        if pos + size > len(payload):
+            raise ValueError("truncated BMPV payload (declared frame "
+                             "size exceeds the available bytes)")
         if i % every_nth == 0:
             out.append(decode_bmp(payload[pos:pos + size]))
             if max_frames is not None and len(out) >= max_frames:
@@ -116,6 +127,8 @@ def video_features(payload: bytes, every_nth: int = 2,
     """BMPV bytes -> 16 float32 features: frame count, fps, sampled
     count, then the mean over sampled frames of the leading 13 image
     features (dims, aspect, luma, channel means...)."""
+    if len(payload) < 12 or payload[:4] != b"BMPV":
+        raise ValueError("not a BMPV payload")
     n_frames, fps = struct.unpack_from("<II", payload, 4)
     frames = sample_frames(payload, every_nth, max_frames)
     if not frames:
@@ -158,7 +171,12 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8: pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WAV payload (declared chunk "
+                             "size exceeds the available bytes)")
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -219,12 +237,44 @@ def image_features(img: np.ndarray) -> np.ndarray:
     return np.concatenate([head, mean, std, mn, mx]).astype(np.float32)
 
 
+def _decompress_payload(payload: bytes, max_depth: int = 2) -> bytes:
+    """Strip stdlib compression wrappers (gzip/zlib/xz/bz2, detected by
+    magic bytes) before codec dispatch — the most common Common-Crawl
+    payload wrapping, handled with zero external deps. ``max_depth``
+    bounds pathological nesting. Corrupt streams raise ValueError."""
+    import bz2
+    import gzip
+    import lzma
+    import zlib
+
+    for _ in range(max_depth):
+        try:
+            if payload[:2] == b"\x1f\x8b":
+                payload = gzip.decompress(payload)
+            elif payload[:6] == b"\xfd7zXZ\x00":
+                payload = lzma.decompress(payload)
+            elif payload[:3] == b"BZh" and len(payload) > 4 \
+                    and payload[4:10] == b"1AY&SY":
+                payload = bz2.decompress(payload)
+            elif len(payload) >= 2 and payload[0] == 0x78 \
+                    and payload[1] in (0x01, 0x5E, 0x9C, 0xDA):
+                payload = zlib.decompress(payload)
+            else:
+                return payload
+        except (OSError, lzma.LZMAError, zlib.error, EOFError) as e:
+            raise ValueError(f"corrupt compressed payload: {e}") from e
+    return payload
+
+
 class BinaryDecodeStage:
     """Actor-pool stage: decode binary payloads into fixed-size features.
 
-    BMP payloads (magic ``BM``) decode for real via the numpy codec
-    above; other formats need codec libraries loaded once per actor in
-    ``__init__`` (the marked boundary below).
+    Compression wrappers (gzip/zlib/xz/bz2) are stripped by magic bytes
+    first (stdlib — ``_decompress_payload``); BMP / PCM-WAV / BMPV
+    payloads then decode for real via the numpy codecs above. Only
+    genuinely-unavailable compressed CODECS (JPEG/PNG/MP3) remain behind
+    the marked boundary below — their libraries would load once per
+    actor in ``__init__``.
     """
 
     FEATURE_DIM = 16
@@ -236,6 +286,7 @@ class BinaryDecodeStage:
 
     def _decode_one(self, payload: bytes) -> np.ndarray:
         if not self.use_fake_decoder:
+            payload = _decompress_payload(payload)
             if payload[:4] == b"BMPV":  # before "BM": shared prefix
                 return video_features(payload)
             if payload[:2] == b"BM":
@@ -243,8 +294,9 @@ class BinaryDecodeStage:
             if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                 return audio_features(*decode_wav(payload))
             raise NotImplementedError(
-                "compressed image/audio decoding requires codec libraries "
-                "not present in this environment; BMP and PCM WAV decode "
+                "compressed image/audio CODECS (JPEG/PNG/MP3) require "
+                "libraries not present in this environment; gzip/zlib/"
+                "xz/bz2 wrappers and BMP / PCM WAV / BMPV payloads decode "
                 "natively, or construct with use_fake_decoder=True for "
                 "the stand-in")
         # deterministic fake: md5-seeded byte statistics as "features"

@@ -6,9 +6,13 @@ operates on pitch sequences; the per-token statistics mirror its TF machinery
 ``scripts/song_tfidf_calculation.py:82-101``). All vectorized `map_batches`;
 language-ID holds compiled state per actor.
 
-Token semantics are pinned to match the DuckDB oracle SQL exactly:
-``n_tokens = 0`` for empty/whitespace text, else the number of
-``\\s+``-separated pieces of the trimmed text.
+Token semantics are pinned to match the DuckDB oracle SQL exactly: both
+sides count maximal non-whitespace runs with the SAME regex engine (RE2 —
+pyarrow here, DuckDB there) and the SAME explicit ASCII class, so the
+counts agree bit-for-bit on ANY input (Python ``re``'s ``\\s``/``\\b`` are
+Unicode-aware while RE2's are ASCII, which silently diverges on non-ASCII
+text — the engine therefore never tokenizes these stats through Python
+``re`` or ``str.split``).
 """
 
 from __future__ import annotations
@@ -16,7 +20,6 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from lsh_ray.functions.hashing import hash_strings, rolling_hash
@@ -32,17 +35,24 @@ _STOPWORDS = {
 }
 
 
-def token_count_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    t = batch["text"].fillna("").str.strip()
-    n = t.str.split().str.len().fillna(0).astype("int64")
-    n[t == ""] = 0
-    return pd.DataFrame({"doc_id": batch["doc_id"], "n_tokens": n})
+# one maximal non-whitespace run per token (explicit RE2 ASCII whitespace
+# class — see module docstring); 0 tokens for empty/whitespace-only text
+# falls out of the run count
+TOKEN_RUN_PATTERN = r"[^\t\n\f\r ]+"
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    n = pc.count_substring_regex(
+        pc.coalesce(batch["text"], ""), TOKEN_RUN_PATTERN)
+    return pa.table({"doc_id": batch["doc_id"],
+                     "n_tokens": n.cast(pa.int64())})
 
 
 def token_counts(ds):
     """documents -> (doc_id, n_tokens)."""
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        token_count_batch, batch_format="pandas")
+        token_count_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, punctuation runs —
@@ -74,46 +84,57 @@ def bpe_token_counts(ds):
 # whitespace while RE2 (DuckDB) pins it to [\t\n\f\r ] — spelling the
 # class out keeps both sides byte-identical on any input
 _PUNCT_CLASS = r"[^A-Za-z0-9\t\n\f\r ]"
-# stopword OCCURRENCES by word boundary on lowercased text (\b is
-# ASCII-identical in Python re and RE2); see STOPWORD_PATTERN users
+# stopword OCCURRENCES by word boundary on lowercased text. \b is
+# Unicode-aware in Python re but ASCII in RE2, so this pattern is only
+# ever evaluated by RE2 (pyarrow count_substring_regex here, DuckDB
+# regexp_extract_all in the oracle) — one engine on both sides
 STOPWORD_PATTERN = r"\b(?:" + "|".join(sorted(_STOPWORDS["en"])) + r")\b"
 
 
-def quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
+def quality_batch(batch: pa.Table) -> pa.Table:
     """Quality signals: length, alpha/digit/space/punct ratios and the
     English stopword-hit ratio (per token).
 
-    Ratios are rounded to 6 decimals so the DuckDB oracle can reproduce
-    them bit-for-bit on float64.
+    Every count is an RE2 scan (``pc.count_substring_regex``) so the
+    DuckDB oracle reproduces it bit-for-bit on any input (shared regex
+    engine — module docstring); ratios are rounded to 6 decimals.
     """
-    t = batch["text"].fillna("")
-    n_chars = t.str.len().astype("int64")
-    n_alpha = t.str.count(r"[A-Za-z]").astype("int64")
-    n_digit = t.str.count(r"[0-9]").astype("int64")
-    n_space = t.str.count(r" ").astype("int64")
-    n_punct = t.str.count(_PUNCT_CLASS).astype("int64")
-    n_stop = t.str.lower().str.count(STOPWORD_PATTERN).astype("int64")
-    stripped = t.str.strip()
-    n_tokens = stripped.str.split().str.len().fillna(0).astype("int64")
-    n_tokens[stripped == ""] = 0
-    denom = n_chars.where(n_chars > 0, 1)
-    tok_denom = n_tokens.where(n_tokens > 0, 1)
-    return pd.DataFrame({
+    import pyarrow.compute as pc
+
+    t = pc.coalesce(batch["text"], "")
+
+    def count(pattern: str) -> np.ndarray:
+        return pc.count_substring_regex(t, pattern).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+
+    n_chars = pc.utf8_length(t).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n_alpha = count(r"[A-Za-z]")
+    n_digit = count(r"[0-9]")
+    n_space = pc.count_substring(t, " ").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n_punct = count(_PUNCT_CLASS)
+    n_stop = pc.count_substring_regex(
+        pc.utf8_lower(t), STOPWORD_PATTERN).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n_tokens = count(TOKEN_RUN_PATTERN)
+    denom = np.maximum(n_chars, 1)
+    tok_denom = np.maximum(n_tokens, 1)
+    return pa.table({
         "doc_id": batch["doc_id"],
-        "n_chars": n_chars,
-        "alpha_ratio": round_half_away((n_alpha / denom).to_numpy(), 6),
-        "digit_ratio": round_half_away((n_digit / denom).to_numpy(), 6),
-        "space_ratio": round_half_away((n_space / denom).to_numpy(), 6),
-        "punct_ratio": round_half_away((n_punct / denom).to_numpy(), 6),
-        "stopword_ratio": round_half_away(
-            (n_stop / tok_denom).to_numpy(), 6),
+        "n_chars": pa.array(n_chars),
+        "alpha_ratio": pa.array(round_half_away(n_alpha / denom, 6)),
+        "digit_ratio": pa.array(round_half_away(n_digit / denom, 6)),
+        "space_ratio": pa.array(round_half_away(n_space / denom, 6)),
+        "punct_ratio": pa.array(round_half_away(n_punct / denom, 6)),
+        "stopword_ratio": pa.array(round_half_away(n_stop / tok_denom, 6)),
     })
 
 
 def quality_scores(ds):
     """documents -> per-doc quality signal columns."""
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        quality_batch, batch_format="pandas")
+        quality_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 class LangIdStage:

@@ -31,6 +31,16 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
                          axis=1).sum(axis=1)
 
 
+def _dup_mask(sorted_keys: np.ndarray) -> np.ndarray:
+    """True at positions whose key occurs more than once (input sorted)."""
+    dup = np.zeros(len(sorted_keys), dtype=bool)
+    if len(sorted_keys) > 1:
+        eq = sorted_keys[1:] == sorted_keys[:-1]
+        dup[1:] |= eq
+        dup[:-1] |= eq
+    return dup
+
+
 def _segments_sorted(values: np.ndarray, offsets: np.ndarray) -> bool:
     """True iff every [offsets[i], offsets[i+1]) slice of ``values`` is
     strictly ascending (one vectorized pass, no per-segment loop)."""
@@ -311,6 +321,11 @@ def verify_exchange(pairs_ds, signatures_ds, config: PipelineConfig):
         idx = np.searchsorted(rks, lk)
         idx[idx == len(rks)] = max(len(rks) - 1, 0)
         hit = rks[idx] == lk if len(rks) else np.zeros(len(lk), bool)
+        # a doc_id present in MULTIPLE signature rows (duplicate urls
+        # hashing to one id) has no well-defined endpoint row: drop its
+        # pairs instead of attaching an arbitrary row — the same policy
+        # as verify_blockpairs, so the plans stay output-identical
+        hit &= ~_dup_mask(rks)[idx]
         eps_hit = eps.filter(pa.array(hit))
         taken = sigs.take(pa.array(order[idx[hit]], type=pa.int64()))
         return pa.table({
@@ -533,13 +548,21 @@ def verify_blockpairs(pairs_ds, signatures_ds, config: PipelineConfig):
     locs = ray.get([locate.remote(r, part_ref) for r in block_refs])
     part_blk = np.full(len(part), -1, dtype=np.int64)
     part_row = np.full(len(part), -1, dtype=np.int64)
+    part_cnt = np.zeros(len(part), dtype=np.int64)
     for bi, (pidx, rows) in enumerate(locs):
         part_blk[pidx] = bi
         part_row[pidx] = rows
+        np.add.at(part_cnt, pidx, 1)
 
     ia = np.searchsorted(part, doc_a)
     ib = np.searchsorted(part, doc_b)
-    ok = (part_blk[ia] >= 0) & (part_blk[ib] >= 0)
+    # endpoints resolving to MULTIPLE signature rows (a doc_id appearing
+    # twice — e.g. duplicate urls hashing to one id) are dropped, matching
+    # verify_exchange's complete-pair regroup (which keeps only pids with
+    # exactly one rank-0 and one rank-1 row) — the plans stay identical
+    # by construction instead of blockpairs verifying an arbitrary row
+    ok = ((part_blk[ia] >= 0) & (part_blk[ib] >= 0)
+          & (part_cnt[ia] == 1) & (part_cnt[ib] == 1))
     if not ok.all():
         ia, ib = ia[ok], ib[ok]
         doc_a, doc_b, hits = doc_a[ok], doc_b[ok], hits[ok]
@@ -606,7 +629,9 @@ def verify(pairs_ds, signatures_ds, config: PipelineConfig):
     plan whose volume is O(corpus) but driver-memory-free. Identical
     output by construction — every plan runs the same ``_pair_verdicts``
     kernel on the same complete-pair groups (asserted by tests across
-    all plans)."""
+    all plans), and every plan DROPS pairs whose endpoint doc_id resolves
+    to multiple signature rows (duplicate urls hashing to one id have no
+    well-defined endpoint row)."""
     pairs = pairs_ds.materialize()
     if pairs.count() <= config.verify_broadcast_max_pairs:
         return verify_blockpairs(pairs, signatures_ds, config)
@@ -732,6 +757,9 @@ def verify_from_partial(partial_pairs_ds, signatures_ds,
         idx = np.searchsorted(rks, lk)
         idx[idx == len(rks)] = max(len(rks) - 1, 0)
         hit = rks[idx] == lk if len(rks) else np.zeros(len(lk), bool)
+        # multi-row doc_ids have no well-defined endpoint row: drop
+        # (same policy as every other verify plan)
+        hit &= ~_dup_mask(rks)[idx]
         eps_hit = eps_u.filter(pa.array(hit))
         taken = sigs.take(pa.array(s_order[idx[hit]], type=pa.int64()))
         return pa.table({

@@ -140,10 +140,31 @@ def _merge_session_chain(u: np.ndarray, start: np.ndarray, end: np.ndarray,
     return out_u, out_start, out_end, out_n
 
 
+# above this many events the two-phase plan (bounded per-partition rows
+# even for a single bot user) takes over; below it the single-phase plan
+# (one shuffle, no materialize barrier) is exact and ~2x cheaper — the
+# worst case it admits is one user owning every event of a small stream,
+# ~10M rows * 16B on one worker (~160 MB, fine)
+_SINGLE_PHASE_MAX_EVENTS = 10_000_000
+
+
 def sessionize(events_ds, gap_s: int = 1800,
                bucket_span_s: int | None = None,
-               num_buckets: int = 1024):
+               num_buckets: int = 1024, plan: str = "auto"):
     """events -> (user_id, session_id, session_start, session_end, n_events).
+
+    PLAN DISPATCHER (same pattern as ``verify``): scale-safety must not
+    tax the common case. ``plan="auto"`` counts the stream (metadata-cheap
+    for fresh reads) and picks:
+
+    - **single** (<= ``_SINGLE_PHASE_MAX_EVENTS``): ONE hash(user)
+      exchange; each partition resolves all its users' sessions with one
+      lexsort + segment arithmetic. Exact; per-partition rows bounded by
+      the event count itself.
+    - **two_phase** (above the bound, or unknown count): hash(user,
+      time-bucket) partitioning bounds any ONE user's rows per partition
+      (a bot user with 10^8 events cannot land on one worker), at the
+      cost of a second (boundary-only) shuffle.
 
     TWO-PHASE gap sessionization with NO per-user group and NO unbounded
     partition (the one-user-one-group formulation puts a single bot user
@@ -171,6 +192,56 @@ def sessionize(events_ds, gap_s: int = 1800,
     gap_u = gap_s * per_s
     span_u = bucket_span_s * per_s
     nbu = np.uint64(num_buckets)
+
+    if plan == "auto":
+        try:
+            n_events = events_ds.count()
+        except Exception:
+            n_events = None
+        plan = ("single" if n_events is not None
+                and n_events <= _SINGLE_PHASE_MAX_EVENTS else "two_phase")
+
+    def project_cols(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        s = t["start"].to_numpy(zero_copy_only=False)
+        sid = pa.array([f"{a}_{b}" for a, b in zip(u.tolist(), s.tolist())],
+                       type=pa.string())
+        return pa.table({
+            "user_id": t["u"],
+            "session_id": sid,
+            "session_start": t["start"].cast(ts_type),
+            "session_end": t["end"].cast(ts_type),
+            "n_events": t["n"],
+        })
+
+    if plan == "single":
+        def single_prep(t: pa.Table) -> pa.Table:
+            ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            u = t["user_id"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "u": pa.array(u), "tsv": pa.array(ts),
+                "bucket": pa.array(
+                    (u.astype(np.uint64) % nbu).astype(np.int32)),
+            })
+
+        def single_resolve(g: pa.Table) -> pa.Table:
+            u = g["u"].to_numpy(zero_copy_only=False)
+            ts = g["tsv"].to_numpy(zero_copy_only=False)
+            # tb == 0 degenerates the phase-A kernel to pure (user, gap)
+            # boundaries — the exact single-partition semantics
+            su, ss, se, sn, _ = _sessions_in_partition(
+                u, np.zeros_like(u), ts, gap_u)
+            return pa.table({"u": pa.array(su), "start": pa.array(ss),
+                             "end": pa.array(se), "n": pa.array(sn)})
+
+        return (events_ds.select_columns(["user_id", "ts"])
+                .map_batches(single_prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby("bucket")
+                .map_groups(single_resolve, batch_format="pyarrow")
+                .map_batches(project_cols, batch_format="pyarrow",
+                             zero_copy_batch=True))
 
     def phase_a_prep(t: pa.Table) -> pa.Table:
         ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -226,18 +297,5 @@ def sessionize(events_ds, gap_s: int = 1800,
               .groupby("bucket")
               .map_groups(phase_b, batch_format="pyarrow"))
 
-    def project(t: pa.Table) -> pa.Table:
-        u = t["u"].to_numpy(zero_copy_only=False)
-        s = t["start"].to_numpy(zero_copy_only=False)
-        sid = pa.array([f"{a}_{b}" for a, b in zip(u.tolist(), s.tolist())],
-                       type=pa.string())
-        return pa.table({
-            "user_id": t["u"],
-            "session_id": sid,
-            "session_start": t["start"].cast(ts_type),
-            "session_end": t["end"].cast(ts_type),
-            "n_events": t["n"],
-        })
-
     return interior.union(merged).map_batches(
-        project, batch_format="pyarrow", zero_copy_batch=True)
+        project_cols, batch_format="pyarrow", zero_copy_batch=True)

@@ -134,9 +134,11 @@ def test_sessionize(rd):
     assert sorted(out.n_events.tolist()) == [1, 2]
 
 
-def test_sessionize_matches_bruteforce(rd):
-    """Two-phase sessionization == single-pass per-user oracle on random
-    events whose gaps straddle the phase-A time-bucket boundaries."""
+@pytest.mark.parametrize("plan", ["single", "two_phase"])
+def test_sessionize_matches_bruteforce(rd, plan):
+    """BOTH sessionization plans == single-pass per-user oracle on random
+    events whose gaps straddle the phase-A time-bucket boundaries (the
+    auto dispatcher picks between them by stream size)."""
     from lsh_ray.stages.windows import sessionize
     rng = np.random.default_rng(7)
     n = 5000
@@ -146,7 +148,7 @@ def test_sessionize_matches_bruteforce(rd):
     ev = rd.from_arrow(pa.table({
         "user_id": pa.array(users, type=pa.int64()),
         "ts": pa.array(ts_s * 1_000_000, type=pa.timestamp("us"))}))
-    out = sessionize(ev, gap_s=1800).to_pandas()
+    out = sessionize(ev, gap_s=1800, plan=plan).to_pandas()
     # brute-force oracle
     import pandas as pd
     df = pd.DataFrame({"u": users, "s": ts_s}).sort_values(["u", "s"])
@@ -168,7 +170,9 @@ def test_sessionize_hot_user(rd):
     """A single pathological user (1M continuous events) must neither
     land on one worker as one giant group nor break session semantics:
     every event within the gap => exactly ONE session spanning all of
-    them, merged across many phase-A buckets."""
+    them, merged across many phase-A buckets. Forced onto the two-phase
+    plan — at production scale the auto dispatcher selects it, and this
+    is the plan whose skew-safety the test exists to prove."""
     from lsh_ray.stages.windows import sessionize
     n = 1_000_000
     step = 600  # 10 min < gap; session never breaks
@@ -176,7 +180,7 @@ def test_sessionize_hot_user(rd):
     ev = rd.from_arrow(pa.table({
         "user_id": pa.array(np.full(n, 7), type=pa.int64()),
         "ts": pa.array(ts_s * 1_000_000, type=pa.timestamp("us"))}))
-    out = sessionize(ev, gap_s=1800).to_pandas()
+    out = sessionize(ev, gap_s=1800, plan="two_phase").to_pandas()
     assert len(out) == 1
     assert int(out.n_events.iloc[0]) == n
     assert int(out.session_start.astype("int64").iloc[0]) == 0
