@@ -99,6 +99,29 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--threshold", type=float, default=0.7)
     _add_config_flags(p)
 
+    p = sub.add_parser("search", help="retrieve similar corpus docs per"
+                       " query doc (reference main.py:209-237 search flow;"
+                       " --matching-algorithm = the -ma kernel dispatch)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--queries", default=None,
+                   help="query documents parquet; default: plant the "
+                        "first --n-queries corpus docs as queries")
+    p.add_argument("--n-queries", type=int, default=5)
+    p.add_argument("--top-k", type=int, default=20,
+                   help="reference SHOW_TOP_X (constants.py:3)")
+    p.add_argument("--matching-algorithm", "-m", dest="matching_algorithm",
+                   default="jaccard",
+                   choices=["jaccard", "cosine", "manhattan", "ls",
+                            "bals", "ra", "ktra"])
+    p.add_argument("--confidence-threshold", type=float, default=None,
+                   help="clip gate value (reference lsh.py:385-412)")
+    p.add_argument("--threshold-file", default=None,
+                   help="JSON artifact from save_confidence_threshold "
+                        "(reference generated_files/confidence_threshold"
+                        ".txt analog); overrides --confidence-threshold")
+    _add_config_flags(p)
+
     p = sub.add_parser("knn", help="brute-force cosine top-k over an"
                        " embeddings parquet (vec_id, embedding)")
     p.add_argument("--input", required=True)
@@ -176,6 +199,48 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"output": args.output,
                               "pairs": pairs.count(),
                               "wall_s": round(time.time() - t0, 2)}))
+            return 0
+        if args.cmd == "search":
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            from lsh_ray.pipelines.search import (load_confidence_threshold,
+                                                  search)
+            if args.queries:
+                qds = read_documents_for_dedup(args.queries)
+            else:
+                # plant the first N corpus docs as queries with distinct
+                # identity (url rewrite) — the fixture-free smoke path
+                from lsh_ray.stages.normalize import batch_urls
+                n_q = args.n_queries
+
+                def plant(t: pa.Table) -> pa.Table:
+                    return pa.table({
+                        "url": pc.binary_join_element_wise(
+                            pa.array(["query://"] * t.num_rows),
+                            pc.cast(batch_urls(t), pa.string()), ""),
+                        "text": t["text"],
+                    })
+                qds = docs.limit(n_q).map_batches(
+                    plant, batch_format="pyarrow", zero_copy_batch=True)
+            thr = args.confidence_threshold
+            if args.threshold_file:
+                thr = load_confidence_threshold(args.threshold_file, cfg)
+            res = search(docs, qds, cfg, top_k=args.top_k,
+                         confidence_threshold=thr,
+                         kernel=args.matching_algorithm)
+            import os
+            os.makedirs(args.output, exist_ok=True)
+            out_path = os.path.join(args.output, "results.parquet")
+            import pyarrow.parquet as pq
+            pq.write_table(pa.Table.from_pandas(res, preserve_index=False),
+                           out_path)
+            print(json.dumps({
+                "output": out_path, "rows": len(res),
+                "queries": int(res["query_url"].nunique()) if len(res)
+                else 0,
+                "matching_algorithm": args.matching_algorithm,
+                "wall_s": round(time.time() - t0, 2)}))
             return 0
         if args.cmd == "knn":
             import numpy as np

@@ -647,8 +647,36 @@ def q_text_search(sf_dir: str):
         drop=True)
 
 
+def q_text_search_ls(sf_dir: str):
+    """Kernel-dispatch retrieval (reference -ma flag): same planted-query
+    flow as q_text_search but ranked by the LINEAR-SCALING kernel over
+    token sequences inside the distributed per-query map_groups. The
+    golden top-1 surface is SQL-predictable: a query's source document
+    has the identical token sequence, so its LS distance is exactly 0.0
+    and it outranks every organic candidate (distances ascending)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from lsh_ray.pipelines.search import search
+    docs = _read(f"{sf_dir}/documents.parquet",
+                 columns=["doc_id", "text", "lang"])
+    queries = docs.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.add(t.filter(pc.less(t["doc_id"], 5))["doc_id"],
+                             10_000_000),
+            "text": t.filter(pc.less(t["doc_id"], 5))["text"],
+            "lang": t.filter(pc.less(t["doc_id"], 5))["lang"],
+        }),
+        batch_format="pyarrow", zero_copy_batch=True)
+    res = search(docs, queries, CFG, top_k=5, kernel="ls")
+    top1 = res[res["rank"] == 1]
+    return top1[["query_url", "doc_url", "score", "rank"]].reset_index(
+        drop=True)
+
+
 QUERIES = {
     "text_search": q_text_search,
+    "text_search_ls": q_text_search_ls,
     "exact_dup_groups": q_exact_dup_groups,
     "exact_dedup": q_exact_dedup,
     "dedup_pairs": q_dedup_pairs,
@@ -684,8 +712,17 @@ QUERIES = {
     "knn_ivf": q_knn_ivf,
 }
 
-_TOKS = ("(SELECT doc_id, unnest(string_split_regex(lower(trim(text)), "
-         "'\\s+')) AS token FROM documents WHERE trim(text) <> '')")
+# tfidf-family token definition: maximal non-whitespace runs of the
+# lowercased text (RE2 '[^\t\n\f\r ]+' on BOTH sides — see
+# stages/text_stats.TOKEN_RUN_PATTERN, interpolated below). Empty docs
+# produce no rows (unnest of an empty list). The shingle CTEs keep their
+# own split (pinned to the dedup tokenizer's hash semantics).
+_TOKS = ("(SELECT doc_id, unnest(regexp_extract_all("
+         "lower(COALESCE(text, '')), '[^\\t\\n\\f\\r ]+')) AS token "
+         "FROM documents)")
+_N_TOKENFUL = ("(SELECT COUNT(*) AS n_docs FROM documents WHERE "
+               "len(regexp_extract_all(COALESCE(text, ''), "
+               "'[^\\t\\n\\f\\r ]+')) > 0)")
 
 # per-doc DISTINCT k-token shingles, exactly the engine's tokenizer
 # semantics (lower + \s+ split); the ' ' join is unambiguous because
@@ -811,8 +848,7 @@ ORACLE_SQL = {
         "FROM toks GROUP BY doc_id, token), "
         "df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks "
         "GROUP BY token), "
-        "n AS (SELECT COUNT(*) AS n_docs FROM documents "
-        "WHERE trim(text) <> '') "
+        "n AS " + _N_TOKENFUL + " "
         "SELECT tf.doc_id, tf.token, "
         "ROUND((tf.tf_count * 1.0 / tf.doc_len) * "
         "log2(n.n_docs * 1.0 / df.df), 6) AS tfidf "
@@ -885,8 +921,7 @@ ORACLE_SQL = {
         "FROM toks GROUP BY doc_id, token), "
         "df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks "
         "GROUP BY token), "
-        "n AS (SELECT COUNT(*) AS n_docs FROM documents "
-        "WHERE trim(text) <> '') "
+        "n AS " + _N_TOKENFUL + " "
         "SELECT token, MAX(ROUND((tf.tf_count * 1.0 / tf.doc_len) * "
         "log2(n.n_docs * 1.0 / df.df), 6)) AS max_tfidf "
         "FROM tf JOIN df USING (token) CROSS JOIN n GROUP BY token"),
@@ -897,8 +932,7 @@ ORACLE_SQL = {
         "FROM toks GROUP BY doc_id, token), "
         "df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks "
         "GROUP BY token), "
-        "n AS (SELECT COUNT(*) AS n_docs FROM documents "
-        "WHERE trim(text) <> '') "
+        "n AS " + _N_TOKENFUL + " "
         ", scored AS (SELECT tf.doc_id, tf.token, tf.tf_count, tf.doc_len, "
         "ROUND((tf.tf_count * 1.0 / tf.doc_len) * "
         "log2(n.n_docs * 1.0 / df.df), 6) AS tfidf "
@@ -998,6 +1032,12 @@ ORACLE_SQL = {
         "SELECT 'doc://' || CAST(doc_id + 10000000 AS VARCHAR) "
         "AS query_url, 'doc://' || CAST(doc_id AS VARCHAR) AS doc_url, "
         "CAST(1.0 AS DOUBLE) AS jaccard, CAST(1 AS BIGINT) AS rank "
+        "FROM documents WHERE doc_id < 5 AND trim(text) <> '' AND "
+        "len(string_split_regex(lower(trim(text)), '\\s+')) >= 5"),
+    "text_search_ls": (
+        "SELECT 'doc://' || CAST(doc_id + 10000000 AS VARCHAR) "
+        "AS query_url, 'doc://' || CAST(doc_id AS VARCHAR) AS doc_url, "
+        "CAST(0.0 AS DOUBLE) AS score, CAST(1 AS BIGINT) AS rank "
         "FROM documents WHERE doc_id < 5 AND trim(text) <> '' AND "
         "len(string_split_regex(lower(trim(text)), '\\s+')) >= 5"),
 }

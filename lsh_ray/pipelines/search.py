@@ -76,9 +76,104 @@ def _rank_group(g: pa.Table, top_k: int) -> pa.Table:
                                                    type=pa.float64())))
 
 
+def token_sequence(text: str) -> np.ndarray:
+    """Ordered numeric sequence for the alignment kernels: token hashes
+    folded into a bounded value range — the text analog of the
+    reference's MIDI pitch vectors (its kernels consume bounded ordered
+    numeric sequences, ``matching_algorithms.py:111-316``). Shared by the
+    distributed kernel-ranking path and driver-side ``rank_candidates``
+    so both rank identically."""
+    toks = (text or "").lower().split()
+    if not toks:
+        return np.zeros(0, dtype=np.float64)
+    h = hash_strings(np.array(toks, dtype=object))
+    return (h % np.uint64(128)).astype(np.float64)
+
+
+def _rank_group_kernel(g: pa.Table, top_k: int, kernel: str) -> pa.Table:
+    """Per-query ranking through the KERNELS registry (reference ``-ma``
+    dispatch, main.py:48-182 -> matching_algorithms.py:319-386):
+    distances ascending, similarities descending (``reverse_order``),
+    ties broken by target_id ascending. Candidate sets per query are
+    LSH-pruned and small, so the per-pair kernel call is the same
+    per-candidate work the reference does — inside one distributed
+    group, not on the driver."""
+    from lsh_ray.functions.kernels import KERNELS, SIMILARITY_KERNELS
+    fn = KERNELS[kernel]
+    sq = g["seq_q"].combine_chunks()
+    st = g["seq_t"].combine_chunks()
+    n = g.num_rows
+    scores = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        scores[i] = float(fn(np.asarray(sq[i].as_py(), dtype=np.float64),
+                             np.asarray(st[i].as_py(), dtype=np.float64)))
+    reverse = kernel in SIMILARITY_KERNELS
+    tid = g["target_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((tid, -scores if reverse else scores))[:top_k]
+    g = g.take(pa.array(order, type=pa.int64()))
+    kept = scores[order]
+    # confidence over kernel distances (similarities -> distances first),
+    # same relative-margin formula as the jaccard path
+    dists = np.clip(1.0 - kept, 1e-9, None) if reverse \
+        else np.clip(kept, 1e-9, None)
+    k = len(dists)
+    if k < 2:
+        conf = np.ones(k)
+    else:
+        others = dists.sum() - dists
+        conf = np.where(others > 0, (k - 1) * dists / others, 1.0)
+    return (g.drop_columns(["seq_q", "seq_t"])
+             .append_column("score", pa.array(kept, type=pa.float64()))
+             .append_column("rank", pa.array(
+                 np.arange(1, k + 1, dtype=np.int64)))
+             .append_column("confidence", pa.array(conf,
+                                                   type=pa.float64())))
+
+
+def _kernel_rank(oriented_ds, norm_ds, top_k: int, kernel: str):
+    """(query_id, target_id, n_band_hits, jaccard) candidates -> kernel-
+    ranked rows. Token sequences are fetched with a broadcast semi-join:
+    only the LSH-candidate doc ids (queries + their hits, a bounded set)
+    leave the corpus scan, then two bucketed joins attach the sequences
+    and a per-query ``map_groups`` scores through the registry."""
+    oriented = oriented_ds.materialize()
+    ids: set[int] = set()
+    for b in oriented.iter_batches(batch_size=65536,
+                                   batch_format="pyarrow"):
+        ids.update(b["query_id"].to_numpy(zero_copy_only=False).tolist())
+        ids.update(b["target_id"].to_numpy(zero_copy_only=False).tolist())
+    if not ids:
+        return oriented
+    part = np.sort(np.array(sorted(ids), dtype=np.uint64))
+    part_ref = ray.put(part)
+    seq_type = pa.list_(pa.float64())
+
+    def emit_seqs(t: pa.Table) -> pa.Table:
+        pr = ray.get(part_ref)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(pr, d), len(pr) - 1)
+        hit = pr[idx] == d
+        sub = t.filter(pa.array(hit))
+        seqs = [token_sequence(x) for x in sub["text"].to_pylist()]
+        return pa.table({
+            "doc_id": sub["doc_id"],
+            "seq": pa.array(seqs, type=seq_type),
+        })
+
+    seqs = norm_ds.select_columns(["doc_id", "text"]).map_batches(
+        emit_seqs, batch_format="pyarrow", zero_copy_batch=True)
+    j = bucket_join(oriented, seqs, "query_id", "doc_id", ["seq"],
+                    suffix="_q")
+    j = bucket_join(j, seqs, "target_id", "doc_id", ["seq"], suffix="_t")
+    return (j.groupby("query_id")
+            .map_groups(lambda g: _rank_group_kernel(g, top_k, kernel),
+                        batch_format="pyarrow"))
+
+
 def search(corpus_ds, queries_ds, config: PipelineConfig = DEFAULT_CONFIG,
            top_k: int = 20, confidence_threshold: float | None = None,
-           exclude_pairs: set[tuple[str, str]] | None = None):
+           exclude_pairs: set[tuple[str, str]] | None = None,
+           kernel: str = "jaccard"):
     """Retrieve the most similar corpus documents for each query document.
 
     ``corpus_ds`` / ``queries_ds``: document tables (url/doc_id + text).
@@ -94,7 +189,20 @@ def search(corpus_ds, queries_ds, config: PipelineConfig = DEFAULT_CONFIG,
 
     ``exclude_pairs``: (query_url, doc_url) pairs removed by an earlier
     cascade stage (reference ``removed_candidates``, lsh.py:498-525).
+
+    ``kernel``: matching algorithm from the KERNELS registry (reference
+    ``-ma`` flag, main.py:209-237). "jaccard" (default) ranks by the
+    exact shingle-set Jaccard verify already computed; any other kernel
+    (ls/bals/ra/ktra/manhattan/cosine) re-scores each LSH candidate pair
+    over the documents' token sequences inside a distributed per-query
+    ``map_groups`` — an extra ``score`` column carries the kernel value
+    (distance or similarity; ranking respects ``reverse_order``).
     """
+    if kernel not in ("jaccard",):
+        from lsh_ray.functions.kernels import KERNELS
+        if kernel not in KERNELS:
+            raise ValueError(f"unknown kernel {kernel!r}; "
+                             f"one of {sorted(KERNELS)}")
     qnorm = normalize(queries_ds, config).materialize()
     q_ids = set()
     for b in qnorm.iter_batches(batch_size=65536, batch_format="pyarrow"):
@@ -163,11 +271,14 @@ def search(corpus_ds, queries_ds, config: PipelineConfig = DEFAULT_CONFIG,
             out = out.filter(pa.array(~hit))
         return out
 
-    ranked = (ver.map_batches(orient, batch_format="pyarrow",
-                              zero_copy_batch=True)
-              .groupby("query_id")
-              .map_groups(lambda g: _rank_group(g, top_k),
-                          batch_format="pyarrow"))
+    oriented = ver.map_batches(orient, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    if kernel == "jaccard":
+        ranked = (oriented.groupby("query_id")
+                  .map_groups(lambda g: _rank_group(g, top_k),
+                              batch_format="pyarrow"))
+    else:
+        ranked = _kernel_rank(oriented, combined, top_k, kernel)
     # pin the (<= top_k x n_queries)-row ranked set; an empty result has
     # no schema, which the url joins cannot consume
     ranked = ranked.materialize()
@@ -183,14 +294,17 @@ def search(corpus_ds, queries_ds, config: PipelineConfig = DEFAULT_CONFIG,
                          suffix="_t")
 
     def project(t: pa.Table) -> pa.Table:
-        return pa.table({
+        cols = {
             "query_url": t["url_q"],
             "doc_url": t["url_t"],
             "n_band_hits": t["n_band_hits"].cast(pa.int64()),
             "jaccard": t["jaccard"].cast(pa.float64()),
             "rank": t["rank"],
             "confidence": t["confidence"],
-        })
+        }
+        if "score" in t.column_names:  # kernel-ranked path
+            cols["score"] = t["score"]
+        return pa.table(cols)
 
     # only the final <= top_k rows per query reach the driver
     out = ranked.map_batches(project, batch_format="pyarrow",
@@ -210,8 +324,8 @@ def search(corpus_ds, queries_ds, config: PipelineConfig = DEFAULT_CONFIG,
 def search_cascade(corpus_ds, queries_ds,
                    configs: list[PipelineConfig],
                    top_k: int = 20,
-                   confidence_threshold: float | None = None
-                   ) -> pd.DataFrame:
+                   confidence_threshold: float | None = None,
+                   kernel: str = "jaccard") -> pd.DataFrame:
     """Staged fine -> coarse retrieval (reference NLSH -> PLSH sweep,
     ``lsh.py:498-570``): search with the first config; queries whose
     top-1 confidence clears the trained gate are DONE; the rest re-search
@@ -224,7 +338,7 @@ def search_cascade(corpus_ds, queries_ds,
     for i, cfg in enumerate(configs):
         last = i == len(configs) - 1
         res = search(corpus_ds, pending, cfg, top_k=top_k,
-                     exclude_pairs=removed or None)
+                     exclude_pairs=removed or None, kernel=kernel)
         if confidence_threshold is None or last:
             accepted.append(res)
             break

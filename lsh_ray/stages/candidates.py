@@ -31,6 +31,7 @@ import pyarrow as pa
 
 from lsh_ray.config import PipelineConfig, coalesce_blocks
 from lsh_ray.functions.hashing import hash_pair
+from lsh_ray.stages.exchange import _lazy_remote
 
 _NUM_BUCKETS = 4096
 
@@ -516,72 +517,73 @@ def candidate_pairs_from_signatures(sigs_mat, config: PipelineConfig,
     return _fused_mixed_pairs(refs, config, W)
 
 
-def _fused_mixed_pairs(block_refs: list, config: PipelineConfig, W: int):
-    import ray
-
-    import ray.data
-
+@_lazy_remote
+def _emit_split_task(tab: pa.Table, W: int, bands: int,
+                     rows_per_band: int, num_perms: int):
     from lsh_ray.functions.hashing import splitmix64
     from lsh_ray.stages.banding import band_keys_from_minhash
-
-    bands, rows_per_band = config.bands, config.rows_per_band
-    num_perms = config.num_perms
-    cap, salt = config.group_size_cap, config.salt_buckets
-    min_band, min_chunk = config.min_band_hits, config.chunk_min_hits
-    Wu = np.uint64(W)
-
-    @ray.remote(num_returns=W)
-    def emit_split(tab: pa.Table):
-        n = tab.num_rows
-        doc_ids = tab["doc_id"].to_numpy(zero_copy_only=False)
-        mh = (tab["minhash"].combine_chunks().values
-              .to_numpy(zero_copy_only=False).reshape(n, num_perms))
-        bkeys = band_keys_from_minhash(mh, bands, rows_per_band).reshape(-1)
-        bdocs = np.repeat(doc_ids, bands)
-        if "chunk_keys" in tab.column_names:
-            ck = tab["chunk_keys"].combine_chunks()
-            coffs = ck.offsets.to_numpy(zero_copy_only=False).astype(
-                np.int64)
-            ckeys = ck.flatten().to_numpy(zero_copy_only=False).astype(
-                np.uint64)
-            cdocs = np.repeat(doc_ids, np.diff(coffs))
-        else:
-            ckeys = np.empty(0, dtype=np.uint64)
-            cdocs = np.empty(0, dtype=doc_ids.dtype)
-        keys = np.concatenate([bkeys, ckeys])
-        docs = np.concatenate([bdocs, cdocs]).astype(np.uint64)
-        fam = np.concatenate([np.zeros(len(bkeys), dtype=np.int8),
-                              np.ones(len(ckeys), dtype=np.int8)])
-        h = (splitmix64(keys) % Wu).astype(np.int64)
-        parts = _partition_arrays(h, W, (keys, docs, fam))
-        return parts if W > 1 else parts[0]
-
-    @ray.remote(num_returns=W)
-    def pairgen_split(*slices):
-        keys = np.concatenate([s[0] for s in slices])
-        docs = np.concatenate([s[1] for s in slices])
-        fam = np.concatenate([s[2] for s in slices])
-        ua, ub, bh, ch = _pairs_for_mixed_arrays(keys, docs, fam, cap,
-                                                 salt)
-        bh16 = np.minimum(bh, 32767).astype(np.int16)
-        ch16 = np.minimum(ch, 32767).astype(np.int16)
-        h = (hash_pair(ua, ub) % Wu).astype(np.int64)
-        parts = _partition_arrays(h, W, (ua, ub, bh16, ch16))
-        return parts if W > 1 else parts[0]
-
-    @ray.remote
-    def sum_gate(*slices) -> pa.Table:
-        a = np.concatenate([s[0] for s in slices])
-        b = np.concatenate([s[1] for s in slices])
-        bh = np.concatenate([s[2] for s in slices]).astype(np.int32)
-        ch = np.concatenate([s[3] for s in slices]).astype(np.int32)
-        return _sum_mixed_arrays(a, b, bh, ch, min_band, min_chunk)
-
-    splits = [emit_split.remote(r) for r in block_refs]
-    if W == 1:
-        outs = [sum_gate.remote(pairgen_split.remote(*splits))]
+    n = tab.num_rows
+    doc_ids = tab["doc_id"].to_numpy(zero_copy_only=False)
+    mh = (tab["minhash"].combine_chunks().values
+          .to_numpy(zero_copy_only=False).reshape(n, num_perms))
+    bkeys = band_keys_from_minhash(mh, bands, rows_per_band).reshape(-1)
+    bdocs = np.repeat(doc_ids, bands)
+    if "chunk_keys" in tab.column_names:
+        ck = tab["chunk_keys"].combine_chunks()
+        coffs = ck.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        ckeys = ck.flatten().to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        cdocs = np.repeat(doc_ids, np.diff(coffs))
     else:
-        mids = [pairgen_split.remote(*[s[w] for s in splits])
+        ckeys = np.empty(0, dtype=np.uint64)
+        cdocs = np.empty(0, dtype=doc_ids.dtype)
+    keys = np.concatenate([bkeys, ckeys])
+    docs = np.concatenate([bdocs, cdocs]).astype(np.uint64)
+    fam = np.concatenate([np.zeros(len(bkeys), dtype=np.int8),
+                          np.ones(len(ckeys), dtype=np.int8)])
+    h = (splitmix64(keys) % np.uint64(W)).astype(np.int64)
+    parts = _partition_arrays(h, W, (keys, docs, fam))
+    return parts if W > 1 else parts[0]
+
+
+@_lazy_remote
+def _pairgen_split_task(W: int, cap: int, salt: int, *slices):
+    keys = np.concatenate([s[0] for s in slices])
+    docs = np.concatenate([s[1] for s in slices])
+    fam = np.concatenate([s[2] for s in slices])
+    ua, ub, bh, ch = _pairs_for_mixed_arrays(keys, docs, fam, cap, salt)
+    bh16 = np.minimum(bh, 32767).astype(np.int16)
+    ch16 = np.minimum(ch, 32767).astype(np.int16)
+    h = (hash_pair(ua, ub) % np.uint64(W)).astype(np.int64)
+    parts = _partition_arrays(h, W, (ua, ub, bh16, ch16))
+    return parts if W > 1 else parts[0]
+
+
+@_lazy_remote
+def _sum_gate_task(min_band: int, min_chunk: int, *slices) -> pa.Table:
+    a = np.concatenate([s[0] for s in slices])
+    b = np.concatenate([s[1] for s in slices])
+    bh = np.concatenate([s[2] for s in slices]).astype(np.int32)
+    ch = np.concatenate([s[3] for s in slices]).astype(np.int32)
+    return _sum_mixed_arrays(a, b, bh, ch, min_band, min_chunk)
+
+
+def _fused_mixed_pairs(block_refs: list, config: PipelineConfig, W: int):
+    import ray.data
+
+    emit = _emit_split_task.options(num_returns=W)
+    pairgen = _pairgen_split_task.options(num_returns=W)
+    splits = [emit.remote(r, W, config.bands, config.rows_per_band,
+                          config.num_perms)
+              for r in block_refs]
+    mb, mc = config.min_band_hits, config.chunk_min_hits
+    cap, salt = config.group_size_cap, config.salt_buckets
+    if W == 1:
+        outs = [_sum_gate_task.remote(
+            mb, mc, pairgen.remote(W, cap, salt, *splits))]
+    else:
+        mids = [pairgen.remote(W, cap, salt, *[s[w] for s in splits])
                 for w in range(W)]
-        outs = [sum_gate.remote(*[m[w] for m in mids]) for w in range(W)]
+        outs = [_sum_gate_task.remote(mb, mc, *[m[w] for m in mids])
+                for w in range(W)]
     return ray.data.from_arrow_refs(outs)

@@ -26,7 +26,6 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Min
 
 # above this many edges the driver-side path refuses and clusters_table
 # falls back to the distributed large/small-star implementation
@@ -186,40 +185,68 @@ def connected_components_distributed(edges_ds, num_partitions: int = 32,
     min-neighbor pass labels every node. Converges in O(log^2 n) rounds
     even on pathological chains (hot-band chain pairs)."""
     edges = edges_ds.select_columns(["doc_a", "doc_b"]).materialize()
+    prev_cnt = None
     prev_fp = None
     for r in range(max_rounds):
         large = (r % 2 == 0)
         edges = _star_round(edges, large, num_partitions).materialize()
-        fp = _edge_fingerprint(edges)
-        if not large and fp == prev_fp:
-            break
-        if not large:
+        if large:
+            continue
+        # convergence check after each small-star round. The edge COUNT
+        # comes free from the materialized metadata; the full
+        # fingerprint read (one extra pass over the edge set per round)
+        # only runs once counts stop changing — counts still moving
+        # proves non-convergence without touching the data
+        cnt = edges.count()
+        if cnt == prev_cnt:
+            fp = _edge_fingerprint(edges)
+            if fp == prev_fp:
+                break
             prev_fp = fp
+        else:
+            prev_fp = None
+        prev_cnt = cnt
 
-    # stars: label(u) = min(u, neighbors)
+    # stars: label(u) = min(u, neighbors). Bucketed vectorized min — NOT
+    # ray.data's Min aggregate, which converts uint64 values > 2^63
+    # through Python ints and falls back to pickled-object columns
+    # (observed on 2.49; real doc_ids are full-range siphash64, so the
+    # aggregate path corrupts the labels exactly at production scale)
+    nb = np.uint64(1024)
+
     def both_dirs(t: pa.Table) -> pa.Table:
         a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
         b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
         return pa.table({
-            "src": pa.array(np.concatenate([a, b]), type=pa.uint64()),
-            "dst": pa.array(np.concatenate([b, a]), type=pa.uint64()),
+            "src": pa.array(src, type=pa.uint64()),
+            "dst": pa.array(dst, type=pa.uint64()),
+            "bucket": pa.array((src % nb).astype(np.int32)),
         })
 
+    def label_bucket(g: pa.Table) -> pa.Table:
+        src = g["src"].to_numpy(zero_copy_only=False)
+        dst = g["dst"].to_numpy(zero_copy_only=False)
+        if len(src) == 0:
+            return pa.table({"doc_id": pa.array([], pa.uint64()),
+                             "cluster_id": pa.array([], pa.uint64())})
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        new = np.concatenate(([True], src[1:] != src[:-1]))
+        firsts = np.flatnonzero(new)
+        u = src[firsts]
+        m = np.minimum(u, dst[firsts])  # dst sorted within group
+        return pa.table({"doc_id": pa.array(u, type=pa.uint64()),
+                         "cluster_id": pa.array(m, type=pa.uint64())})
+
+    from lsh_ray.stages.exchange import colocate_map, exchange_mode
     directed = edges.map_batches(both_dirs, batch_format="pyarrow",
                                  zero_copy_batch=True)
-    labels = directed.groupby("src").aggregate(
-        Min("dst", alias_name="nbr_min"))
-    return labels.map_batches(
-        lambda t: pa.table({
-            "doc_id": t["src"].cast(pa.uint64()),
-            "cluster_id": pa.array(
-                np.minimum(
-                    t["src"].to_numpy(zero_copy_only=False)
-                    .astype(np.uint64),
-                    t["nbr_min"].to_numpy(zero_copy_only=False)
-                    .astype(np.uint64)),
-                type=pa.uint64())}),
-        batch_format="pyarrow", zero_copy_batch=True)
+    if exchange_mode() == "sort":
+        return directed.groupby("bucket").map_groups(
+            label_bucket, batch_format="pyarrow")
+    return colocate_map(directed, ["src"], num_partitions, label_bucket)
 
 
 def clusters_table(edges_ds, distributed: bool | None = None):

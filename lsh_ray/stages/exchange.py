@@ -74,6 +74,35 @@ _DEFAULT_MODE = os.environ.get("LSH_RAY_EXCHANGE", "tasks")
 _TASKS_MAX_SLICES = 262_144
 
 
+def _lazy_remote(fn):
+    """Decorate ``fn`` into a lazily-registered Ray remote function.
+
+    MODULE-LEVEL remote functions are pickled + exported to workers once
+    per process; a ``@ray.remote`` defined inside a pipeline function is
+    re-exported on EVERY call (cloudpickle + GCS push + per-worker
+    import) — a fixed per-job cost the repeated-bench and scaling runs
+    pay on each invocation. Lazy so importing this module never touches
+    Ray."""
+    import functools
+    holder: dict = {}
+
+    def _rf():
+        if "rf" not in holder:
+            import ray as _ray
+            holder["rf"] = _ray.remote(fn)
+        return holder["rf"]
+
+    class _Handle:
+        def remote(self, *a, **k):
+            return _rf().remote(*a, **k)
+
+        def options(self, **opt):
+            return _rf().options(**opt)
+    h = _Handle()
+    functools.update_wrapper(h, fn, updated=())
+    return h
+
+
 def exchange_mode(explicit: str | None = None) -> str:
     """Resolve the exchange mode: an explicit caller choice (e.g. from
     ``PipelineConfig.exchange``, scale-resolved by run_dedup) wins, then

@@ -22,7 +22,6 @@ that unnecessary.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ray.data.aggregate import Count
@@ -32,37 +31,74 @@ from lsh_ray.functions.num import round_half_away
 from lsh_ray.stages.join import bucket_join
 
 
+_WS = "\t\n\f\r "  # explicit RE2 ASCII whitespace (see stages/text_stats)
+
+
+def _empty_token_rows() -> pa.Table:
+    return pa.table({"doc_id": pa.array([], pa.int64()),
+                     "token": pa.array([], pa.string()),
+                     "tf_count": pa.array([], pa.int64()),
+                     "doc_len": pa.array([], pa.int64())})
+
+
 def doc_token_rows(ds):
     """documents -> one row per DISTINCT (doc_id, token):
-    (doc_id, token, tf_count, doc_len). Vectorized token explosion with
-    per-batch pre-aggregation."""
-    def f(batch: pd.DataFrame) -> pa.Table:
-        toks = batch["text"].fillna("").str.lower().str.split()
-        lens = toks.str.len().astype("int64").to_numpy()
-        doc_ids = batch["doc_id"].to_numpy()
-        flat = np.empty(int(lens.sum()), dtype=object)
-        pos = 0
-        for t in toks:
-            flat[pos:pos + len(t)] = t
-            pos += len(t)
-        doc_rep = np.repeat(np.arange(len(lens)), lens)
-        if len(flat) == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "token": pa.array([], pa.string()),
-                             "tf_count": pa.array([], pa.int64()),
-                             "doc_len": pa.array([], pa.int64())})
-        # distinct (doc, token) + counts in one pass
-        df = pd.DataFrame({"d": doc_rep, "token": flat})
-        g = df.groupby(["d", "token"], sort=False).size().reset_index(
-            name="tf_count")
+    (doc_id, token, tf_count, doc_len).
+
+    Arrow-native end to end: lower/trim/split are RE2 C++ kernels (the
+    same engine and the same explicit ASCII class as the DuckDB oracle —
+    a token is a maximal non-whitespace run), and the per-batch distinct
+    (doc, token) pre-aggregation is one C++ table sort + vectorized
+    boundary arithmetic. No Python loop over docs, no pandas groupby
+    over object strings (the r3 hot spot on the most expensive query).
+    """
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.coalesce(batch["text"], ""))
+        trimmed = pc.utf8_trim(low, _WS)
+        lists = pc.split_pattern_regex(trimmed, f"[{_WS}]+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        flat = lists.flatten()
+        lens = np.diff(offs)
+        # splitting an empty string yields [""]: zero those docs out
+        empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        if empty.any():
+            keep_rows = np.ones(int(offs[-1]), dtype=bool)
+            keep_rows[offs[:-1][empty]] = False
+            flat = flat.filter(pa.array(keep_rows))
+            lens = lens.copy()
+            lens[empty] = 0
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        doc_rep = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        total = len(doc_rep)
+        if total == 0:
+            return _empty_token_rows()
+        pairs = pa.table({"d": pa.array(doc_rep), "token": flat})
+        order = pc.sort_indices(
+            pairs, sort_keys=[("d", "ascending"), ("token", "ascending")])
+        d_s = doc_rep[order.to_numpy(zero_copy_only=False)]
+        tok_s = flat.take(order)
+        if total > 1:
+            neq_tok = pc.not_equal(
+                tok_s.slice(1), tok_s.slice(0, total - 1)).to_numpy(
+                zero_copy_only=False)
+            new = np.concatenate(([True], (d_s[1:] != d_s[:-1]) | neq_tok))
+        else:
+            new = np.array([True])
+        firsts = np.flatnonzero(new)
+        counts = np.diff(np.concatenate((firsts, [total])))
         return pa.table({
-            "doc_id": pa.array(doc_ids[g["d"].to_numpy()]),
-            "token": pa.array(g["token"].to_numpy(), type=pa.string()),
-            "tf_count": pa.array(g["tf_count"].to_numpy(), type=pa.int64()),
-            "doc_len": pa.array(lens[g["d"].to_numpy()], type=pa.int64()),
+            "doc_id": pa.array(doc_ids[d_s[firsts]]),
+            "token": tok_s.take(pa.array(firsts, type=pa.int64())),
+            "tf_count": pa.array(counts.astype(np.int64)),
+            "doc_len": pa.array(lens[d_s[firsts]].astype(np.int64)),
         })
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        f, batch_format="pandas")
+        f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def token_df(doc_token_ds):
@@ -76,11 +112,19 @@ def scored_token_rows(ds, round_to: int = 6):
     (tf_count/doc_len ride along through the df join instead of being
     recomputed and joined back)."""
     rows = doc_token_rows(ds)
-    n_docs = ds.map_batches(
-        lambda t: pa.table({"n": pa.array(
-            [int((pd.Series(t["text"].to_pylist()).fillna("").str.strip()
-                  != "").sum())])}),
-        batch_format="pyarrow").sum("n")
+
+    def count_tokenful(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from lsh_ray.stages.text_stats import TOKEN_RUN_PATTERN
+        n_tok = pc.count_substring_regex(
+            pc.coalesce(t["text"], ""), TOKEN_RUN_PATTERN).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"n": pa.array([int((n_tok > 0).sum())])})
+
+    # N = docs with >= 1 token (same token definition as the explosion —
+    # NOT "trim(text) <> ''", which diverges on e.g. tab-only docs)
+    n_docs = ds.map_batches(count_tokenful, batch_format="pyarrow").sum("n")
     dfs = token_df(rows)
     joined = bucket_join(rows, dfs, "token", "token", ["df"],
                          suffix="_r", num_buckets=64)

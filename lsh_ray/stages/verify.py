@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 from lsh_ray.config import PipelineConfig
+from lsh_ray.stages.exchange import _lazy_remote
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
@@ -356,6 +357,41 @@ def verify_exchange(pairs_ds, signatures_ds, config: PipelineConfig):
                         mode=config.exchange)
 
 
+_VERIFY_COLS = ["shingles", "simhash"]
+
+
+@_lazy_remote
+def _locate_task(tab: pa.Table, pr: np.ndarray):
+    d = tab["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    idx = np.minimum(np.searchsorted(pr, d), len(pr) - 1)
+    hit = pr[idx] == d
+    return idx[hit].astype(np.int64), np.flatnonzero(hit)
+
+
+@_lazy_remote
+def _verify_cell_task(cfg, arow_t, brow_t, bcnt, da, db, hh,
+                      a_tab: pa.Table, *b_tabs: pa.Table) -> pa.Table:
+    rows_a = a_tab.select(_VERIFY_COLS).take(
+        pa.array(arow_t, type=pa.int64()))
+    off = np.concatenate(([0], np.cumsum(bcnt)))
+    parts = [b_tabs[j].select(_VERIFY_COLS).take(
+                pa.array(brow_t[off[j]:off[j + 1]], type=pa.int64()))
+             for j in range(len(b_tabs)) if bcnt[j]]
+    rows_b = pa.concat_tables(parts).combine_chunks()
+    jac, cont, ham, is_dup, is_sub = _pair_verdicts(rows_a, rows_b, cfg)
+    out = pa.table({
+        "doc_a": pa.array(da, type=pa.uint64()),
+        "doc_b": pa.array(db, type=pa.uint64()),
+        "n_band_hits": pa.array(hh, type=pa.int32()),
+        "jaccard": pa.array(jac, type=pa.float32()),
+        "containment": pa.array(cont, type=pa.float32()),
+        "hamming": pa.array(ham, type=pa.int32()),
+        "is_dup": pa.array(is_dup),
+        "is_substring_candidate": pa.array(is_sub),
+    })
+    return out.filter(pa.array(is_dup | is_sub))
+
+
 def _pairs_to_numpy(pairs_ds):
     """Pull the (tiny, fixed-width) candidate pair table to the driver as
     (doc_a, doc_b, n_band_hits) numpy arrays; None when empty. Shared by
@@ -538,14 +574,7 @@ def verify_blockpairs(pairs_ds, signatures_ds, config: PipelineConfig):
     part = np.unique(np.concatenate([doc_a, doc_b]))
     part_ref = ray.put(part)
 
-    @ray.remote
-    def locate(tab: pa.Table, pr: np.ndarray):
-        d = tab["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        idx = np.minimum(np.searchsorted(pr, d), len(pr) - 1)
-        hit = pr[idx] == d
-        return idx[hit].astype(np.int64), np.flatnonzero(hit)
-
-    locs = ray.get([locate.remote(r, part_ref) for r in block_refs])
+    locs = ray.get([_locate_task.remote(r, part_ref) for r in block_refs])
     part_blk = np.full(len(part), -1, dtype=np.int64)
     part_row = np.full(len(part), -1, dtype=np.int64)
     part_cnt = np.zeros(len(part), dtype=np.int64)
@@ -571,31 +600,6 @@ def verify_blockpairs(pairs_ds, signatures_ds, config: PipelineConfig):
     ablk, arow = part_blk[ia], part_row[ia]
     bblk, brow = part_blk[ib], part_row[ib]
 
-    cols = ["shingles", "simhash"]
-    cfg = config
-
-    @ray.remote
-    def verify_cell(arow_t, brow_t, bcnt, da, db, hh,
-                    a_tab: pa.Table, *b_tabs: pa.Table) -> pa.Table:
-        rows_a = a_tab.select(cols).take(pa.array(arow_t, type=pa.int64()))
-        off = np.concatenate(([0], np.cumsum(bcnt)))
-        parts = [b_tabs[j].select(cols).take(
-                    pa.array(brow_t[off[j]:off[j + 1]], type=pa.int64()))
-                 for j in range(len(b_tabs)) if bcnt[j]]
-        rows_b = pa.concat_tables(parts).combine_chunks()
-        jac, cont, ham, is_dup, is_sub = _pair_verdicts(rows_a, rows_b, cfg)
-        out = pa.table({
-            "doc_a": pa.array(da, type=pa.uint64()),
-            "doc_b": pa.array(db, type=pa.uint64()),
-            "n_band_hits": pa.array(hh, type=pa.int32()),
-            "jaccard": pa.array(jac, type=pa.float32()),
-            "containment": pa.array(cont, type=pa.float32()),
-            "hamming": pa.array(ham, type=pa.int32()),
-            "is_dup": pa.array(is_dup),
-            "is_substring_candidate": pa.array(is_sub),
-        })
-        return out.filter(pa.array(is_dup | is_sub))
-
     # group pairs by (a-block, then b-block): one take per source block
     # per task, pre-aligned so the b-side concat needs no reorder; chunk
     # large groups for load balance
@@ -615,9 +619,9 @@ def verify_blockpairs(pairs_ds, signatures_ds, config: PipelineConfig):
             need = np.unique(bblk[sel])
             local = np.searchsorted(need, bblk[sel])
             bcnt = np.bincount(local, minlength=len(need)).astype(np.int64)
-            outs.append(verify_cell.remote(
-                arow[sel], brow[sel], bcnt, doc_a[sel], doc_b[sel],
-                hits[sel], block_refs[blk_a],
+            outs.append(_verify_cell_task.remote(
+                config, arow[sel], brow[sel], bcnt, doc_a[sel],
+                doc_b[sel], hits[sel], block_refs[blk_a],
                 *[block_refs[int(j)] for j in need]))
     return ray.data.from_arrow_refs(outs)
 

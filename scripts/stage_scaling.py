@@ -72,10 +72,7 @@ def main() -> None:
     run_dedup(read_documents_for_dedup(
         corpus + "/documents").limit(2000), cfg).clusters.count()
 
-    from lsh_ray.stages.banding import band_rows
-    from lsh_ray.stages.candidates import (partial_mixed_pairs,
-                                           sum_mixed_pairs)
-    from lsh_ray.stages.chunking import chunk_rows_from_signatures
+    from lsh_ray.stages.candidates import candidate_pairs_from_signatures
     from lsh_ray.stages.cluster import clusters_table
     from lsh_ray.stages.minhash import signatures
     from lsh_ray.stages.normalize import normalize
@@ -95,10 +92,8 @@ def main() -> None:
             .materialize())
         cfg = dataclasses.replace(
             cfg, exchange="tasks" if n_docs <= 20_000_000 else "sort")
-        pairs = timed("candidates", lambda: sum_mixed_pairs(
-            partial_mixed_pairs(band_rows(sigs, cfg),
-                                chunk_rows_from_signatures(sigs, cfg), cfg),
-            cfg).materialize())
+        pairs = timed("candidates", lambda: candidate_pairs_from_signatures(
+            sigs, cfg).materialize())
         verified = timed("verify", lambda: verify(pairs, sigs, cfg)
                          .materialize())
         sub = timed("substring", lambda: substring_pass(

@@ -40,3 +40,34 @@ def test_cli_exact_subcommand(tmp_path):
     assert r["groups"] > 0
     tbl = pq.read_table(out)
     assert {"text_hash", "n_docs", "rep_doc_id"} <= set(tbl.column_names)
+
+
+def test_cli_search_subcommand(tmp_path):
+    """Planted-query search through the CLI with a kernel from the
+    registry (reference main.py search flow with -ma dispatch): each
+    planted query must retrieve its source doc at rank 1 (identical
+    token sequence => kernel distance 0)."""
+    out = str(tmp_path / "search")
+    r = _run(["search", "--input", f"{SF}/documents.parquet",
+              "--output", out, "--n-queries", "3", "--top-k", "5",
+              "--matching-algorithm", "ls", "--num-cpus", "4"])
+    assert r["matching_algorithm"] == "ls"
+    assert r["queries"] == 3
+    tbl = pq.read_table(r["output"]).to_pandas()
+    assert "score" in tbl.columns
+    top1 = tbl[tbl["rank"] == 1]
+    for q, d, s in zip(top1.query_url, top1.doc_url, top1.score):
+        assert q == "query://" + d
+        assert s == 0.0  # identical sequence -> zero ls distance
+
+
+def test_cli_search_threshold_file(tmp_path):
+    from lsh_ray.pipelines.search import save_confidence_threshold
+    thr_file = str(tmp_path / "thr.json")
+    # config hash must match the CLI's derived config -> save configless
+    save_confidence_threshold(thr_file, 0.25)
+    out = str(tmp_path / "search_thr")
+    r = _run(["search", "--input", f"{SF}/documents.parquet",
+              "--output", out, "--n-queries", "2",
+              "--threshold-file", thr_file, "--num-cpus", "4"])
+    assert r["rows"] >= 0

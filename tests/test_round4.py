@@ -235,3 +235,46 @@ def test_fused_candidates_match_unfused(rd, corpus_dir):
 
     assert len(fused) > 0
     assert canon(fused) == canon(unfused)
+
+
+# ------------------------- giant-scale fallbacks, end-to-end in one run ----
+
+def test_giant_scale_fallbacks_end_to_end(rd, corpus_dir, monkeypatch):
+    """Drive run_dedup once with every scale fallback FORCED — the sort
+    exchange above _TASKS_MAX_SLICES (here: 0), the two-exchange verify
+    plan above verify_broadcast_max_pairs (0), and distributed
+    large/small-star CC above DRIVER_EDGE_CAP (0) — and assert outputs
+    identical to the default fast-path run. This is the 10^12-doc path's
+    glue, previously only unit-tested on synthetic inputs."""
+    import dataclasses
+
+    from lsh_ray import config as config_mod
+    from lsh_ray.pipelines.dedup_pipeline import run_dedup
+    from lsh_ray.sources.readers import read_documents_for_dedup
+
+    cfg = config_mod.PipelineConfig(shuffle_coalesce_blocks=8)
+
+    def canon_pairs(res):
+        df = res.verified.to_pandas()
+        return sorted(map(tuple, df[["doc_a", "doc_b", "jaccard",
+                                     "is_dup"]].to_numpy().tolist()))
+
+    def canon_clusters(res):
+        df = res.clusters.to_pandas()
+        return sorted(map(tuple, df[["doc_id", "cluster_id"]]
+                          .to_numpy().tolist()))
+
+    docs = read_documents_for_dedup(corpus_dir + "/documents")
+    base = run_dedup(docs, cfg)
+    base_pairs, base_clusters = canon_pairs(base), canon_clusters(base)
+    assert len(base_pairs) > 0 and len(base_clusters) > 0
+
+    import lsh_ray.stages.cluster as cluster_mod
+    import lsh_ray.stages.exchange as exchange_mod
+    monkeypatch.setattr(exchange_mod, "_TASKS_MAX_SLICES", 0)
+    monkeypatch.setattr(cluster_mod, "DRIVER_EDGE_CAP", 0)
+    giant_cfg = dataclasses.replace(cfg, verify_broadcast_max_pairs=0)
+    giant = run_dedup(read_documents_for_dedup(corpus_dir + "/documents"),
+                      giant_cfg)
+    assert canon_pairs(giant) == base_pairs
+    assert canon_clusters(giant) == base_clusters

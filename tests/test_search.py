@@ -206,3 +206,45 @@ def test_search_cascade_recovers_failed_queries(ray_session):
     assert passed_q <= set(out.query_url)
     recovered = {q for q, _ in rejected} & set(out.query_url)
     assert recovered, "no rejected query recovered via stage 2"
+
+
+def test_search_kernel_dispatch_matches_rank_candidates(search_setup):
+    """Distributed kernel ranking (reference -ma dispatch) == driver-side
+    rank_candidates over the same token sequences, for a distance kernel
+    (ls) and the transposition-invariant one (ktra)."""
+    from lsh_ray.pipelines.search import search, token_sequence
+    corpus, queries, golden = search_setup
+    base = search(corpus, queries, top_k=10)  # jaccard candidate surface
+    corpus_txt = {r["url"]: r["text"] for r in corpus.take_all()}
+    query_txt = {r["url"]: r["text"] for r in queries.take_all()}
+    for kernel in ("ls", "ktra"):
+        got = search(corpus, queries, top_k=10, kernel=kernel)
+        assert "score" in got.columns
+        assert set(got.query_url) == set(base.query_url)
+        for q in sorted(set(got.query_url))[:5]:
+            sub = got[got.query_url == q].sort_values("rank")
+            cands = [(d, token_sequence(corpus_txt[d]))
+                     for d in base[base.query_url == q].doc_url]
+            expected = rank_candidates(token_sequence(query_txt[q]),
+                                       cands, kernel=kernel)
+            k = len(sub)
+            assert sub.doc_url.tolist() == [n for n, _ in expected][:k]
+            np.testing.assert_allclose(
+                sub.score.to_numpy(), [s for _, s in expected][:k],
+                rtol=1e-9)
+
+
+def test_search_kernel_similarity_orders_descending(search_setup):
+    from lsh_ray.pipelines.search import search
+    corpus, queries, _ = search_setup
+    got = search(corpus, queries, top_k=10, kernel="cosine")
+    for q, sub in got.groupby("query_url"):
+        s = sub.sort_values("rank").score.to_numpy()
+        assert (np.diff(s) <= 1e-12).all()  # similarity: descending
+
+
+def test_search_unknown_kernel_rejected(search_setup):
+    from lsh_ray.pipelines.search import search
+    corpus, queries, _ = search_setup
+    with pytest.raises(ValueError):
+        search(corpus, queries, kernel="nope")
