@@ -46,8 +46,9 @@ _OUT_COLS = ["query_url", "doc_url", "n_band_hits", "jaccard", "rank",
              "confidence"]
 
 
-def _empty_results() -> pd.DataFrame:
-    return pd.DataFrame(columns=_OUT_COLS)
+def _empty_results(kernel: str = "jaccard") -> pd.DataFrame:
+    cols = _OUT_COLS if kernel == "jaccard" else _OUT_COLS + ["score"]
+    return pd.DataFrame(columns=cols)
 
 
 def _rank_group(g: pa.Table, top_k: int) -> pa.Table:
@@ -208,7 +209,7 @@ def search(corpus_ds, queries_ds, config: PipelineConfig = DEFAULT_CONFIG,
     for b in qnorm.iter_batches(batch_size=65536, batch_format="pyarrow"):
         q_ids.update(b["doc_id"].to_numpy(zero_copy_only=False).tolist())
     if not q_ids:
-        return _empty_results()
+        return _empty_results(kernel)
     qid_sorted = np.array(sorted(q_ids), dtype=np.uint64)
     qid_ref = ray.put(qid_sorted)
 
@@ -283,7 +284,7 @@ def search(corpus_ds, queries_ds, config: PipelineConfig = DEFAULT_CONFIG,
     # no schema, which the url joins cannot consume
     ranked = ranked.materialize()
     if ranked.count() == 0:
-        return _empty_results()
+        return _empty_results(kernel)
 
     # url resolution: bucketed joins against the signature table (NOT a
     # driver-side dict — the corpus side is unbounded)
@@ -310,7 +311,7 @@ def search(corpus_ds, queries_ds, config: PipelineConfig = DEFAULT_CONFIG,
     out = ranked.map_batches(project, batch_format="pyarrow",
                              zero_copy_batch=True).to_pandas()
     if out.empty:
-        return _empty_results()
+        return _empty_results(kernel)
     out = out.sort_values(["query_url", "rank"]).reset_index(drop=True)
     if confidence_threshold is not None:
         # clip_false_candidates (lsh.py:400-407): candidates with
