@@ -26,7 +26,6 @@ from typing import Any
 import ray.data
 
 from lsh_ray.config import DEFAULT_CONFIG, PipelineConfig
-from lsh_ray.stages.cluster import clusters_table
 from lsh_ray.stages.minhash import signatures
 from lsh_ray.stages.normalize import normalize
 from lsh_ray.stages.shingle import shingle
@@ -138,14 +137,12 @@ def run_dedup(docs_ds, config: PipelineConfig = DEFAULT_CONFIG,
                                raw_ds=None if checkpoint_dir else docs_ds),
                 checkpoint_dir, "substring", config)
 
-    dup_edges = verified.map_batches(
-        lambda t: t.filter(t["is_dup"]).select(["doc_a", "doc_b"]),
-        batch_format="pyarrow", zero_copy_batch=True)
-    sub_edges = sub.map_batches(
-        lambda t: t.select(["doc_a", "doc_b"]),
-        batch_format="pyarrow", zero_copy_batch=True)
-    edges = dup_edges.union(sub_edges)
-    clusters = clusters_table(edges, distributed=distributed_cc)
+    # verified/sub are materialized (DAG forks): edge extraction runs as
+    # one raw task per pinned block instead of a dataset union job (the
+    # dataset path remains the distributed / oversized fallback inside)
+    from lsh_ray.stages.cluster import clusters_from_stage_outputs
+    clusters = clusters_from_stage_outputs(verified, sub,
+                                           distributed=distributed_cc)
     return DedupResult(
         normalized=normalized,
         signatures=sigs,

@@ -249,6 +249,85 @@ def connected_components_distributed(edges_ds, num_partitions: int = 32,
     return colocate_map(directed, ["src"], num_partitions, label_bucket)
 
 
+from lsh_ray.stages.exchange import _lazy_remote
+
+
+@_lazy_remote
+def _edge_extract_task(tab: pa.Table, dup_only: bool):
+    """One verified/substring block -> (doc_a, doc_b) uint64 edge arrays
+    (filtered to is_dup rows when asked). Copies so the result doesn't
+    pin the whole source block."""
+    if dup_only:
+        tab = tab.filter(tab["is_dup"])
+    return (tab["doc_a"].to_numpy(zero_copy_only=False).astype(
+                np.uint64, copy=True),
+            tab["doc_b"].to_numpy(zero_copy_only=False).astype(
+                np.uint64, copy=True))
+
+
+def clusters_from_stage_outputs(verified_ds, substring_ds,
+                                distributed: bool | None = None):
+    """verified + substring stage outputs -> cluster table, skipping the
+    Ray Data union/filter job when the driver path applies.
+
+    ``clusters_table`` pulls edges by EXECUTING a dataset pipeline (two
+    filter maps + a union + iter_batches) — ~0.7-1.3 s of per-job
+    executor floor at bench scale, paid even though both inputs are
+    already materialized at this boundary (run_dedup forks them). Here
+    one raw task per pinned block extracts its edge arrays directly.
+    The pre-filter row total (free, from block metadata) bounds the
+    edge count: above ``DRIVER_EDGE_CAP`` — or with ``distributed``
+    forced — the dataset-based path takes over unchanged.
+    """
+    import ray
+
+    if distributed:
+        return clusters_table(_edge_union(verified_ds, substring_ds),
+                              distributed=True)
+    try:
+        work = []  # (ref, dup_only)
+        total = 0
+        for ds, dup_only in ((verified_ds, True), (substring_ds, False)):
+            for bundle in ds.iter_internal_ref_bundles():
+                for ref, meta in zip(bundle.block_refs, bundle.metadata):
+                    if meta.num_rows is None:
+                        raise ValueError("unknown block size")
+                    total += meta.num_rows
+                    if meta.num_rows:
+                        work.append((ref, dup_only))
+        if distributed is None and total > DRIVER_EDGE_CAP:
+            raise ValueError("edge bound above driver cap")
+    except Exception:
+        return clusters_table(_edge_union(verified_ds, substring_ds),
+                              distributed=distributed)
+    if not work:
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.uint64()),
+                      "cluster_id": pa.array([], pa.uint64())}))
+    parts = ray.get([_edge_extract_task.remote(r, d) for r, d in work])
+    a = np.concatenate([p[0] for p in parts])
+    b = np.concatenate([p[1] for p in parts])
+    if len(a) == 0:
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.uint64()),
+                      "cluster_id": pa.array([], pa.uint64())}))
+    nodes, labels = _label_components(a, b)
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(nodes, type=pa.uint64()),
+                  "cluster_id": pa.array(labels, type=pa.uint64())}))
+
+
+def _edge_union(verified_ds, substring_ds):
+    """The dataset-expressed edge union (fallback / distributed path)."""
+    dup_edges = verified_ds.map_batches(
+        lambda t: t.filter(t["is_dup"]).select(["doc_a", "doc_b"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    sub_edges = substring_ds.map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return dup_edges.union(sub_edges)
+
+
 def clusters_table(edges_ds, distributed: bool | None = None):
     """Edges -> cluster assignment as a Ray Dataset (doc_id, cluster_id).
 
