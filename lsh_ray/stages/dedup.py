@@ -240,51 +240,56 @@ def ngram_jaccard_pairs(docs_ds, config: PipelineConfig, n: int = 3,
     from lsh_ray.config import coalesce_blocks
     from lsh_ray.stages.normalize import normalize
     from lsh_ray.stages.shingle import shingle
-    from lsh_ray.stages.verify import jaccard_and_containment
+    from lsh_ray.stages.verify import verify
 
     over = {"shingle_k": n, "shingle_stride": 1,
-            "jaccard_threshold": threshold}
+            # the verify kernel's is_dup gate IS the exact-Jaccard gate
+            # (float32 jaccard compared against the float64 threshold —
+            # DuckDB's REAL >= <literal> semantics); containment 2.0
+            # disables the substring surface
+            "jaccard_threshold": threshold,
+            "containment_threshold": 2.0}
     if exact:
         over["group_size_cap"] = 1 << 30
     cfg = dataclasses.replace(config, **over)
-    # forked twice (index rows + verify joins): materialize the one pass
+    # forked (index rows + verify gathers): materialize the one pass.
+    # A zero simhash column satisfies the shared verify kernel's schema
+    # (its hamming output is meaningless here and dropped).
     sigs = shingle(normalize(docs_ds, cfg), cfg) \
-        .select_columns(["doc_id", "url", "shingles"]).materialize()
+        .select_columns(["doc_id", "url", "shingles"]).map_batches(
+        lambda t: t.append_column(
+            "simhash", pa.array(np.zeros(t.num_rows, dtype=np.uint64))),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
     rows = sigs.select_columns(["doc_id", "shingles"]).map_batches(
         lambda t: _prefix_index_rows(t, threshold),
         batch_format="pyarrow", zero_copy_batch=True)
     pairs = candidate_pairs(rows, cfg)
+    # exact verification through the shared plan dispatcher: under the
+    # pair cap this is the zero-payload-shuffle block gather — the old
+    # plan shipped the full n-gram sets through TWO bucketed joins
+    ver = verify(pairs, sigs, cfg)
+    dup = ver.map_batches(
+        lambda t: t.filter(t["is_dup"]).select(
+            ["doc_a", "doc_b", "jaccard"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    # url resolution joins only the SURVIVING pairs (tiny surface)
     nb = coalesce_blocks(cfg)
-    j = bucket_join(pairs, sigs, "doc_a", "doc_id", ["url", "shingles"],
+    urls = sigs.select_columns(["doc_id", "url"])
+    j = bucket_join(dup, urls, "doc_a", "doc_id", ["url"],
                     suffix="_a", num_blocks=nb)
-    j = bucket_join(j, sigs, "doc_b", "doc_id", ["url", "shingles"],
+    j = bucket_join(j, urls, "doc_b", "doc_id", ["url"],
                     suffix="_b", num_blocks=nb)
 
-    def score(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"url_a": pa.array([], pa.string()),
-                             "url_b": pa.array([], pa.string()),
-                             "jaccard": pa.array([], pa.float32())})
-        sa = t["shingles_a"].combine_chunks()
-        sb = t["shingles_b"].combine_chunks()
-        offa = sa.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        offb = sb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        jac, _ = jaccard_and_containment(
-            sa.flatten().to_numpy(zero_copy_only=False), offa - offa[0],
-            sb.flatten().to_numpy(zero_copy_only=False), offb - offb[0])
-        # gate in float64 on the float32 value — exactly DuckDB's
-        # REAL >= <literal> semantics, threshold-agnostic
-        keep = jac.astype(np.float64) >= threshold
+    def finish(t: pa.Table) -> pa.Table:
         from lsh_ray.functions.num import string_pair_min_max
         lo, hi = string_pair_min_max(t["url_a"], t["url_b"])
-        out = pa.table({
+        return pa.table({
             "url_a": lo,
             "url_b": hi,
-            "jaccard": pa.array(jac, type=pa.float32()),
+            "jaccard": t["jaccard"],
         })
-        return out.filter(pa.array(keep))
 
-    return j.map_batches(score, batch_format="pyarrow",
+    return j.map_batches(finish, batch_format="pyarrow",
                          zero_copy_batch=True)
 
 
