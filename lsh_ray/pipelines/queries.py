@@ -427,14 +427,32 @@ def q_sessions(sf_dir: str):
 def q_lineitem_agg(sf_dir: str):
     import pyarrow as pa
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
     li = _read(f"{sf_dir}/lineitem.parquet",
                columns=["l_returnflag", "l_linestatus", "l_quantity",
                         "l_extendedprice"])
-    out = (li.groupby(["l_returnflag", "l_linestatus"])
-           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                      Sum("l_extendedprice", alias_name="sum_price"),
-                      Count(alias_name="n_rows")))
+
+    # map-side pre-aggregation (Arrow C++ group_by per batch): the
+    # (returnflag, linestatus) key space has 6 combinations, so each
+    # block collapses to <= 6 partial rows before the shuffle
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ([], "count_all")])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "q": g["l_quantity_sum"],
+            "p": g["l_extendedprice_sum"],
+            "n": g["count_all"].cast(pa.int64()),
+        })
+
+    out = (li.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("q", alias_name="sum_qty"),
+                      Sum("p", alias_name="sum_price"),
+                      Sum("n", alias_name="n_rows")))
 
     def round_batch(t: pa.Table) -> pa.Table:
         return pa.table({

@@ -13,7 +13,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Max, Sum
 
 
 def add_window_bucket(ds, window_s: int = 3600, ts_col: str = "ts"):
@@ -27,11 +27,30 @@ def add_window_bucket(ds, window_s: int = 3600, ts_col: str = "ts"):
 
 
 def tumbling_window_counts(events_ds, window_s: int = 3600):
-    """events -> (user_id, window_start, n_events, max_value)."""
+    """events -> (user_id, window_start, n_events, max_value).
+
+    Map-side pre-aggregation (Arrow C++ ``Table.group_by`` per batch)
+    collapses each block to one row per (user, window) BEFORE the
+    shuffle — the exchange then moves partials, not events (the same
+    partial/combine discipline as the hopping variant below)."""
     with_bucket = add_window_bucket(events_ds, window_s)
-    return (with_bucket.groupby(["user_id", "window_start"])
-            .aggregate(Count(alias_name="n_events"),
-                       Max("value", alias_name="max_value")))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["user_id", "window_start", "value"]).group_by(
+            ["user_id", "window_start"]).aggregate(
+            [("value", "max"), ([], "count_all")])
+        return pa.table({
+            "user_id": g["user_id"],
+            "window_start": g["window_start"],
+            "n": g["count_all"].cast(pa.int64()),
+            "vmax": g["value_max"],
+        })
+
+    return (with_bucket.map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+            .groupby(["user_id", "window_start"])
+            .aggregate(Sum("n", alias_name="n_events"),
+                       Max("vmax", alias_name="max_value")))
 
 
 def hopping_window_counts(events_ds, window_s: int = 3600,
