@@ -81,19 +81,29 @@ def run_dedup(docs_ds, config: PipelineConfig = DEFAULT_CONFIG,
     if checkpoint_dir:
         normalized = _fork(normalized, checkpoint_dir, "normalized", config)
     shingled = shingle(normalized, config)
-    # coalesce the signature table to the shuffle width BEFORE pinning it:
-    # every downstream consumer (banding/chunk maps, the verify union)
-    # then sees a block count matched to the exchange, instead of paying
-    # the superlinear many-small-blocks merge cost in each shuffle.
-    # combine_chunks makes each pinned block single-chunk: repartition
-    # concatenates upstream batches without merging buffers, and
-    # pa.Table.take on a 5-chunk block measures ~40x slower than on the
-    # combined block — the verify gather plan does thousands of them
+    # Pinned-block discipline: combine_chunks keeps every signature block
+    # single-chunk (pa.Table.take on a 5-chunk block measures ~40x slower
+    # than on the combined block — the verify gather plan does thousands
+    # of them; a no-op on the already-single-chunk map outputs).
+    # The coalescing repartition (a full extra copy pass of the signature
+    # table) is only worth it when the block count far exceeds the
+    # exchange width: the FUSED candidates path handles any block count
+    # (slice metadata is M x W), and the verify gather is per-block —
+    # only the generic sort-exchange fallback pays a superlinear
+    # many-small-blocks merge cost, so coalesce exactly when block
+    # explosion would hurt it (and bound M for the fused slice budget).
     from lsh_ray.config import coalesce_blocks
-    sigs = _fork(signatures(shingled, config)
-                 .repartition(coalesce_blocks(config))
-                 .map_batches(lambda t: t.combine_chunks(),
-                              batch_format="pyarrow", zero_copy_batch=True),
+    sig_ds = signatures(shingled, config)
+    W = coalesce_blocks(config)
+    try:
+        m = sig_ds._plan.initial_num_blocks()
+    except Exception:
+        m = None
+    if m is None or m > 4 * W:
+        sig_ds = sig_ds.repartition(W)
+    sigs = _fork(sig_ds.map_batches(lambda t: t.combine_chunks(),
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True),
                  checkpoint_dir, "signatures", config)
     if config.exchange == "auto":
         # resolve the shuffle-exchange implementation by measured
