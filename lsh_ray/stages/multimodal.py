@@ -2,10 +2,11 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata
 (mime, width/height, duration) — exactly how the 100 TB corpus carries
-them. The decode kernel is REAL for uncompressed 24-bit BMP images and
+them. The decode kernel is REAL for PNG (8-bit, all five scanline
+filters — DEFLATE is stdlib zlib), uncompressed 24-bit BMP images and
 16-bit PCM WAV audio (pure numpy decoders below — no codec library
-needed); compressed codecs (JPEG/PNG/MP3 — reference analog:
-essentia/music21 decoders, ``loader.py:69-83``) still need external
+needed); the remaining codecs (JPEG/MP3 — reference analog:
+essentia/music21 decoders, ``loader.py:69-83``) need external
 libraries absent from this environment and raise
 ``NotImplementedError`` at a clearly-marked boundary. The Ray-side plumbing — actor-pool signature, schema, small
 batch sizes for large payloads, output layout — is identical for every
@@ -237,6 +238,155 @@ def image_features(img: np.ndarray) -> np.ndarray:
     return np.concatenate([head, mean, std, mn, mx]).astype(np.float32)
 
 
+# ----------------------------------------------------------- PNG codec ----
+# Real PNG decode with zero external deps: the only compression inside a
+# PNG is DEFLATE (stdlib zlib); everything else is byte plumbing + the
+# five scanline filters, vectorized where the spec allows (None/Up fully;
+# Sub/Average/Paeth are sequential in the pixel dimension by definition,
+# looped per-pixel-column over whole-row numpy lanes). Covers the
+# non-interlaced 8-bit color types (gray / RGB / palette / gray+alpha /
+# RGBA) — the overwhelming majority of web-crawl PNGs. Interlaced
+# (Adam7) and 1/2/4/16-bit depths are rejected with ValueError.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (before palette expansion)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) chunks, bounds-checking declared lengths."""
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4: pos + 8]
+        if pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk (declared length "
+                             "exceeds payload)")
+        yield ctype, payload[pos + 8: pos + 8 + length]
+        if ctype == b"IEND":
+            return
+        pos += 12 + length
+    raise ValueError("truncated PNG payload (no IEND)")
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters -> (h, w*bpp) uint8.
+
+    ``raw`` is the inflated stream reshaped to (h, 1 + w*bpp): one filter
+    byte then the filtered scanline. Arithmetic is mod-256 (uint8 wrap),
+    exactly as the spec defines."""
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].copy()
+        if ftype == 0:                      # None
+            pass
+        elif ftype == 2:                    # Up — vectorized whole-row
+            line += prev
+        elif ftype == 1:                    # Sub — cumsum mod 256 per
+            # channel lane (addition mod 256 distributes over the scan)
+            lanes = line.astype(np.int64).reshape(-1, bpp)
+            line = (np.cumsum(lanes, axis=0) & 0xFF).astype(
+                np.uint8).reshape(stride)
+        elif ftype == 3:                    # Average
+            for x in range(stride):
+                left = int(line[x - bpp]) if x >= bpp else 0
+                line[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:                    # Paeth
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
+                    (b if pb_ <= pc_ else c)
+                line[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = line
+        prev = line
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W, 3) uint8 RGB. Pure numpy + stdlib zlib."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    width = height = None
+    bit_depth = color_type = interlace = None
+    palette = None
+    idat = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace \
+                = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG format (bit depth {bit_depth}, "
+                         f"color type {color_type}); 8-bit gray/RGB/"
+                         "palette/gray+alpha/RGBA supported")
+    bpp = _PNG_CHANNELS[color_type]
+    try:
+        stream = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    expect = height * (1 + width * bpp)
+    if len(stream) != expect:
+        raise ValueError("PNG pixel stream length mismatch (truncated or "
+                         "size-lying IHDR)")
+    raw = np.frombuffer(stream, dtype=np.uint8).reshape(
+        height, 1 + width * bpp)
+    flat = _png_unfilter(raw, height, width, bpp)
+    px = flat.reshape(height, width, bpp)
+    if color_type == 2:                     # RGB
+        return px
+    if color_type == 6:                     # RGBA -> drop alpha
+        return np.ascontiguousarray(px[:, :, :3])
+    if color_type == 0:                     # gray
+        return np.repeat(px, 3, axis=2)
+    if color_type == 4:                     # gray+alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    if palette is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    idx = px[:, :, 0]
+    if int(idx.max(initial=0)) >= len(palette):
+        raise ValueError("PNG palette index out of range")
+    return palette[idx]
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> PNG bytes (filter 0 rows, one IDAT)."""
+    import zlib
+
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_png expects (H, W, 3) RGB")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), img.reshape(h, w * 3)],
+        axis=1).tobytes()
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
 def _decompress_payload(payload: bytes, max_depth: int = 2) -> bytes:
     """Strip stdlib compression wrappers (gzip/zlib/xz/bz2, detected by
     magic bytes) before codec dispatch — the most common Common-Crawl
@@ -270,9 +420,9 @@ class BinaryDecodeStage:
     """Actor-pool stage: decode binary payloads into fixed-size features.
 
     Compression wrappers (gzip/zlib/xz/bz2) are stripped by magic bytes
-    first (stdlib — ``_decompress_payload``); BMP / PCM-WAV / BMPV
+    first (stdlib — ``_decompress_payload``); PNG / BMP / PCM-WAV / BMPV
     payloads then decode for real via the numpy codecs above. Only
-    genuinely-unavailable compressed CODECS (JPEG/PNG/MP3) remain behind
+    genuinely-unavailable compressed CODECS (JPEG/MP3) remain behind
     the marked boundary below — their libraries would load once per
     actor in ``__init__``.
     """
@@ -287,6 +437,8 @@ class BinaryDecodeStage:
     def _decode_one(self, payload: bytes) -> np.ndarray:
         if not self.use_fake_decoder:
             payload = _decompress_payload(payload)
+            if payload[:8] == _PNG_SIG:
+                return image_features(decode_png(payload))
             if payload[:4] == b"BMPV":  # before "BM": shared prefix
                 return video_features(payload)
             if payload[:2] == b"BM":
@@ -294,11 +446,10 @@ class BinaryDecodeStage:
             if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                 return audio_features(*decode_wav(payload))
             raise NotImplementedError(
-                "compressed image/audio CODECS (JPEG/PNG/MP3) require "
-                "libraries not present in this environment; gzip/zlib/"
-                "xz/bz2 wrappers and BMP / PCM WAV / BMPV payloads decode "
-                "natively, or construct with use_fake_decoder=True for "
-                "the stand-in")
+                "JPEG/MP3 CODECS require libraries not present in this "
+                "environment; gzip/zlib/xz/bz2 wrappers and PNG / BMP / "
+                "PCM WAV / BMPV payloads decode natively, or construct "
+                "with use_fake_decoder=True for the stand-in")
         # deterministic fake: md5-seeded byte statistics as "features"
         digest = hashlib.md5(payload).digest()
         base = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
