@@ -692,6 +692,23 @@ def q_text_search_ls(sf_dir: str):
         drop=True)
 
 
+def q_doc_split_assign(sf_dir: str):
+    """Reproducible train/val/test assignment: a pure function of
+    md5(str(doc_id)), so every node, every re-run and the DuckDB oracle
+    agree row-for-row with no RNG state or coordination."""
+    from lsh_ray.stages.sampling import assign_split
+    return assign_split(_read(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id"]))
+
+
+def q_doc_hash_sample(sf_dir: str):
+    """Deterministic ~5% subsample ('0d' = 13/256 md5 buckets): the
+    fixed-rate eval-subset operator, shuffle-free and resumable."""
+    from lsh_ray.stages.sampling import hash_sample
+    return hash_sample(_read(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "n_chars"]), "0d")
+
+
 QUERIES = {
     "text_search": q_text_search,
     "text_search_ls": q_text_search_ls,
@@ -728,6 +745,8 @@ QUERIES = {
     "knn_topk": q_knn_topk,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
+    "doc_split_assign": q_doc_split_assign,
+    "doc_hash_sample": q_doc_hash_sample,
 }
 
 # tfidf-family token definition: maximal non-whitespace runs of the
@@ -932,6 +951,15 @@ ORACLE_SQL = {
         "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY "
         "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
         "CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id ASC) <= 10"),
+    "doc_split_assign": (
+        "SELECT doc_id, CASE "
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' "
+        "THEN 'train' "
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' "
+        "THEN 'val' ELSE 'test' END AS split FROM documents"),
+    "doc_hash_sample": (
+        "SELECT doc_id, n_chars FROM documents "
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'"),
     "token_max_tfidf": (
         "WITH toks AS " + _TOKS + ", "
         "tf AS (SELECT doc_id, token, COUNT(*) AS tf_count, "

@@ -1,0 +1,71 @@
+"""Deterministic hash-based sampling and split assignment.
+
+Corpus-curation operators a training-data pipeline needs at 100 TB:
+reproducible train/val/test splits and fixed-rate subsamples that are
+pure functions of a stable key — no RNG state, no coordination, no
+shuffle. Every worker computes the same answer for the same row, so the
+operator is embarrassingly parallel (one `map_batches` pass over a
+single projected column) and re-runs / resumed runs assign identically.
+
+The hash is md5 of the DECIMAL STRING of the key (not the raw int64
+bytes) so a DuckDB oracle can recompute it exactly:
+``md5(CAST(doc_id AS VARCHAR))``. Bucketing compares the first two hex
+chars lexicographically — 256 equal buckets, exact in both engines with
+no hex→int conversion (reference analog: the seeded permutation
+reproducibility contract, ``lsh.py`` signature seeds).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+# first-two-hex-chars thresholds: 256 buckets, lexicographic compare.
+# 'cc' = 204/256 = 79.7% train; 'e6' = 230/256 → 10.2% val; rest test.
+SPLIT_THRESHOLDS = (("train", "cc"), ("val", "e6"), ("test", None))
+
+
+def _key_buckets(keys) -> np.ndarray:
+    """int64 keys -> first-two-hex-chars of md5(str(key)), as '<U2'."""
+    # md5 is per-row in Python by nature; everything around it stays
+    # vectorized and the per-batch cost is bounded by batch size
+    return np.array([hashlib.md5(str(k).encode()).hexdigest()[:2]
+                     for k in keys], dtype="<U2")
+
+
+def assign_split_batch(batch: pa.Table,
+                       key_col: str = "doc_id") -> pa.Table:
+    """(key) -> (key, split) with deterministic md5-bucket assignment."""
+    b = _key_buckets(batch[key_col].to_pylist())
+    split = np.where(b < SPLIT_THRESHOLDS[0][1], SPLIT_THRESHOLDS[0][0],
+                     np.where(b < SPLIT_THRESHOLDS[1][1],
+                              SPLIT_THRESHOLDS[1][0],
+                              SPLIT_THRESHOLDS[2][0]))
+    return pa.table({key_col: batch[key_col],
+                     "split": pa.array(split.tolist(), type=pa.string())})
+
+
+def assign_split(ds, key_col: str = "doc_id"):
+    """Dataset -> (key, split): reproducible train/val/test assignment."""
+    return ds.select_columns([key_col]).map_batches(
+        assign_split_batch, batch_format="pyarrow",
+        fn_kwargs={"key_col": key_col})
+
+
+def hash_sample(ds, rate_bucket_hex: str, key_col: str = "doc_id"):
+    """Keep rows whose md5 bucket < ``rate_bucket_hex`` (two hex chars).
+
+    A deterministic subsample: '0d' keeps 13/256 ≈ 5.1%, '80' keeps
+    exactly 50%. Same key ⇒ same decision on every run and every node.
+    """
+    if len(rate_bucket_hex) != 2:
+        raise ValueError("rate_bucket_hex must be two hex chars "
+                         "(e.g. '0d' ~ 5%)")
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        b = _key_buckets(batch[key_col].to_pylist())
+        return batch.filter(pa.array(b < rate_bucket_hex))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")

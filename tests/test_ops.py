@@ -346,6 +346,37 @@ def test_multimodal_real_png_decode_end_to_end(rd):
     np.testing.assert_allclose(png_feats, bmp_feats)
 
 
+def test_hash_split_and_sample_deterministic(rd):
+    import hashlib
+    import ray
+    from lsh_ray.stages.sampling import assign_split, hash_sample
+    ids = list(range(1000))
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(
+        ids, type=pa.int64()), "n_chars": pa.array(ids, type=pa.int64())}))
+    out = assign_split(ds).to_pandas().sort_values("doc_id")
+    # pure function of the key: recompute by hand
+    expect = []
+    for i in ids:
+        b = hashlib.md5(str(i).encode()).hexdigest()[:2]
+        expect.append("train" if b < "cc" else ("val" if b < "e6"
+                                                else "test"))
+    assert out["split"].tolist() == expect
+    # proportions land near 80/10/10 (md5 uniformity)
+    counts = out["split"].value_counts()
+    assert 0.75 < counts["train"] / 1000 < 0.85
+    # second run identical (no RNG state)
+    out2 = assign_split(ds).to_pandas().sort_values("doc_id")
+    assert out2["split"].tolist() == expect
+
+    sampled = hash_sample(ds, "80").to_pandas()  # exactly buckets < 128
+    kept = {i for i in ids
+            if hashlib.md5(str(i).encode()).hexdigest()[:2] < "80"}
+    assert set(sampled["doc_id"]) == kept
+    assert list(sampled.columns) == ["doc_id", "n_chars"]
+    with pytest.raises(ValueError):
+        hash_sample(ds, "abc")
+
+
 def test_bmp_roundtrip_and_variants():
     from lsh_ray.stages.multimodal import decode_bmp, encode_bmp
     rng = np.random.default_rng(11)
