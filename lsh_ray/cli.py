@@ -211,15 +211,20 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 # plant the first N corpus docs as queries with distinct
                 # identity (url rewrite) — the fixture-free smoke path
-                from lsh_ray.stages.normalize import batch_urls
+                from lsh_ray.stages.normalize import normalize_batch
                 n_q = args.n_queries
 
                 def plant(t: pa.Table) -> pa.Table:
+                    # normalize first: html-only corpora (no 'text'
+                    # column) get the same extraction fallback as every
+                    # other subcommand; text corpora pass through
+                    # byte-identical (test_normalize M13 invariant)
+                    nt = normalize_batch(t)
                     return pa.table({
                         "url": pc.binary_join_element_wise(
-                            pa.array(["query://"] * t.num_rows),
-                            pc.cast(batch_urls(t), pa.string()), ""),
-                        "text": t["text"],
+                            pa.array(["query://"] * nt.num_rows),
+                            nt["url"], ""),
+                        "text": nt["text"],
                     })
                 qds = docs.limit(n_q).map_batches(
                     plant, batch_format="pyarrow", zero_copy_batch=True)

@@ -750,16 +750,19 @@ QUERIES = {
 }
 
 # tfidf-family token definition: maximal non-whitespace runs of the
-# lowercased text (RE2 '[^\t\n\f\r ]+' on BOTH sides — see
-# stages/text_stats.TOKEN_RUN_PATTERN, interpolated below). Empty docs
-# produce no rows (unnest of an empty list). The shingle CTEs keep their
-# own split (pinned to the dedup tokenizer's hash semantics).
+# lowercased text — the ONE shared pattern (stages/text_stats.
+# TOKEN_RUN_PATTERN), interpolated so an edit there cannot silently
+# leave these oracles behind. Empty docs produce no rows (unnest of an
+# empty list). The shingle CTEs keep their own split (pinned to the
+# dedup tokenizer's hash semantics).
+from lsh_ray.stages.text_stats import TOKEN_RUN_PATTERN as _TOKPAT
+
 _TOKS = ("(SELECT doc_id, unnest(regexp_extract_all("
-         "lower(COALESCE(text, '')), '[^\\t\\n\\f\\r ]+')) AS token "
+         f"lower(COALESCE(text, '')), '{_TOKPAT}')) AS token "
          "FROM documents)")
 _N_TOKENFUL = ("(SELECT COUNT(*) AS n_docs FROM documents WHERE "
-               "len(regexp_extract_all(COALESCE(text, ''), "
-               "'[^\\t\\n\\f\\r ]+')) > 0)")
+               f"len(regexp_extract_all(COALESCE(text, ''), "
+               f"'{_TOKPAT}')) > 0)")
 
 # per-doc DISTINCT k-token shingles, exactly the engine's tokenizer
 # semantics (lower + \s+ split); the ' ' join is unambiguous because

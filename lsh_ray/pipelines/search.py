@@ -161,8 +161,13 @@ def _kernel_rank(oriented_ds, norm_ds, top_k: int, kernel: str):
             "seq": pa.array(seqs, type=seq_type),
         })
 
+    # materialize: both bucket_joins consume `seqs`, and without pinning
+    # each would re-execute the full corpus normalize+tokenize scan. The
+    # surviving rows are only the LSH-candidate ids — tiny by the
+    # semi-join's construction — so pinning is O(candidates), not O(corpus)
     seqs = norm_ds.select_columns(["doc_id", "text"]).map_batches(
-        emit_seqs, batch_format="pyarrow", zero_copy_batch=True)
+        emit_seqs, batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
     j = bucket_join(oriented, seqs, "query_id", "doc_id", ["seq"],
                     suffix="_q")
     j = bucket_join(j, seqs, "target_id", "doc_id", ["seq"], suffix="_t")

@@ -343,6 +343,15 @@ def _sum_mixed_arrays(a: np.ndarray, b: np.ndarray, bh: np.ndarray,
     if len(a) == 0:
         return _empty_pairs_summed()
     ua, ub, (band_sum, chunk_sum) = _dedup_pairs_with_counts(a, b, bh, ch)
+    # saturate each family's sum at int16 max: the fused plan ships
+    # SATURATING int16 partials, so without this clamp a pair whose
+    # per-partition partial exceeds 32767 would sum differently under
+    # the fused vs generic plans. With the clamp they are provably
+    # identical: a partial only saturates when the true total already
+    # exceeds 32767, and both plans then land exactly ON 32767. The
+    # gate is unaffected (min_band/min_chunk are single digits).
+    band_sum = np.minimum(band_sum, 32767)
+    chunk_sum = np.minimum(chunk_sum, 32767)
     keep = (band_sum >= min_band) | (chunk_sum >= min_chunk)
     return pa.table({
         "doc_a": pa.array(ua[keep], type=pa.uint64()),

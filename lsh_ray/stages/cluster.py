@@ -293,10 +293,13 @@ def clusters_from_stage_outputs(verified_ds, substring_ds,
                     if meta.num_rows is None:
                         raise ValueError("unknown block size")
                     total += meta.num_rows
+                    # check the cap as soon as it is crossed: stop
+                    # consuming ref bundles (and pinning refs) the
+                    # moment the driver path is ruled out
+                    if distributed is None and total > DRIVER_EDGE_CAP:
+                        raise ValueError("edge bound above driver cap")
                     if meta.num_rows:
                         work.append((ref, dup_only))
-        if distributed is None and total > DRIVER_EDGE_CAP:
-            raise ValueError("edge bound above driver cap")
     except Exception:
         return clusters_table(_edge_union(verified_ds, substring_ds),
                               distributed=distributed)

@@ -142,8 +142,12 @@ def _verify_batch(batch: pa.Table, config: PipelineConfig) -> pa.Table:
     ham = _popcount64(
         batch["simhash_a"].to_numpy(zero_copy_only=False)
         ^ batch["simhash_b"].to_numpy(zero_copy_only=False)).astype(np.int32)
-    is_dup = jac >= config.jaccard_threshold
-    is_sub = (~is_dup) & (cont >= config.containment_threshold)
+    # gate in float64: numpy would otherwise cast the threshold DOWN to
+    # float32 (0.7 -> 0.69999998...), admitting boundary pairs the
+    # DuckDB oracle (REAL promoted to DOUBLE >= literal) excludes
+    is_dup = jac.astype(np.float64) >= config.jaccard_threshold
+    is_sub = (~is_dup) & (cont.astype(np.float64)
+                          >= config.containment_threshold)
     out = pa.table({
         "doc_a": batch["doc_a"],
         "doc_b": batch["doc_b"],
@@ -185,8 +189,10 @@ def _pair_verdicts(rows_a: pa.Table, rows_b: pa.Table,
         rows_a["simhash"].to_numpy(zero_copy_only=False)
         ^ rows_b["simhash"].to_numpy(zero_copy_only=False)
     ).astype(np.int32)
-    is_dup = jac >= cfg.jaccard_threshold
-    is_sub = (~is_dup) & (cont >= cfg.containment_threshold)
+    # float64 gate — same oracle-parity reasoning as _verify_batch
+    is_dup = jac.astype(np.float64) >= cfg.jaccard_threshold
+    is_sub = (~is_dup) & (cont.astype(np.float64)
+                          >= cfg.containment_threshold)
     return jac, cont, ham, is_dup, is_sub
 
 
@@ -321,12 +327,15 @@ def verify_exchange(pairs_ds, signatures_ds, config: PipelineConfig):
         lk = eps["key"].to_numpy(zero_copy_only=False)
         idx = np.searchsorted(rks, lk)
         idx[idx == len(rks)] = max(len(rks) - 1, 0)
-        hit = rks[idx] == lk if len(rks) else np.zeros(len(lk), bool)
-        # a doc_id present in MULTIPLE signature rows (duplicate urls
-        # hashing to one id) has no well-defined endpoint row: drop its
-        # pairs instead of attaching an arbitrary row — the same policy
-        # as verify_blockpairs, so the plans stay output-identical
-        hit &= ~_dup_mask(rks)[idx]
+        if len(rks):
+            # a doc_id present in MULTIPLE signature rows (duplicate
+            # urls hashing to one id) has no well-defined endpoint row:
+            # drop its pairs instead of attaching an arbitrary row —
+            # the same policy as verify_blockpairs, so the plans stay
+            # output-identical
+            hit = (rks[idx] == lk) & ~_dup_mask(rks)[idx]
+        else:
+            hit = np.zeros(len(lk), bool)
         eps_hit = eps.filter(pa.array(hit))
         taken = sigs.take(pa.array(order[idx[hit]], type=pa.int64()))
         return pa.table({
@@ -749,6 +758,10 @@ def verify_from_partial(partial_pairs_ds, signatures_ds,
         ch = np.bincount(
             grp, weights=eps["chunk_hits"].to_numpy(
                 zero_copy_only=False)[order]).astype(np.int32)
+        # same int16-max saturation as _sum_mixed_arrays so every sum
+        # site surfaces identical n_band_hits regardless of plan
+        bh = np.minimum(bh, 32767)
+        ch = np.minimum(ch, 32767)
         keep_grp = (bh >= min_band) | (ch >= min_chunk)
         first = np.flatnonzero(new)
         sel = first[keep_grp]
@@ -760,10 +773,12 @@ def verify_from_partial(partial_pairs_ds, signatures_ds,
         lk = eps_u["key"].to_numpy(zero_copy_only=False)
         idx = np.searchsorted(rks, lk)
         idx[idx == len(rks)] = max(len(rks) - 1, 0)
-        hit = rks[idx] == lk if len(rks) else np.zeros(len(lk), bool)
-        # multi-row doc_ids have no well-defined endpoint row: drop
-        # (same policy as every other verify plan)
-        hit &= ~_dup_mask(rks)[idx]
+        if len(rks):
+            # multi-row doc_ids have no well-defined endpoint row: drop
+            # (same policy as every other verify plan)
+            hit = (rks[idx] == lk) & ~_dup_mask(rks)[idx]
+        else:
+            hit = np.zeros(len(lk), bool)
         eps_hit = eps_u.filter(pa.array(hit))
         taken = sigs.take(pa.array(s_order[idx[hit]], type=pa.int64()))
         return pa.table({

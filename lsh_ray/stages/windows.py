@@ -213,12 +213,23 @@ def sessionize(events_ds, gap_s: int = 1800,
     nbu = np.uint64(num_buckets)
 
     if plan == "auto":
+        # plan choice needs a row count. ds.count() on a DERIVED dataset
+        # executes the whole upstream pipeline, which the chosen plan
+        # would then re-execute — so answer from metadata when possible
+        # (fresh parquet reads / materialized inputs), and otherwise pin
+        # the events ONCE with materialize() so the counting pass IS the
+        # execution the plan consumes. Callers at a scale where pinning
+        # the event table is unacceptable pass plan="two_phase"
+        # explicitly (the scale-safe plan never needs the count).
         try:
-            n_events = events_ds.count()
+            n_events = events_ds._meta_count()
         except Exception:
             n_events = None
-        plan = ("single" if n_events is not None
-                and n_events <= _SINGLE_PHASE_MAX_EVENTS else "two_phase")
+        if n_events is None:
+            events_ds = events_ds.materialize()
+            n_events = events_ds.count()
+        plan = ("single" if n_events <= _SINGLE_PHASE_MAX_EVENTS
+                else "two_phase")
 
     def project_cols(t: pa.Table) -> pa.Table:
         u = t["u"].to_numpy(zero_copy_only=False)

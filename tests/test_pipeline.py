@@ -233,3 +233,62 @@ def test_verify_blockpairs_drops_missing_endpoints(ray_session):
     out = verify_blockpairs(pairs, sigs, cfg).to_pandas()
     assert list(out["doc_a"]) == [10] and list(out["doc_b"]) == [11]
     assert out["jaccard"].iloc[0] == 1.0
+
+
+def test_verify_threshold_gate_is_float64(ray_session):
+    """A pair whose float32 jaccard rounds BELOW the threshold must be
+    dropped — numpy's value-based casting would otherwise compare in
+    float32 (float32(0.7) >= 0.7 -> True) while the DuckDB oracle
+    promotes REAL to DOUBLE (0.69999998... >= 0.7 -> False)."""
+    import dataclasses
+
+    import pyarrow as pa
+    import ray.data
+
+    from lsh_ray.config import PipelineConfig
+    from lsh_ray.stages.verify import verify_blockpairs
+
+    # |inter| = 7, |union| = 10 -> jaccard exactly 7/10, which is
+    # 0.69999998... in float32; containment 7/8 stays under the gate
+    cfg = dataclasses.replace(PipelineConfig(), jaccard_threshold=0.7,
+                              containment_threshold=0.9)
+    sh = pa.array([[1, 2, 3, 4, 5, 6, 7, 31, 32],
+                   [1, 2, 3, 4, 5, 6, 7, 41]],
+                  type=pa.list_(pa.uint32()))
+    sigs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11], pa.uint64()),
+        "shingles": sh,
+        "simhash": pa.array([0, 0], pa.uint64()),
+    }))
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([10], pa.uint64()),
+        "doc_b": pa.array([11], pa.uint64()),
+        "n_band_hits": pa.array([3], pa.int32()),
+    }))
+    out = verify_blockpairs(pairs, sigs, cfg).to_pandas()
+    assert len(out) == 0
+
+
+def test_verify_exchange_empty_signature_partition(ray_session):
+    """Exchange partitions holding endpoint rows but ZERO signature rows
+    (every pair endpoint missing from the corpus) must drop the pairs,
+    not crash indexing into an empty dup-mask."""
+    import pyarrow as pa
+    import ray.data
+
+    from lsh_ray.config import PipelineConfig
+    from lsh_ray.stages.verify import verify_exchange
+
+    cfg = PipelineConfig()
+    sigs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.uint64()),
+        "shingles": pa.array([], pa.list_(pa.uint32())),
+        "simhash": pa.array([], pa.uint64()),
+    }))
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([10, 12], pa.uint64()),
+        "doc_b": pa.array([11, 13], pa.uint64()),
+        "n_band_hits": pa.array([3, 3], pa.int32()),
+    }))
+    out = verify_exchange(pairs, sigs, cfg).to_pandas()
+    assert len(out) == 0
