@@ -71,6 +71,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--base", default=None,
+                   help="prior run's checkpoint dir: dedup --input as a "
+                        "NEW shard against that corpus (incremental; "
+                        "base work is never redone)")
     p.add_argument("--distributed-cc", action="store_true",
                    default=None)  # None = auto by edge count
     _add_config_flags(p)
@@ -261,9 +265,15 @@ def main(argv: list[str] | None = None) -> int:
                               "rows": out.count(),
                               "wall_s": round(time.time() - t0, 2)}))
             return 0
-        from lsh_ray.pipelines.dedup_pipeline import run_dedup
-        res = run_dedup(docs, cfg, checkpoint_dir=args.checkpoint,
-                        distributed_cc=args.distributed_cc)
+        if getattr(args, "base", None):
+            from lsh_ray.pipelines.incremental import run_dedup_incremental
+            res = run_dedup_incremental(
+                docs, args.base, cfg, checkpoint_dir=args.checkpoint,
+                distributed_cc=args.distributed_cc)
+        else:
+            from lsh_ray.pipelines.dedup_pipeline import run_dedup
+            res = run_dedup(docs, cfg, checkpoint_dir=args.checkpoint,
+                            distributed_cc=args.distributed_cc)
         res.clusters.write_parquet(args.output + "/clusters")
         res.verified.write_parquet(args.output + "/verified_pairs")
         metrics = res.metrics()

@@ -60,12 +60,32 @@ class DedupResult:
         }
 
 
-def _fork(ds, checkpoint_dir: str | None, name: str, config: PipelineConfig):
-    """Materialize a DAG fork: parquet checkpoint (resumable) or object store."""
+def _fork(ds, checkpoint_dir: str | None, name: str, config: PipelineConfig,
+          empty_schema=None):
+    """Materialize a DAG fork: parquet checkpoint (resumable) or object
+    store. ``empty_schema``: stage schema for the zero-row case (Ray
+    loses the schema of an empty dataset)."""
     if checkpoint_dir:
         from lsh_ray.state.checkpoint import checkpoint_dataset
-        return checkpoint_dataset(ds, os.path.join(checkpoint_dir, name), config)
+        return checkpoint_dataset(ds, os.path.join(checkpoint_dir, name),
+                                  config, empty_schema=empty_schema)
     return ds.materialize()
+
+
+def _substring_schema():
+    import pyarrow as pa
+    return pa.schema([("doc_a", pa.uint64()), ("doc_b", pa.uint64()),
+                      ("lcs_len", pa.int64()), ("is_substring", pa.bool_())])
+
+
+def _verified_schema():
+    from lsh_ray.stages.verify import _EMPTY_VERIFIED
+    return _EMPTY_VERIFIED.schema
+
+
+def _pairs_schema():
+    from lsh_ray.stages.candidates import _empty_pairs_summed
+    return _empty_pairs_summed().schema
 
 
 def run_dedup(docs_ds, config: PipelineConfig = DEFAULT_CONFIG,
@@ -134,9 +154,10 @@ def run_dedup(docs_ds, config: PipelineConfig = DEFAULT_CONFIG,
     from lsh_ray.stages.candidates import candidate_pairs_from_signatures
     pairs = candidate_pairs_from_signatures(sigs, config)
     if checkpoint_dir:
-        pairs = _fork(pairs, checkpoint_dir, "cand_pairs", config)
+        pairs = _fork(pairs, checkpoint_dir, "cand_pairs", config,
+                      empty_schema=_pairs_schema())
     verified = _fork(verify(pairs, sigs, config), checkpoint_dir,
-                     "verified", config)
+                     "verified", config, empty_schema=_verified_schema())
     # substring results feed both the result surface and the edge union.
     # Without a checkpoint, `normalized` is lazy — fetching candidate
     # texts through it would re-run normalize over the WHOLE corpus; pass
@@ -145,7 +166,8 @@ def run_dedup(docs_ds, config: PipelineConfig = DEFAULT_CONFIG,
     # normalized parquet is the cheaper source.
     sub = _fork(substring_pass(verified, normalized, config,
                                raw_ds=None if checkpoint_dir else docs_ds),
-                checkpoint_dir, "substring", config)
+                checkpoint_dir, "substring", config,
+                empty_schema=_substring_schema())
 
     # verified/sub are materialized (DAG forks): edge extraction runs as
     # one raw task per pinned block instead of a dataset union job (the

@@ -1,0 +1,291 @@
+"""Incremental near-duplicate detection: dedup a NEW document shard
+against an existing corpus checkpoint.
+
+The daily-crawl workflow at 100 TB: yesterday's corpus is already
+deduped and its pipeline checkpoint (signatures / normalized / verified
+/ substring parquet, ``lsh_ray.state.checkpoint``) is on disk. Today's
+shard must be deduped against it WITHOUT re-running yesterday's work.
+``run_dedup_incremental`` does exactly that:
+
+- the base corpus is never re-normalized, re-shingled or re-signed —
+  its signatures are read back from the checkpoint (the expensive
+  per-byte compute, the profiled bottleneck of the full pipeline, is
+  paid once per document ever);
+- base x base pairs are never re-enumerated or re-verified — the sided
+  pair kernel (``candidates._pairs_for_mixed_arrays_sided``) emits only
+  pairs touching >= 1 new doc, so a key group of n_old + n_new members
+  costs O(n_new * (n_old + n_new)) pair work, not O((n_old+n_new)^2);
+- the only O(base) costs are streaming scans: one pure-explode map over
+  the base signature parquet re-derives its band/chunk rows (no
+  tokenization — the keys are stored columns), one key exchange
+  co-locates them with the delta's rows (cap-gated delta-key prefilter
+  shrinks the shipped base rows to colliding keys only when the delta
+  key set fits a broadcast), and the verify/substring gathers touch
+  only pair endpoints.
+
+Clustering merges the new edges with the base run's checkpointed
+verified/substring edges, so cluster ids stay the global min-member ids
+— a doc that joins an existing cluster gets that cluster's id.
+
+With ``checkpoint_dir`` set, the run writes MERGED signatures /
+normalized / verified / substring checkpoints: the output directory is
+itself a valid ``base_dir`` for the next increment (the rolling-corpus
+pattern). Without it, outputs stay pinned in the object store.
+
+Reference parity note: the reference has no incremental path (its
+create_index, lsh.py:415-473, always rebuilds); this operator is a
+rebuild addition for the training-data use case, built from the same
+candidate/verify machinery as ``run_dedup``.
+
+Boundary semantics (documented, not hidden): hot-group policies are
+heuristics in both runs — a key group that crosses ``group_size_cap``
+only when delta docs join it emits star/chain edges that differ from
+what a from-scratch full run would emit for that group. Small groups
+(the signal mass) are exact: incremental output == full-run output
+restricted to new-touching pairs (asserted by tests).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from lsh_ray.config import DEFAULT_CONFIG, PipelineConfig, coalesce_blocks
+
+# delta key sets up to this many uint64 keys broadcast to the base-row
+# emit tasks (sorted array, searchsorted membership): 32M keys = 256 MB
+# object. Above it the prefilter is skipped and the key exchange ships
+# every base row (it streams; correctness unchanged).
+_DELTA_KEYS_MAX = 32_000_000
+
+
+@dataclass
+class IncrementalDedupResult:
+    new_normalized: Any
+    new_signatures: Any
+    signatures: Any  # merged base + delta signature table
+    cand_pairs: Any
+    verified: Any
+    substring_pairs: Any
+    clusters: Any
+
+    def metrics(self) -> dict:
+        ver = self.verified
+        n_dup = ver.map_batches(
+            lambda t: {"n": [int(t.filter(t["is_dup"]).num_rows)]},
+            batch_format="pyarrow").sum("n") or 0
+        return {
+            "new_docs_normalized": self.new_normalized.count(),
+            "new_docs_signed": self.new_signatures.count(),
+            "verified_pairs": ver.count(),
+            "dup_pairs": n_dup,
+            "substring_pairs": self.substring_pairs.count(),
+            "clustered_docs": self.clusters.count(),
+        }
+
+
+def _tagged_rows_fn(config: PipelineConfig, side: int, keys_ref=None):
+    """Signature-batch -> (band_key, doc_id, family, side) rows: band
+    keys recomputed from the stored minhash column, chunk rows a pure
+    explode of the stored ``chunk_keys`` — no text touched. ``keys_ref``
+    (base side only): broadcast sorted delta-key array; rows whose key
+    collides with no delta key can never form a new-touching pair and
+    are dropped before the exchange."""
+    from lsh_ray.stages.banding import banding_batch
+    from lsh_ray.stages.chunking import _chunk_rows_batch
+
+    use_chunks = config.enable_chunk_keys
+
+    def fn(t: pa.Table) -> pa.Table:
+        parts = []
+        br = banding_batch(t, config)
+        parts.append((br, 0))
+        if use_chunks and "chunk_keys" in t.schema.names:
+            parts.append((_chunk_rows_batch(t), 1))
+        keys = np.concatenate(
+            [p["band_key"].to_numpy(zero_copy_only=False) for p, _ in parts])
+        docs = np.concatenate(
+            [p["doc_id"].to_numpy(zero_copy_only=False) for p, _ in parts])
+        fam = np.concatenate(
+            [np.full(p.num_rows, f, dtype=np.int8) for p, f in parts])
+        if keys_ref is not None and len(keys):
+            dk = ray.get(keys_ref)
+            idx = np.minimum(np.searchsorted(dk, keys), len(dk) - 1)
+            hit = dk[idx] == keys
+            keys, docs, fam = keys[hit], docs[hit], fam[hit]
+        return pa.table({
+            "band_key": pa.array(keys, type=pa.uint64()),
+            "doc_id": pa.array(docs, type=pa.uint64()),
+            "family": pa.array(fam),
+            "side": pa.array(np.full(len(keys), side, dtype=np.int8)),
+        })
+
+    return fn
+
+
+def _delta_keys_ref(new_sigs, config: PipelineConfig):
+    """Sorted unique key array of the delta, broadcast via ray.put — or
+    None when it exceeds the broadcast cap."""
+    emit = _tagged_rows_fn(config, side=0)
+    parts = []
+    total = 0
+    for b in new_sigs.map_batches(
+            lambda t: emit(t).select(["band_key"]),
+            batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"):
+        k = b["band_key"].to_numpy(zero_copy_only=False)
+        total += len(k)
+        if total > _DELTA_KEYS_MAX:
+            return None
+        parts.append(np.unique(k))
+    if not parts:
+        return None
+    keys = np.unique(np.concatenate(parts))
+    return ray.put(keys)
+
+
+def incremental_candidate_pairs(base_sigs, new_sigs,
+                                config: PipelineConfig):
+    """Signatures of the base corpus + the delta -> summed/gated
+    candidate pairs touching >= 1 delta doc (schema identical to
+    ``candidate_pairs_from_signatures``)."""
+    from lsh_ray.stages.candidates import (_pairs_for_mixed_bucket_sided,
+                                           sum_mixed_pairs)
+    from lsh_ray.stages.exchange import colocate_map
+
+    keys_ref = _delta_keys_ref(new_sigs, config)
+    rows = new_sigs.map_batches(
+        _tagged_rows_fn(config, side=0),
+        batch_format="pyarrow", zero_copy_batch=True).union(
+        base_sigs.map_batches(
+            _tagged_rows_fn(config, side=1, keys_ref=keys_ref),
+            batch_format="pyarrow", zero_copy_batch=True))
+    nb = np.uint64(4096)
+
+    def add_band_bucket(t: pa.Table) -> pa.Table:
+        bk = t["band_key"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((bk % nb).astype(np.int32)))
+
+    cap = config.group_size_cap
+    partial = colocate_map(
+        rows, ["band_key"], coalesce_blocks(config),
+        lambda g: _pairs_for_mixed_bucket_sided(g, cap),
+        sort_bucket_expr=add_band_bucket, mode=config.exchange)
+    return sum_mixed_pairs(partial, config)
+
+
+def _require_complete(base_dir: str, stage: str, config: PipelineConfig):
+    import dataclasses
+
+    from lsh_ray.state.checkpoint import is_complete
+    path = os.path.join(base_dir, stage)
+    # run_dedup resolves exchange="auto" to a concrete mode before
+    # checkpointing its later stages, so the manifests under one base
+    # dir legitimately carry either hash. Exchange mode is execution
+    # strategy with asserted output identity (test_exchange), so any
+    # mode's hash attests the same results; every OTHER config field
+    # must match exactly.
+    candidates = [config] + [dataclasses.replace(config, exchange=m)
+                             for m in ("auto", "tasks", "sort", "hash")]
+    if not any(is_complete(path, c) for c in candidates):
+        raise ValueError(
+            f"base checkpoint {path} is missing, incomplete, or was "
+            "written under a different PipelineConfig (signature "
+            "geometry must match between the base run and the "
+            "increment)")
+    return path
+
+
+def _read_stage(base_dir: str, stage: str):
+    from lsh_ray.sources.readers import strip_schema_metadata
+    return strip_schema_metadata(
+        ray.data.read_parquet(os.path.join(base_dir, stage)))
+
+
+def run_dedup_incremental(new_docs_ds, base_dir: str,
+                          config: PipelineConfig = DEFAULT_CONFIG,
+                          checkpoint_dir: str | None = None,
+                          distributed_cc: bool | None = None
+                          ) -> IncrementalDedupResult:
+    """Dedup ``new_docs_ds`` against the corpus checkpointed at
+    ``base_dir`` (a prior ``run_dedup(..., checkpoint_dir=base_dir)`` or
+    ``run_dedup_incremental(..., checkpoint_dir=base_dir)`` output).
+
+    Returns the NEW-touching pair surface plus the merged clustering.
+    With ``checkpoint_dir``, writes merged signatures/normalized/
+    verified/substring checkpoints so the output dir is a valid base
+    for the next increment."""
+    import dataclasses
+
+    from lsh_ray.pipelines.dedup_pipeline import (_fork, _substring_schema,
+                                                  _verified_schema)
+    from lsh_ray.stages.minhash import signatures
+    from lsh_ray.stages.normalize import normalize
+    from lsh_ray.stages.shingle import shingle
+    from lsh_ray.stages.substring import substring_pass
+    from lsh_ray.stages.verify import verify
+    from lsh_ray.state.checkpoint import read_manifest
+
+    for stage in ("signatures", "normalized", "verified", "substring"):
+        _require_complete(base_dir, stage, config)
+    base_sigs = _read_stage(base_dir, "signatures")
+    n_base = read_manifest(
+        os.path.join(base_dir, "signatures")).get("rows") or 0
+
+    new_normalized = normalize(new_docs_ds, config)
+    sig_ds = signatures(shingle(new_normalized, config), config)
+    new_sigs = sig_ds.map_batches(
+        lambda t: t.combine_chunks(), batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
+
+    if config.exchange == "auto":
+        # same crossover policy as run_dedup, sized on the UNION the
+        # exchange actually moves; base row count is free (manifest)
+        n_docs = n_base + new_sigs.count()
+        config = dataclasses.replace(
+            config, exchange="tasks" if n_docs <= 20_000_000 else "sort")
+
+    pairs = incremental_candidate_pairs(base_sigs, new_sigs,
+                                        config).materialize()
+
+    # verify gathers endpoint payloads from pinned single-chunk blocks;
+    # parquet-read blocks are single-chunk already, so combine is a
+    # near-no-op pass that also pins the union
+    sigs_all = _fork(
+        base_sigs.union(new_sigs).map_batches(
+            lambda t: t.combine_chunks(), batch_format="pyarrow",
+            zero_copy_batch=True),
+        checkpoint_dir, "signatures", config)
+    verified = _fork(verify(pairs, sigs_all, config), None, "", config,
+                     empty_schema=_verified_schema())
+
+    norm_all = _fork(_read_stage(base_dir, "normalized").union(
+        new_normalized), checkpoint_dir, "normalized", config)
+    sub = _fork(substring_pass(verified, norm_all, config),
+                None, "", config, empty_schema=_substring_schema())
+
+    ver_union = _fork(_read_stage(base_dir, "verified").union(verified),
+                      checkpoint_dir, "verified", config,
+                      empty_schema=_verified_schema())
+    sub_union = _fork(_read_stage(base_dir, "substring").union(sub),
+                      checkpoint_dir, "substring", config,
+                      empty_schema=_substring_schema())
+    from lsh_ray.stages.cluster import clusters_from_stage_outputs
+    clusters = clusters_from_stage_outputs(ver_union, sub_union,
+                                           distributed=distributed_cc)
+    return IncrementalDedupResult(
+        new_normalized=new_normalized,
+        new_signatures=new_sigs,
+        signatures=sigs_all,
+        cand_pairs=pairs,
+        verified=verified,
+        substring_pairs=sub,
+        clusters=clusters,
+    )

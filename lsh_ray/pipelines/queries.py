@@ -110,6 +110,56 @@ def q_dedup_pairs(sf_dir: str):
     return _attach_pair_urls(dup, res.signatures, ["jaccard"])
 
 
+_INC_CACHE: dict[str, object] = {}
+
+
+def q_dedup_pairs_incremental(sf_dir: str):
+    """Incremental dedup surface: the corpus is split by the
+    deterministic md5-bucket rule (stages/sampling.py — bucket >= 'cc'
+    of the PARQUET doc_id is the ~20% delta), the base is deduped and
+    checkpointed, and the delta is deduped AGAINST that checkpoint with
+    ``run_dedup_incremental`` — base work never redone, base x base
+    pairs never re-enumerated. Output: verified dup pairs touching >= 1
+    delta doc, keyed by url with exact Jaccard.
+
+    Oracle: the same brute-force pair SQL as ``dedup_pairs`` restricted
+    to pairs with >= 1 endpoint in the md5-defined delta — DuckDB
+    recomputes the split exactly (``substr(md5(CAST(doc_id AS
+    VARCHAR)),1,2) >= 'cc'``)."""
+    import pyarrow as pa
+
+    res = _INC_CACHE.get(sf_dir)
+    if res is None:
+        import tempfile
+
+        from lsh_ray.pipelines.dedup_pipeline import run_dedup
+        from lsh_ray.pipelines.incremental import run_dedup_incremental
+        from lsh_ray.stages.sampling import _key_buckets
+
+        def side_filter(want_delta: bool):
+            def f(t: pa.Table) -> pa.Table:
+                b = _key_buckets(t["doc_id"].to_pylist())
+                mask = (b >= "cc") if want_delta else (b < "cc")
+                return t.filter(pa.array(mask))
+            return f
+
+        docs = _docs(sf_dir)
+        base = docs.map_batches(side_filter(False),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True)
+        delta = docs.map_batches(side_filter(True),
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        ckpt = tempfile.mkdtemp(prefix="lshray_incbase_")
+        run_dedup(base, CFG, checkpoint_dir=ckpt)
+        res = _INC_CACHE[sf_dir] = run_dedup_incremental(delta, ckpt, CFG)
+    dup = res.verified.map_batches(
+        lambda t: t.filter(t["is_dup"]).select(
+            ["doc_a", "doc_b", "jaccard"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return _attach_pair_urls(dup, res.signatures, ["jaccard"])
+
+
 def q_dedup_clusters(sf_dir: str):
     """Union-find clusters over verified dup + substring edges, relabeled
     by url: (url, cluster_url = MIN url of the component) — the
@@ -715,6 +765,7 @@ QUERIES = {
     "exact_dup_groups": q_exact_dup_groups,
     "exact_dedup": q_exact_dedup,
     "dedup_pairs": q_dedup_pairs,
+    "dedup_pairs_incremental": q_dedup_pairs_incremental,
     "dedup_clusters": q_dedup_clusters,
     "minhash_signatures": q_minhash_signatures,
     "simhash_near_dups": q_simhash_near_dups,
@@ -1006,6 +1057,15 @@ ORACLE_SQL = {
         "WITH " + _SHINGLE_CTES + " "
         "SELECT LEAST(ua, ub) AS url_a, GREATEST(ua, ub) AS url_b, "
         "jac AS jaccard FROM pairs WHERE jac >= 0.8"),
+    "dedup_pairs_incremental": (
+        # same brute-force pair surface restricted to pairs touching the
+        # md5-defined ~20% delta (the engine's base/delta split rule,
+        # recomputed exactly by DuckDB)
+        "WITH " + _SHINGLE_CTES + " "
+        "SELECT LEAST(ua, ub) AS url_a, GREATEST(ua, ub) AS url_b, "
+        "jac AS jaccard FROM pairs WHERE jac >= 0.8 AND "
+        "(substr(md5(CAST(ida AS VARCHAR)), 1, 2) >= 'cc' OR "
+        "substr(md5(CAST(idb AS VARCHAR)), 1, 2) >= 'cc')"),
     "ngram_jaccard_dups": (
         "WITH " + _shingle_ctes(3) + " "
         "SELECT LEAST(ua, ub) AS url_a, GREATEST(ua, ub) AS url_b, "

@@ -596,3 +596,109 @@ def _fused_mixed_pairs(block_refs: list, config: PipelineConfig, W: int):
         outs = [_sum_gate_task.remote(mb, mc, *[m[w] for m in mids])
                 for w in range(W)]
     return ray.data.from_arrow_refs(outs)
+
+
+# ------------------------------------------------------------------ sided --
+# Incremental-dedup pair kernel: candidate pairs restricted to those
+# touching at least one NEW doc (side 0), against a BASE corpus (side 1)
+# whose internal pairs a prior run already produced. Old x old pairs are
+# never enumerated — in a key group of n_old + n_new members the kernel
+# does O(n_new * (n_old + n_new)) pair work, not O((n_old + n_new)^2).
+
+
+def _pairs_for_mixed_arrays_sided(bk_all: np.ndarray, doc_all: np.ndarray,
+                                  fam_all: np.ndarray, side_all: np.ndarray,
+                                  cap: int) -> tuple[np.ndarray, ...]:
+    """Like ``_pairs_for_mixed_arrays`` but each row carries ``side``
+    (0 = new doc, 1 = base doc) and only pairs with >= 1 new endpoint are
+    emitted. Sorting new rows FIRST within each key group makes the
+    restriction free: expanding only new left-rows with their following
+    rows yields exactly new x new plus new x old (old rows only ever
+    follow other old rows, so old x old never appears).
+
+    Hot-group policy (> ``cap`` members): band groups emit a STAR from
+    each new doc to the group's minimum member — bounded at n_new pairs
+    and connecting new docs into the group's existing cluster (the full
+    kernel's salted expansion is a connectivity heuristic too; the two
+    runs' hot-group edges differ by construction and both are documented
+    as such). Hot chunk groups drop, same as the full kernel.
+
+    A doc_id present on BOTH sides (a delta re-submitting an existing
+    document) would pair with itself; self-pairs are filtered.
+    """
+    if len(bk_all) == 0:
+        e = np.empty(0, dtype=np.uint64)
+        zi = np.empty(0, dtype=np.int32)
+        return e, e, zi, zi
+    order = np.lexsort((doc_all, side_all, bk_all))
+    bk, doc = bk_all[order], doc_all[order]
+    side = side_all[order]
+    fam = fam_all[order]
+    # duplicate (key, doc) rows are adjacent (a doc has ONE side, so the
+    # side sort key cannot separate them)
+    keep = np.concatenate(
+        ([True], (bk[1:] != bk[:-1]) | (doc[1:] != doc[:-1])))
+    bk, doc, side, fam = bk[keep], doc[keep], side[keep], fam[keep]
+    n = len(bk)
+    starts = np.flatnonzero(np.concatenate(([True], bk[1:] != bk[:-1])))
+    sizes = np.diff(np.concatenate((starts, [n])))
+    gid = np.repeat(np.arange(len(starts)), sizes)
+    size_of_row = sizes[gid]
+    small_rows = np.flatnonzero((size_of_row >= 2) & (size_of_row <= cap)
+                                & (side == 0))
+    a0, b0 = _expand_small_groups(doc, starts, sizes, small_rows, gid)
+    pos = np.arange(n) - starts[gid]
+    cnt = (size_of_row - 1 - pos)[small_rows]
+    f0 = np.repeat(fam[small_rows], cnt)
+    # docs are NOT globally ascending within a group (new-first breaks
+    # it): orient explicitly
+    a_parts = [np.minimum(a0, b0)]
+    b_parts = [np.maximum(a0, b0)]
+    f_parts = [f0]
+    for g in np.flatnonzero(sizes > cap):  # hot groups are FEW
+        s, m = starts[g], sizes[g]
+        if fam[s] != 0:
+            continue  # hot chunk group: boilerplate -> drop
+        d = doc[s:s + m]
+        nd = d[side[s:s + m] == 0]
+        if len(nd) == 0:
+            continue
+        rep = d.min()
+        sa = nd[nd != rep]
+        if len(sa) == 0:
+            continue
+        a_parts.append(np.minimum(sa, rep))
+        b_parts.append(np.maximum(sa, rep))
+        f_parts.append(np.zeros(len(sa), dtype=np.int8))
+    a = np.concatenate(a_parts)
+    b = np.concatenate(b_parts)
+    f = np.concatenate(f_parts)
+    nz = a != b  # self-pairs from a doc_id present on both sides
+    if not nz.all():
+        a, b, f = a[nz], b[nz], f[nz]
+    if len(a) == 0:
+        e = np.empty(0, dtype=np.uint64)
+        zi = np.empty(0, dtype=np.int32)
+        return e, e, zi, zi
+    ua, ub, (band_hits, chunk_hits) = _dedup_pairs_with_counts(
+        a, b, (f == 0).astype(np.int32), (f == 1).astype(np.int32))
+    return ua, ub, band_hits, chunk_hits
+
+
+def _pairs_for_mixed_bucket_sided(group: pa.Table, cap: int) -> pa.Table:
+    """Co-located (band_key, doc_id, family, side) rows -> partial
+    new-touching pairs (same schema as ``_pairs_for_mixed_bucket``)."""
+    if group.num_rows == 0:
+        return _empty_mixed_pairs()
+    ua, ub, band_hits, chunk_hits = _pairs_for_mixed_arrays_sided(
+        group["band_key"].to_numpy(zero_copy_only=False),
+        group["doc_id"].to_numpy(zero_copy_only=False),
+        group["family"].to_numpy(zero_copy_only=False),
+        group["side"].to_numpy(zero_copy_only=False),
+        cap)
+    return pa.table({
+        "doc_a": pa.array(ua, type=pa.uint64()),
+        "doc_b": pa.array(ub, type=pa.uint64()),
+        "band_hits": pa.array(band_hits, type=pa.int32()),
+        "chunk_hits": pa.array(chunk_hits, type=pa.int32()),
+    })

@@ -54,16 +54,39 @@ def is_complete(out_dir: str, config) -> bool:
     return all(os.path.exists(os.path.join(out_dir, p)) for p in m.get("parts", []))
 
 
-def checkpoint_dataset(ds, out_dir: str, config, stage: str | None = None):
+def checkpoint_dataset(ds, out_dir: str, config, stage: str | None = None,
+                       empty_schema=None):
     """Write ``ds`` to ``out_dir`` (or reuse a complete checkpoint) and
-    return a Dataset re-read from Parquet."""
+    return a Dataset re-read from Parquet.
+
+    ``empty_schema``: the stage's pyarrow schema, used when ``ds`` has
+    ZERO rows — Ray then reports ``schema() is None`` and writes no
+    parquet file, so the schema must come from the caller for the
+    checkpoint to round-trip."""
     stage = stage or os.path.basename(out_dir.rstrip("/"))
     if not is_complete(out_dir, config):
         if os.path.isdir(out_dir):
             shutil.rmtree(out_dir)  # stale / partial output is never trusted
         t0 = time.time()
         ds.write_parquet(out_dir)
+        os.makedirs(out_dir, exist_ok=True)
         parts = sorted(p for p in os.listdir(out_dir) if p.endswith(".parquet"))
+        if not parts:
+            # a ZERO-ROW dataset writes no file at all (Ray 2.49 sink:
+            # "0 rows ... written", not even the directory) — persist an
+            # explicit empty part so the checkpoint re-reads with the
+            # stage's schema instead of crashing
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            arrow_schema = empty_schema if empty_schema is not None \
+                else getattr(ds.schema(), "base_schema", None)
+            if not isinstance(arrow_schema, pa.Schema):
+                raise ValueError(
+                    f"cannot checkpoint empty dataset at {out_dir}: "
+                    "schema unavailable (pass empty_schema)")
+            pq.write_table(arrow_schema.empty_table(),
+                           os.path.join(out_dir, "empty-0.parquet"))
+            parts = ["empty-0.parquet"]
         reread = ray.data.read_parquet(out_dir)
         manifest = {
             "stage": stage,

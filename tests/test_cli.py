@@ -71,3 +71,25 @@ def test_cli_search_threshold_file(tmp_path):
               "--output", out, "--n-queries", "2",
               "--threshold-file", thr_file, "--num-cpus", "4"])
     assert r["rows"] >= 0
+
+
+def test_cli_dedup_incremental(tmp_path):
+    """dedup --base: base run checkpoints, then the same corpus fed as a
+    delta against it links every delta doc to its base twin."""
+    base_out = str(tmp_path / "base_out")
+    base_ckpt = str(tmp_path / "base_ckpt")
+    r1 = _run(["dedup", "--input", f"{SF}/documents.parquet",
+               "--output", base_out, "--checkpoint", base_ckpt,
+               "--num-cpus", "4", "--limit", "200"])
+    assert r1["docs_normalized"] > 0
+    inc_out = str(tmp_path / "inc_out")
+    # the delta is a disjoint slice of the same corpus
+    import pyarrow.parquet as _pq
+    full = _pq.read_table(f"{SF}/documents.parquet")
+    delta_path = str(tmp_path / "delta.parquet")
+    _pq.write_table(full.slice(200, 100), delta_path)
+    r2 = _run(["dedup", "--input", delta_path, "--base", base_ckpt,
+               "--output", inc_out, "--num-cpus", "4"])
+    assert r2["new_docs_signed"] > 0
+    assert r2["clustered_docs"] >= r1["clustered_docs"]
+    assert os.path.isdir(os.path.join(inc_out, "clusters"))
