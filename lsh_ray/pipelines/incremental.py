@@ -21,7 +21,12 @@ shard must be deduped against it WITHOUT re-running yesterday's work.
   co-locates them with the delta's rows (cap-gated delta-key prefilter
   shrinks the shipped base rows to colliding keys only when the delta
   key set fits a broadcast), and the verify/substring gathers touch
-  only pair endpoints.
+  only pair endpoints — the verify source is an endpoint-id semi-join
+  over the signature union (a streaming filter, never a full-corpus
+  materialize), and substring_pass does its own candidate-id semi-join
+  over the lazy normalized union. Nothing O(base) lands in the object
+  store unless ``checkpoint_dir`` asks for the merged rolling corpus,
+  where the O(corpus) parquet write IS the product.
 
 Clustering merges the new edges with the base run's checkpointed
 verified/substring edges, so cluster ids stay the global min-member ids
@@ -239,7 +244,10 @@ def run_dedup_incremental(new_docs_ds, base_dir: str,
     n_base = read_manifest(
         os.path.join(base_dir, "signatures")).get("rows") or 0
 
-    new_normalized = normalize(new_docs_ds, config)
+    # the delta is small by definition — pin its normalized form once so
+    # downstream consumers (signatures, substring union, metrics) don't
+    # each re-run normalize over the delta source
+    new_normalized = normalize(new_docs_ds, config).materialize()
     sig_ds = signatures(shingle(new_normalized, config), config)
     new_sigs = sig_ds.map_batches(
         lambda t: t.combine_chunks(), batch_format="pyarrow",
@@ -255,21 +263,61 @@ def run_dedup_incremental(new_docs_ds, base_dir: str,
     pairs = incremental_candidate_pairs(base_sigs, new_sigs,
                                         config).materialize()
 
-    # verify gathers endpoint payloads from pinned single-chunk blocks;
-    # parquet-read blocks are single-chunk already, so combine is a
-    # near-no-op pass that also pins the union
-    sigs_all = _fork(
-        base_sigs.union(new_sigs).map_batches(
-            lambda t: t.combine_chunks(), batch_format="pyarrow",
-            zero_copy_batch=True),
-        checkpoint_dir, "signatures", config)
-    verified = _fork(verify(pairs, sigs_all, config), None, "", config,
+    sig_union = base_sigs.union(new_sigs)
+    norm_union = _read_stage(base_dir, "normalized").union(new_normalized)
+
+    # verify source: ONLY the rows participating in a pair. The
+    # endpoint-id set (<= 2 x pairs) broadcasts and filters the
+    # signature union as a streaming scan — the base corpus's shingle
+    # payloads never land in the object store. All rows of each
+    # endpoint id survive the filter, so verify's multi-row-doc_id drop
+    # rule sees the same multiplicity it would on the full table.
+    # Above the cap, verify dispatches to its O(corpus) exchange plan
+    # anyway, so the full union is the right source there.
+    def _combined(ds):
+        return ds.map_batches(lambda t: t.combine_chunks(),
+                              batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    if pairs.count() <= config.verify_broadcast_max_pairs:
+        id_parts = [np.concatenate([
+            b["doc_a"].to_numpy(zero_copy_only=False),
+            b["doc_b"].to_numpy(zero_copy_only=False)])
+            for b in pairs.iter_batches(batch_size=65536,
+                                        batch_format="pyarrow")]
+        ids = (np.unique(np.concatenate(id_parts)) if id_parts
+               else np.empty(0, dtype=np.uint64))
+        ids_ref = ray.put(ids)
+
+        def only_endpoints(t: pa.Table) -> pa.Table:
+            ep = ray.get(ids_ref)
+            if not len(ep):
+                return t.slice(0, 0)
+            doc = t["doc_id"].to_numpy(zero_copy_only=False)
+            idx = np.minimum(np.searchsorted(ep, doc), len(ep) - 1)
+            return t.filter(pa.array(ep[idx] == doc)).combine_chunks()
+
+        ver_sigs = sig_union.map_batches(
+            only_endpoints, batch_format="pyarrow",
+            zero_copy_batch=True).materialize()
+    else:
+        ver_sigs = _combined(sig_union).materialize()
+    verified = _fork(verify(pairs, ver_sigs, config), None, "", config,
                      empty_schema=_verified_schema())
 
-    norm_all = _fork(_read_stage(base_dir, "normalized").union(
-        new_normalized), checkpoint_dir, "normalized", config)
-    sub = _fork(substring_pass(verified, norm_all, config),
+    # substring_pass semi-joins candidate texts internally — the lazy
+    # normalized union is scanned once, never materialized
+    sub = _fork(substring_pass(verified, norm_union, config),
                 None, "", config, empty_schema=_substring_schema())
+
+    if checkpoint_dir:
+        # rolling-corpus product: merged signatures / normalized written
+        # so this run's output dir is the next increment's base
+        sigs_all = _fork(_combined(sig_union), checkpoint_dir,
+                         "signatures", config)
+        _fork(norm_union, checkpoint_dir, "normalized", config)
+    else:
+        sigs_all = sig_union  # lazy: result-surface consumers stream it
 
     ver_union = _fork(_read_stage(base_dir, "verified").union(verified),
                       checkpoint_dir, "verified", config,
