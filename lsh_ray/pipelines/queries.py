@@ -472,6 +472,59 @@ def q_sessions(sf_dir: str):
         ["user_id", "session_start", "session_end", "n_events"])
 
 
+def _events_typed(sf_dir: str, event_type: str, columns: list[str]):
+    import pyarrow.compute as pc
+    ev = _read(f"{sf_dir}/events.parquet",
+               columns=[*columns, "event_type"])
+    return ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], event_type))
+                   .select(columns),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_events_asof(sf_dir: str):
+    """Per click, the latest view at-or-before it by the same user —
+    the distributed as-of join (``stages/asof.py``), DuckDB's native
+    ASOF JOIN as the oracle. The view side is aggregated to one row per
+    (user, ts) so the as-of winner is deterministic on both engines."""
+    from ray.data.aggregate import Max
+
+    from lsh_ray.stages.asof import asof_join
+    clicks = _events_typed(sf_dir, "click", ["event_id", "user_id", "ts"])
+    views = _events_typed(sf_dir, "view", ["user_id", "ts", "value"]) \
+        .groupby(["user_id", "ts"]).aggregate(
+            Max("value", alias_name="view_value"))
+    out = asof_join(clicks, views, "user_id", "user_id", "ts", "ts",
+                    ["ts", "view_value"], suffix="_r", num_buckets=64,
+                    num_blocks=8)
+    return out.rename_columns({"ts_r": "view_ts",
+                               "view_value_r": "view_value"})
+
+
+def q_error_click_window(sf_dir: str):
+    """Clicks within one day after each error by the same user — the
+    distributed range (interval) join (``stages/asof.py``); the oracle
+    is the equivalent inequality join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from lsh_ray.stages.asof import range_join
+    clicks = _events_typed(sf_dir, "click", ["event_id", "user_id", "ts"])
+    day = pa.scalar(86_400_000_000, type=pa.duration("us"))
+    errors = _events_typed(sf_dir, "error", ["event_id", "ts",
+                                             "user_id"]).map_batches(
+        lambda t: t.append_column("win_end", pc.add(t["ts"], day)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = range_join(clicks, errors, "user_id", "user_id", "ts",
+                     "ts", "win_end", ["event_id"], suffix="_err",
+                     num_buckets=64, num_blocks=8)
+    return out.map_batches(
+        lambda t: pa.table({"error_id": t["event_id_err"],
+                            "click_id": t["event_id"],
+                            "user_id": t["user_id"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------- tpch ----
 
 def q_lineitem_agg(sf_dir: str):
@@ -786,6 +839,8 @@ QUERIES = {
     "events_hopping": q_events_hopping,
     "event_type_counts": q_event_type_counts,
     "sessions": q_sessions,
+    "events_asof": q_events_asof,
+    "error_click_window": q_error_click_window,
     "lineitem_agg": q_lineitem_agg,
     "customer_order_counts": q_customer_order_counts,
     "top_orders": q_top_orders,
@@ -970,6 +1025,25 @@ ORACLE_SQL = {
         "ts, s ROWS UNBOUNDED PRECEDING) AS sid FROM d) "
         "SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, "
         "COUNT(*) AS n_events FROM g GROUP BY user_id, sid"),
+    "events_asof": (
+        "SELECT c.event_id, c.user_id, c.ts, v.ts AS view_ts, "
+        "v.view_value FROM "
+        "(SELECT event_id, user_id, ts FROM events "
+        " WHERE event_type = 'click') c "
+        "ASOF JOIN "
+        "(SELECT user_id, ts, max(value) AS view_value FROM events "
+        " WHERE event_type = 'view' GROUP BY user_id, ts) v "
+        "ON c.user_id = v.user_id AND c.ts >= v.ts"),
+    "error_click_window": (
+        "SELECT e.event_id AS error_id, c.event_id AS click_id, "
+        "c.user_id FROM "
+        "(SELECT event_id, user_id, ts FROM events "
+        " WHERE event_type = 'error') e "
+        "JOIN "
+        "(SELECT event_id, user_id, ts FROM events "
+        " WHERE event_type = 'click') c "
+        "ON c.user_id = e.user_id AND c.ts >= e.ts "
+        "AND c.ts < e.ts + INTERVAL 1 DAY"),
     "lineitem_agg": (
         "SELECT l_returnflag, l_linestatus, "
         "ROUND(SUM(l_quantity), 2) AS sum_qty, "

@@ -30,6 +30,15 @@ def _null_array(dtype: pa.DataType, n: int) -> pa.Array:
     return pa.nulls(n, type=dtype)
 
 
+def key_u64(col) -> np.ndarray:
+    """Join-key column -> uint64 numpy array (strings hashed)."""
+    arr = col.to_numpy(zero_copy_only=False)
+    if arr.dtype == object or arr.dtype.kind in ("U", "S"):
+        from lsh_ray.functions.hashing import hash_strings
+        return hash_strings(arr)
+    return arr.astype(np.uint64)
+
+
 def _join_bucket(group: pa.Table, left_cols: list[str],
                  right_cols: list[str], how: str = "inner") -> pa.Table:
     """``right_cols`` here are the ALREADY-SUFFIXED output names (renamed
@@ -162,12 +171,7 @@ def bucket_join(left_ds, right_ds, left_key: str, right_key: str,
     right_types = dict(zip(right_schema.names, right_schema.types))
     nb = np.uint64(num_buckets)
 
-    def _key_u64(col) -> np.ndarray:
-        arr = col.to_numpy(zero_copy_only=False)
-        if arr.dtype == object or arr.dtype.kind in ("U", "S"):
-            from lsh_ray.functions.hashing import hash_strings
-            return hash_strings(arr)
-        return arr.astype(np.uint64)
+    _key_u64 = key_u64
 
     def prep_left(t: pa.Table) -> pa.Table:
         k = _key_u64(t[left_key])
