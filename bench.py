@@ -114,7 +114,8 @@ def run_bench() -> dict:
     from lsh_ray.pipelines.queries import QUERIES
     q_names = [] if os.environ.get("GRAFT_SKIP_QUERIES") else [
         "tfidf", "knn_topk", "events_hourly", "lineitem_agg",
-        "exact_dup_groups", "sessions", "ngram_jaccard_dups"]
+        "exact_dup_groups", "sessions", "ngram_jaccard_dups",
+        "events_asof"]
     for name in q_names:
         t0 = time.time()
         ds = QUERIES[name](sf_dir)
