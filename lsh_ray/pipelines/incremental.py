@@ -42,6 +42,14 @@ create_index, lsh.py:415-473, always rebuilds); this operator is a
 rebuild addition for the training-data use case, built from the same
 candidate/verify machinery as ``run_dedup``.
 
+Re-ingestion policy: a delta doc whose ``doc_id`` (= url hash) already
+exists in the base is SKIPPED (``_existing_delta_ids``) — re-running an
+increment, or re-crawling yesterday's urls, is a no-op rather than a
+source of duplicate signature rows. This maintains the doc_id-unique
+invariant of the rolling checkpoint that verify's endpoint resolution
+relies on. Content updates under a stable url are out of scope (they
+would need tombstoning of the replaced doc's edges).
+
 Boundary semantics (documented, not hidden): hot-group policies are
 heuristics in both runs — a key group that crosses ``group_size_cap``
 only when delta docs join it emits star/chain edges that differ from
@@ -79,6 +87,7 @@ class IncrementalDedupResult:
     verified: Any
     substring_pairs: Any
     clusters: Any
+    n_skipped_existing: int = 0  # delta docs already in the base (re-crawl)
 
     def metrics(self) -> dict:
         ver = self.verified
@@ -92,6 +101,7 @@ class IncrementalDedupResult:
             "dup_pairs": n_dup,
             "substring_pairs": self.substring_pairs.count(),
             "clustered_docs": self.clusters.count(),
+            "skipped_existing": self.n_skipped_existing,
         }
 
 
@@ -214,6 +224,65 @@ def _read_stage(base_dir: str, stage: str):
         ray.data.read_parquet(os.path.join(base_dir, stage)))
 
 
+def _existing_delta_ids(base_dir: str, new_sigs) -> np.ndarray:
+    """Delta doc_ids already present in the base checkpoint.
+
+    A re-crawled URL or a re-delivered shard puts a doc_id the base
+    already holds into the delta. Without this check the signature
+    union would carry duplicate doc_id rows: every pair touching one
+    hits verify's multi-row drop rule (silent under-detection) and the
+    merged rolling checkpoint is poisoned for every FUTURE increment.
+    Policy: the doc_id (= url hash) IS the document — a re-delivery is
+    skipped, making increments idempotent (re-running one is a no-op).
+
+    Cost: one column-pruned scan of the base signatures' ``doc_id``
+    column against the broadcast (sorted) delta id set. Deltas larger
+    than the broadcast cap take a bucketed anti-join instead (one
+    exchange of ids only, no payloads)."""
+    id_parts = [b["doc_id"].to_numpy(zero_copy_only=False)
+                for b in new_sigs.iter_batches(batch_size=1 << 20,
+                                               batch_format="pyarrow")]
+    delta_ids = (np.unique(np.concatenate(id_parts)) if id_parts
+                 else np.empty(0, dtype=np.uint64))
+    if not len(delta_ids):
+        return delta_ids[:0]
+    base_id_ds = ray.data.read_parquet(
+        os.path.join(base_dir, "signatures"), columns=["doc_id"])
+    if len(delta_ids) <= _DELTA_KEYS_MAX:
+        ids_ref = ray.put(delta_ids)
+
+        def hits(t: pa.Table) -> pa.Table:
+            dk = ray.get(ids_ref)
+            doc = t["doc_id"].to_numpy(zero_copy_only=False)
+            idx = np.minimum(np.searchsorted(dk, doc), len(dk) - 1)
+            return pa.table({"doc_id": pa.array(doc[dk[idx] == doc],
+                                                type=pa.uint64())})
+
+        parts = [b["doc_id"].to_numpy(zero_copy_only=False)
+                 for b in base_id_ds.map_batches(
+                     hits, batch_format="pyarrow",
+                     zero_copy_batch=True).iter_batches(
+                     batch_size=1 << 20, batch_format="pyarrow")]
+        return (np.unique(np.concatenate(parts)) if parts
+                else delta_ids[:0])
+    # giant-delta path: ids-only bucketed semi-join (the base side is
+    # already unique by the invariant this function maintains)
+    from lsh_ray.stages.join import bucket_join
+    delta_id_ds = new_sigs.map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow",
+        zero_copy_batch=True)
+    marked = base_id_ds.map_batches(
+        lambda t: t.append_column(
+            "present", pa.array(np.ones(t.num_rows, dtype=np.int8))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j = bucket_join(delta_id_ds, marked, "doc_id", "doc_id",
+                    ["present"], how="inner")
+    parts = [b["doc_id"].to_numpy(zero_copy_only=False)
+             for b in j.iter_batches(batch_size=1 << 20,
+                                     batch_format="pyarrow")]
+    return (np.unique(np.concatenate(parts)) if parts else delta_ids[:0])
+
+
 def run_dedup_incremental(new_docs_ds, base_dir: str,
                           config: PipelineConfig = DEFAULT_CONFIG,
                           checkpoint_dir: str | None = None,
@@ -253,6 +322,28 @@ def run_dedup_incremental(new_docs_ds, base_dir: str,
         lambda t: t.combine_chunks(), batch_format="pyarrow",
         zero_copy_batch=True).materialize()
 
+    # idempotent re-ingestion: delta docs whose doc_id the base already
+    # holds (re-crawled urls, re-delivered shards) are skipped — see
+    # _existing_delta_ids. Keeps the merged checkpoint's doc_id-unique
+    # invariant that verify's pair resolution relies on.
+    existing = _existing_delta_ids(base_dir, new_sigs)
+    n_skipped = int(len(existing))
+    if n_skipped:
+        ex_ref = ray.put(existing)
+
+        def drop_existing(t: pa.Table) -> pa.Table:
+            ex = ray.get(ex_ref)
+            doc = t["doc_id"].to_numpy(zero_copy_only=False)
+            idx = np.minimum(np.searchsorted(ex, doc), len(ex) - 1)
+            return t.filter(pa.array(ex[idx] != doc))
+
+        new_normalized = new_normalized.map_batches(
+            drop_existing, batch_format="pyarrow",
+            zero_copy_batch=True).materialize()
+        new_sigs = new_sigs.map_batches(
+            drop_existing, batch_format="pyarrow",
+            zero_copy_batch=True).materialize()
+
     if config.exchange == "auto":
         # same crossover policy as run_dedup, sized on the UNION the
         # exchange actually moves; base row count is free (manifest)
@@ -260,8 +351,14 @@ def run_dedup_incremental(new_docs_ds, base_dir: str,
         config = dataclasses.replace(
             config, exchange="tasks" if n_docs <= 20_000_000 else "sort")
 
-    pairs = incremental_candidate_pairs(base_sigs, new_sigs,
-                                        config).materialize()
+    if n_skipped and not new_sigs.count():
+        # exact re-delivery: nothing new — skip the base scan/exchange
+        # entirely instead of shipping every base row to produce 0 pairs
+        from lsh_ray.stages.candidates import _empty_pairs_summed
+        pairs = ray.data.from_arrow(_empty_pairs_summed())
+    else:
+        pairs = incremental_candidate_pairs(base_sigs, new_sigs,
+                                            config).materialize()
 
     sig_union = base_sigs.union(new_sigs)
     norm_union = _read_stage(base_dir, "normalized").union(new_normalized)
@@ -336,4 +433,5 @@ def run_dedup_incremental(new_docs_ds, base_dir: str,
         verified=verified,
         substring_pairs=sub,
         clusters=clusters,
+        n_skipped_existing=n_skipped,
     )

@@ -93,6 +93,56 @@ def test_incremental_rolling_checkpoint_is_valid_base(
     assert _canon(inc2.clusters).equals(_canon(full.clusters))
 
 
+def test_incremental_idempotent_reingestion(ray_session, split_corpora,
+                                            tmp_path):
+    """A delta overlapping the base (re-crawled urls / a re-delivered
+    shard) skips the already-known doc_ids: re-running the SAME
+    increment against its own merged checkpoint is a no-op, and a
+    half-overlapping delta contributes only its new docs — no duplicate
+    doc_id ever enters the rolling signature checkpoint."""
+    import ray.data
+
+    from lsh_ray.config import PipelineConfig
+    from lsh_ray.pipelines.dedup_pipeline import run_dedup
+    from lsh_ray.pipelines.incremental import run_dedup_incremental
+
+    base_t, delta_t = split_corpora
+    cfg = PipelineConfig()
+    base_dir = str(tmp_path / "idem0")
+    run_dedup(ray.data.from_arrow(base_t), cfg, checkpoint_dir=base_dir)
+
+    mid_dir = str(tmp_path / "idem1")
+    inc1 = run_dedup_incremental(ray.data.from_arrow(delta_t), base_dir,
+                                 cfg, checkpoint_dir=mid_dir)
+    assert inc1.n_skipped_existing == 0
+    n1 = inc1.new_signatures.count()
+
+    # exact re-delivery: everything skipped, zero new pairs, clustering
+    # unchanged, and the re-run's checkpoint is byte-equal in content
+    redo_dir = str(tmp_path / "idem2")
+    inc2 = run_dedup_incremental(ray.data.from_arrow(delta_t), mid_dir,
+                                 cfg, checkpoint_dir=redo_dir)
+    assert inc2.n_skipped_existing == n1
+    assert inc2.new_signatures.count() == 0
+    assert inc2.verified.count() == 0
+    assert _canon(inc2.clusters).equals(_canon(inc1.clusters))
+    # merged signature checkpoint unchanged by the no-op increment
+    # (scalar columns — the list payloads don't sort in pandas)
+    assert _canon(inc2.signatures.select_columns(["doc_id"])).equals(
+        _canon(inc1.signatures.select_columns(["doc_id"])))
+    assert inc2.signatures.count() == inc1.signatures.count()
+
+    # half-overlap: only the genuinely new half lands, and the result
+    # equals feeding just that half
+    half = delta_t.slice(0, delta_t.num_rows // 2)
+    probe = pa.concat_tables([base_t.slice(0, 40), half])
+    mixed = run_dedup_incremental(ray.data.from_arrow(probe), base_dir, cfg)
+    clean = run_dedup_incremental(ray.data.from_arrow(half), base_dir, cfg)
+    assert mixed.n_skipped_existing > 0
+    assert _canon(mixed.verified).equals(_canon(clean.verified))
+    assert _canon(mixed.clusters).equals(_canon(clean.clusters))
+
+
 def test_incremental_rejects_config_mismatch(ray_session, split_corpora,
                                              tmp_path):
     import dataclasses
