@@ -78,18 +78,24 @@ def test_cli_dedup_incremental(tmp_path):
     delta against it links every delta doc to its base twin."""
     base_out = str(tmp_path / "base_out")
     base_ckpt = str(tmp_path / "base_ckpt")
-    r1 = _run(["dedup", "--input", f"{SF}/documents.parquet",
-               "--output", base_out, "--checkpoint", base_ckpt,
-               "--num-cpus", "4", "--limit", "200"])
-    assert r1["docs_normalized"] > 0
-    inc_out = str(tmp_path / "inc_out")
-    # the delta is a disjoint slice of the same corpus
+    # explicit disjoint slices (CLI --limit takes 200 NONDETERMINISTIC
+    # rows under ray's streaming limit, which can overlap the delta —
+    # overlapping docs are then legitimately skipped by the idempotent
+    # re-ingestion policy and the test would prove nothing)
     import pyarrow.parquet as _pq
     full = _pq.read_table(f"{SF}/documents.parquet")
+    base_path = str(tmp_path / "base.parquet")
     delta_path = str(tmp_path / "delta.parquet")
+    _pq.write_table(full.slice(0, 200), base_path)
     _pq.write_table(full.slice(200, 100), delta_path)
+    r1 = _run(["dedup", "--input", base_path,
+               "--output", base_out, "--checkpoint", base_ckpt,
+               "--num-cpus", "4"])
+    assert r1["docs_normalized"] > 0
+    inc_out = str(tmp_path / "inc_out")
     r2 = _run(["dedup", "--input", delta_path, "--base", base_ckpt,
                "--output", inc_out, "--num-cpus", "4"])
+    assert r2["skipped_existing"] == 0  # genuinely disjoint doc ids
     assert r2["new_docs_signed"] > 0
     assert r2["clustered_docs"] >= r1["clustered_docs"]
     assert os.path.isdir(os.path.join(inc_out, "clusters"))
