@@ -812,6 +812,22 @@ def q_doc_hash_sample(sf_dir: str):
                              columns=["doc_id", "n_chars"]), "0d")
 
 
+def q_doc_repetition(sf_dir: str):
+    """Per-doc repetition signals (most-common-token share, distinct
+    ratio inputs): the Gopher-style within-document quality rule —
+    one map_batches pass, zero shuffles."""
+    from lsh_ray.stages.repetition import doc_repetition
+    return doc_repetition(_docs_text(sf_dir))
+
+
+def q_dup_ngram_stats(sf_dir: str):
+    """Corpus-level duplicate 5-gram fraction per doc (RefinedWeb-style
+    cross-document repetition): grams shuffle once as 8-byte hashes,
+    dup flags join back via the shared bucket_join."""
+    from lsh_ray.stages.repetition import dup_ngram_stats
+    return dup_ngram_stats(_docs_text(sf_dir), n=5)
+
+
 QUERIES = {
     "text_search": q_text_search,
     "text_search_ls": q_text_search_ls,
@@ -853,6 +869,8 @@ QUERIES = {
     "knn_ivf": q_knn_ivf,
     "doc_split_assign": q_doc_split_assign,
     "doc_hash_sample": q_doc_hash_sample,
+    "doc_repetition": q_doc_repetition,
+    "dup_ngram_stats": q_dup_ngram_stats,
 }
 
 # tfidf-family token definition: maximal non-whitespace runs of the
@@ -1223,4 +1241,39 @@ ORACLE_SQL = {
         "CAST(0.0 AS DOUBLE) AS score, CAST(1 AS BIGINT) AS rank "
         "FROM documents WHERE doc_id < 5 AND trim(text) <> '' AND "
         "len(string_split_regex(lower(trim(text)), '\\s+')) >= 5"),
+    # per-doc repetition: every doc present (LEFT JOIN), token-less docs
+    # get zeros; the grouped CTE shares _TOKS's token definition
+    "doc_repetition": (
+        "WITH pg AS (SELECT doc_id, token, COUNT(*) AS c "
+        f"FROM {_TOKS} GROUP BY doc_id, token), "
+        "st AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct, "
+        "MAX(c) AS max_tf FROM pg GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(COALESCE(st.n_tokens, 0) AS BIGINT) "
+        "AS n_tokens, CAST(COALESCE(st.n_distinct, 0) AS BIGINT) "
+        "AS n_distinct_tokens, "
+        "ROUND(COALESCE(st.max_tf, 0) * 1.0 / "
+        "GREATEST(COALESCE(st.n_tokens, 0), 1), 6) AS top_token_frac "
+        "FROM documents d LEFT JOIN st USING (doc_id)"),
+    # corpus-level duplicate 5-gram fraction: a gram occurrence is 'dup'
+    # iff its gram appears in at least one OTHER doc (min != max doc)
+    "dup_ngram_stats": (
+        "WITH raw AS (SELECT doc_id, regexp_extract_all("
+        f"lower(COALESCE(text, '')), '{_TOKEN_RUN}') AS ts "
+        "FROM documents), "
+        "grams AS (SELECT doc_id, unnest([array_to_string("
+        "list_slice(ts, i, i + 4), ' ') "
+        "FOR i IN generate_series(1, len(ts) - 4)]) AS gram "
+        "FROM raw WHERE len(ts) >= 5), "
+        "pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams "
+        "GROUP BY doc_id, gram), "
+        "fl AS (SELECT gram FROM pg GROUP BY gram "
+        "HAVING MIN(doc_id) <> MAX(doc_id)), "
+        "nd AS (SELECT doc_id, SUM(c) AS n_dup FROM pg "
+        "JOIN fl USING (gram) GROUP BY doc_id), "
+        "ng AS (SELECT doc_id, GREATEST(len(ts) - 4, 0) AS n_grams "
+        "FROM raw) "
+        "SELECT ng.doc_id, CAST(ng.n_grams AS BIGINT) AS n_grams, "
+        "CAST(COALESCE(nd.n_dup, 0) AS BIGINT) AS n_dup_grams, "
+        "ROUND(COALESCE(nd.n_dup, 0) * 1.0 / GREATEST(ng.n_grams, 1), 6) "
+        "AS dup_gram_frac FROM ng LEFT JOIN nd USING (doc_id)"),
 }

@@ -67,10 +67,9 @@ def _join_bucket(group: pa.Table, left_cols: list[str],
         # Arrow `take` propagates NULL indices as null output rows, so a
         # masked index array null-fills in C++ for every column type
         # (including list<> payloads) — no Python round-trip.
-        take_pos = np.where(hit, order[np.where(hit, idx, 0)], 0)
-        null_mask = ~hit
         if len(rk_sorted):
-            indices = pa.array(take_pos, mask=null_mask, type=pa.int64())
+            take_pos = np.where(hit, order[np.where(hit, idx, 0)], 0)
+            indices = pa.array(take_pos, mask=~hit, type=pa.int64())
             right_taken = right.take(indices)
         for c in right_cols:
             if len(rk_sorted):

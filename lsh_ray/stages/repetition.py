@@ -1,0 +1,251 @@
+"""Repetition signals for web-corpus curation (Gopher/RefinedWeb-style).
+
+Two operators over the ``documents`` table, extending the reference's
+text-statistics family (SURVEY.md §2.2 M7/M16; reference analog: the
+per-song token statistics in ``scripts/song_tfidf_calculation.py:82-130``)
+with the quality rules a large-scale training-data pipeline applies
+before/alongside near-dup removal:
+
+- ``doc_repetition``: per-document repetition — token count, distinct
+  token count, and the frequency share of the most common token (the
+  "most common word fraction" rule). Embarrassingly parallel: one
+  ``map_batches`` pass, no shuffle.
+- ``dup_ngram_stats``: corpus-level duplicate n-gram fraction — for every
+  document, how many of its token n-grams also occur in at least one
+  OTHER document. This is the cross-document repetition signal behind
+  "remove docs made of boilerplate" rules, and unlike ``doc_repetition``
+  it is a genuinely wide operator: distinct (doc, gram) partials are
+  pre-aggregated per batch, n-grams shuffle ONCE as 8-byte hashes
+  (never as strings), and the dup flag joins back via the shared
+  ``bucket_join``.
+
+Tokenization is byte-for-byte the TF-IDF family's (lower + maximal
+runs of non-ASCII-whitespace — ``stages/tfidf.doc_token_rows``), so the
+DuckDB oracles share one token definition with the whole text family.
+
+Scale notes (100 TB): gram identity is a 64-bit hash (the corpus-level
+shuffle ships 24-byte rows); at 10^12 distinct grams widen to the
+128-bit variant of ``hash_strings`` to keep collision odds negligible.
+The per-gram aggregate is Min/Max (combiner-friendly — hot boilerplate
+grams pre-reduce inside every block before the exchange).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from lsh_ray.functions.num import round_half_away
+from lsh_ray.stages.join import bucket_join
+
+_WS = "\t\n\f\r "  # explicit RE2 ASCII whitespace (see stages/text_stats)
+
+
+def _flat_tokens(batch: pa.Table):
+    """batch -> (flat token StringArray, per-doc token counts int64,
+    doc_ids int64). Same lower/trim/split kernels (and the same
+    split-of-empty fix-up) as ``tfidf.doc_token_rows``."""
+    import pyarrow.compute as pc
+
+    low = pc.utf8_lower(pc.coalesce(batch["text"], ""))
+    trimmed = pc.utf8_trim(low, _WS)
+    lists = pc.split_pattern_regex(trimmed, f"[{_WS}]+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]
+    flat = lists.flatten()
+    lens = np.diff(offs)
+    empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+    if empty.any():
+        keep_rows = np.ones(int(offs[-1]), dtype=bool)
+        keep_rows[offs[:-1][empty]] = False
+        flat = flat.filter(pa.array(keep_rows))
+        lens = lens.copy()
+        lens[empty] = 0
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    return flat, lens, doc_ids
+
+
+def _group_pairs(d: np.ndarray, keys):
+    """Sort (doc-index, key) pairs and return (first-row indices,
+    group counts, doc index per group) — the per-batch distinct
+    pre-aggregation used across the token family."""
+    import pyarrow.compute as pc
+
+    total = len(d)
+    pairs = pa.table({"d": pa.array(d), "k": keys})
+    order = pc.sort_indices(
+        pairs, sort_keys=[("d", "ascending"), ("k", "ascending")])
+    idx = order.to_numpy(zero_copy_only=False)
+    d_s = d[idx]
+    k_s = keys.take(order)
+    if total > 1:
+        neq = pc.not_equal(
+            k_s.slice(1), k_s.slice(0, total - 1)).to_numpy(
+            zero_copy_only=False)
+        new = np.concatenate(([True], (d_s[1:] != d_s[:-1]) | neq))
+    else:
+        new = np.array([True])
+    firsts = np.flatnonzero(new)
+    counts = np.diff(np.concatenate((firsts, [total])))
+    return idx[firsts], counts.astype(np.int64), d_s[firsts]
+
+
+def doc_repetition(ds, round_to: int = 6):
+    """documents -> (doc_id, n_tokens, n_distinct_tokens, top_token_frac).
+
+    ``top_token_frac`` = occurrences of the single most frequent token /
+    total tokens (0 for token-less docs) — the per-doc repetition rule.
+    One streaming pass, zero shuffles: every document's tokens live in
+    its own batch row.
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        flat, lens, doc_ids = _flat_tokens(batch)
+        n_docs = len(doc_ids)
+        n_tokens = lens.astype(np.int64)
+        n_distinct = np.zeros(n_docs, dtype=np.int64)
+        max_tf = np.zeros(n_docs, dtype=np.int64)
+        d_rep = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        if len(d_rep):
+            _, counts, d_g = _group_pairs(d_rep, flat)
+            np.add.at(n_distinct, d_g, 1)
+            np.maximum.at(max_tf, d_g, counts)
+        return pa.table({
+            "doc_id": pa.array(doc_ids),
+            "n_tokens": pa.array(n_tokens),
+            "n_distinct_tokens": pa.array(n_distinct),
+            "top_token_frac": pa.array(round_half_away(
+                max_tf / np.maximum(n_tokens, 1), round_to)),
+        })
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _gram_tables(batch: pa.Table, n: int):
+    """batch -> (doc_ids, lens, gram-hash uint64 flat array, parent doc
+    index per gram). Grams are built with ONE vectorized element-wise
+    join over n shifted slices of the flat token array; grams straddling
+    a document boundary are masked out."""
+    import pyarrow.compute as pc
+
+    from lsh_ray.functions.hashing import hash_strings
+
+    flat, lens, doc_ids = _flat_tokens(batch)
+    total = len(flat)
+    d_rep = np.repeat(np.arange(len(doc_ids), dtype=np.int64), lens)
+    L = total - (n - 1)
+    if L <= 0:
+        return doc_ids, lens, np.empty(0, np.uint64), np.empty(0, np.int64)
+    valid = d_rep[:L] == d_rep[n - 1:]
+    slices = [flat.slice(i, L) for i in range(n)]
+    grams = pc.binary_join_element_wise(*slices, " ")
+    if valid.all():
+        parents = d_rep[:L]
+    else:
+        grams = grams.filter(pa.array(valid))
+        parents = d_rep[:L][valid]
+    gram_h = hash_strings(grams.to_numpy(zero_copy_only=False))
+    return doc_ids, lens, gram_h, parents
+
+
+def doc_gram_rows(ds, n: int = 5):
+    """documents -> one row per DISTINCT (doc_id, n-gram):
+    (gram_h uint64, doc_id, c) — the string never leaves the batch."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        doc_ids, _, gram_h, parents = _gram_tables(batch, n)
+        # int64 reinterpret (bijective): Ray 2.49 groupby/aggregate turns
+        # uint64 > 2^63 into pickled-object columns (see stages/cluster)
+        gram_h = gram_h.view(np.int64)
+        if not len(gram_h):
+            return pa.table({"gram_h": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        firsts, counts, d_g = _group_pairs(
+            parents, pa.array(gram_h, type=pa.int64()))
+        return pa.table({
+            "gram_h": pa.array(gram_h[firsts], type=pa.int64()),
+            "doc_id": pa.array(doc_ids[d_g]),
+            "c": pa.array(counts),
+        })
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ngram_counts(ds, n: int = 5):
+    """documents -> (doc_id, n_grams) for EVERY doc (0 when < n tokens)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        _, lens, doc_ids = _flat_tokens(batch)
+        return pa.table({
+            "doc_id": pa.array(doc_ids),
+            "n_grams": pa.array(np.maximum(lens - (n - 1), 0)
+                                .astype(np.int64)),
+        })
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dup_ngram_stats(ds, n: int = 5, round_to: int = 6):
+    """documents -> (doc_id, n_grams, n_dup_grams, dup_gram_frac).
+
+    ``n_dup_grams`` counts this document's n-gram occurrences whose gram
+    appears in at least one OTHER document (within-doc-only repeats do
+    not count — that is ``doc_repetition``'s signal). Plan: per-batch
+    distinct (doc, gram) partials -> ONE groupby over the 8-byte gram
+    hash with Min/Max(doc_id) (cross-doc <=> min != max; both combine
+    per block, so hot boilerplate grams pre-reduce before the exchange)
+    -> dup keys join back via ``bucket_join`` -> per-doc Sum.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    rows = doc_gram_rows(ds, n)
+    flags = rows.groupby("gram_h").aggregate(
+        Min("doc_id", alias_name="mn"), Max("doc_id", alias_name="mx"))
+
+    def dup_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = t.filter(pc.not_equal(t["mn"], t["mx"]))
+        return pa.table({
+            "gram_h": keep["gram_h"],
+            "dup": pa.array(np.ones(keep.num_rows, dtype=np.int8)),
+        })
+
+    dup_keys = flags.map_batches(dup_only, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    tagged = bucket_join(rows, dup_keys, "gram_h", "gram_h", ["dup"],
+                         suffix="_r", how="left")
+
+    def contrib(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        c = t["c"].to_numpy(zero_copy_only=False)
+        matched = pc.is_valid(t["dup_r"]).to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["doc_id"],
+                         "nd": pa.array(c * matched.astype(np.int64))})
+
+    nd = (tagged.map_batches(contrib, batch_format="pyarrow",
+                             zero_copy_batch=True)
+          .groupby("doc_id").aggregate(Sum("nd", alias_name="n_dup")))
+    out = bucket_join(ngram_counts(ds, n), nd, "doc_id", "doc_id",
+                      ["n_dup"], suffix="_r", how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ng = t["n_grams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ndv = pc.coalesce(t["n_dup_r"], pa.scalar(0, t["n_dup_r"].type)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_grams": pa.array(ng),
+            "n_dup_grams": pa.array(ndv),
+            "dup_gram_frac": pa.array(round_half_away(
+                ndv / np.maximum(ng, 1), round_to)),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)

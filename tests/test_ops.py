@@ -777,3 +777,34 @@ def test_bmpv_frame_sampling_and_features(rd):
     expect = np.stack([image_features(f)
                        for f in frames[::2][:8]]).mean(axis=0)[:13]
     np.testing.assert_allclose(feat[3:], expect, rtol=1e-6)
+
+
+def test_doc_repetition_known_values(rd):
+    from lsh_ray.stages.repetition import doc_repetition
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        # doc 1: 'a a a b' -> 4 tokens, 2 distinct, top 3/4
+        # doc 2: case-folds to one token repeated
+        "text": ["a a A b", "Foo foo FOO", "", None],
+    }))
+    out = doc_repetition(ds).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert out.n_tokens.tolist() == [4, 3, 0, 0]
+    assert out.n_distinct_tokens.tolist() == [2, 1, 0, 0]
+    assert out.top_token_frac.tolist() == [0.75, 1.0, 0.0, 0.0]
+
+
+def test_dup_ngram_stats_cross_doc_only(rd):
+    from lsh_ray.stages.repetition import dup_ngram_stats
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        # bigrams doc1: (x y)(y z); doc2: (x y)(y q) -> 'x y' is the one
+        # cross-doc gram. doc3 repeats 'r s' only WITHIN itself -> 0.
+        # doc4 is too short for any bigram.
+        "text": ["x y z", "x y q", "r s r s r", "solo"],
+    }))
+    out = dup_ngram_stats(ds, n=2).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert out.n_grams.tolist() == [2, 2, 4, 0]
+    assert out.n_dup_grams.tolist() == [1, 1, 0, 0]
+    assert out.dup_gram_frac.tolist() == [0.5, 0.5, 0.0, 0.0]
