@@ -115,7 +115,7 @@ def run_bench() -> dict:
     q_names = [] if os.environ.get("GRAFT_SKIP_QUERIES") else [
         "tfidf", "knn_topk", "events_hourly", "lineitem_agg",
         "exact_dup_groups", "sessions", "ngram_jaccard_dups",
-        "events_asof"]
+        "events_asof", "dup_ngram_stats"]
     for name in q_names:
         t0 = time.time()
         ds = QUERIES[name](sf_dir)

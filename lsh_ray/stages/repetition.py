@@ -200,11 +200,19 @@ def dup_ngram_stats(ds, n: int = 5, round_to: int = 6):
     distinct (doc, gram) partials -> ONE groupby over the 8-byte gram
     hash with Min/Max(doc_id) (cross-doc <=> min != max; both combine
     per block, so hot boilerplate grams pre-reduce before the exchange)
-    -> dup keys join back via ``bucket_join`` -> per-doc Sum.
+    -> dup keys flag the partials (broadcast ``ray.put`` + vectorized
+    searchsorted membership under ``broadcast_max_keys``; ``bucket_join``
+    above it — the 10^12-doc path) -> per-doc totals in ONE groupby over
+    the union of the gram-count and dup-count streams.
     """
+    import ray
+
     from ray.data.aggregate import Max, Min, Sum
 
-    rows = doc_gram_rows(ds, n)
+    # pin the partials: two consumers (the flag groupby and the dup
+    # tagging) would otherwise each re-run the read + gram explosion
+    # (Ray Data shares no common subexpressions across a lazy DAG)
+    rows = doc_gram_rows(ds, n).materialize()
     flags = rows.groupby("gram_h").aggregate(
         Min("doc_id", alias_name="mn"), Max("doc_id", alias_name="mx"))
 
@@ -217,28 +225,65 @@ def dup_ngram_stats(ds, n: int = 5, round_to: int = 6):
         })
 
     dup_keys = flags.map_batches(dup_only, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-    tagged = bucket_join(rows, dup_keys, "gram_h", "gram_h", ["dup"],
-                         suffix="_r", how="left")
+                                 zero_copy_batch=True).materialize()
 
-    def contrib(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        c = t["c"].to_numpy(zero_copy_only=False)
-        matched = pc.is_valid(t["dup_r"]).to_numpy(zero_copy_only=False)
+    broadcast_max_keys = 4_000_000  # ~32 MB of int64 via ray.put
+    if dup_keys.count() <= broadcast_max_keys:
+        keys_sorted = np.sort(np.concatenate(
+            [b["gram_h"].to_numpy(zero_copy_only=False)
+             for b in dup_keys.iter_batches(batch_format="pyarrow")]
+            or [np.empty(0, np.int64)]))
+        keys_ref = ray.put(keys_sorted)
+
+        def tag_broadcast(t: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            gh = t["gram_h"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ks, gh)
+            pos[pos == len(ks)] = max(len(ks) - 1, 0)
+            matched = (ks[pos] == gh) if len(ks) else np.zeros(
+                len(gh), dtype=bool)
+            nd = t["c"].to_numpy(zero_copy_only=False) * matched
+            return pa.table({"doc_id": t["doc_id"],
+                             "n_grams": pa.array(
+                                 np.zeros(t.num_rows, dtype=np.int64)),
+                             "nd": pa.array(nd.astype(np.int64))})
+
+        contrib = rows.map_batches(tag_broadcast, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    else:
+        tagged = bucket_join(rows, dup_keys, "gram_h", "gram_h", ["dup"],
+                             suffix="_r", how="left")
+
+        def tag_joined(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            c = t["c"].to_numpy(zero_copy_only=False)
+            matched = pc.is_valid(t["dup_r"]).to_numpy(
+                zero_copy_only=False)
+            return pa.table({"doc_id": t["doc_id"],
+                             "n_grams": pa.array(
+                                 np.zeros(t.num_rows, dtype=np.int64)),
+                             "nd": pa.array(c * matched.astype(np.int64))})
+
+        contrib = tagged.map_batches(tag_joined, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+    def ng_rows(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["doc_id"],
-                         "nd": pa.array(c * matched.astype(np.int64))})
+                         "n_grams": t["n_grams"],
+                         "nd": pa.array(np.zeros(t.num_rows,
+                                                 dtype=np.int64))})
 
-    nd = (tagged.map_batches(contrib, batch_format="pyarrow",
-                             zero_copy_batch=True)
-          .groupby("doc_id").aggregate(Sum("nd", alias_name="n_dup")))
-    out = bucket_join(ngram_counts(ds, n), nd, "doc_id", "doc_id",
-                      ["n_dup"], suffix="_r", how="left")
+    per_doc = (ngram_counts(ds, n)
+               .map_batches(ng_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .union(contrib)
+               .groupby("doc_id")
+               .aggregate(Sum("n_grams", alias_name="ng"),
+                          Sum("nd", alias_name="n_dup")))
 
     def finish(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        ng = t["n_grams"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ndv = pc.coalesce(t["n_dup_r"], pa.scalar(0, t["n_dup_r"].type)) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ng = t["ng"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ndv = t["n_dup"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
             "doc_id": t["doc_id"],
             "n_grams": pa.array(ng),
@@ -247,5 +292,5 @@ def dup_ngram_stats(ds, n: int = 5, round_to: int = 6):
                 ndv / np.maximum(ng, 1), round_to)),
         })
 
-    return out.map_batches(finish, batch_format="pyarrow",
-                           zero_copy_batch=True)
+    return per_doc.map_batches(finish, batch_format="pyarrow",
+                               zero_copy_batch=True)
