@@ -812,6 +812,40 @@ def q_doc_hash_sample(sf_dir: str):
                              columns=["doc_id", "n_chars"]), "0d")
 
 
+def q_near_dedup_keep(sf_dir: str):
+    """The dedup 'apply' surface: the cleaned corpus after near-dup
+    removal — every signed doc EXCEPT cluster members that are not
+    their cluster's representative (MIN url). A distributed anti-join:
+    the dropped-url set rides the bucketed left join as the (much
+    smaller) right side and survivors are the null-marker rows."""
+    import pyarrow as pa
+
+    from lsh_ray.stages.join import bucket_join
+    res = _dedup_result(sf_dir)
+    clusters = q_dedup_clusters(sf_dir)
+
+    def dropped_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = t.filter(pc.not_equal(t["url"], t["cluster_url"]))
+        return pa.table({
+            "url": keep["url"],
+            "dropped": pa.array(np.ones(keep.num_rows, dtype=np.int8)),
+        })
+
+    dropped = clusters.map_batches(dropped_only, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    urls = res.signatures.select_columns(["url"])
+    j = bucket_join(urls, dropped, "url", "url", ["dropped"],
+                    suffix="_r", how="left")
+
+    def anti(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.is_null(t["dropped_r"])).select(["url"])
+
+    return j.map_batches(anti, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 def q_doc_repetition(sf_dir: str):
     """Per-doc repetition signals (most-common-token share, distinct
     ratio inputs): the Gopher-style within-document quality rule —
@@ -871,6 +905,7 @@ QUERIES = {
     "doc_hash_sample": q_doc_hash_sample,
     "doc_repetition": q_doc_repetition,
     "dup_ngram_stats": q_dup_ngram_stats,
+    "near_dedup_keep": q_near_dedup_keep,
 }
 
 # tfidf-family token definition: maximal non-whitespace runs of the
@@ -918,6 +953,27 @@ def _shingle_ctes(k: int) -> str:
 
 
 _SHINGLE_CTES = _shingle_ctes(5)  # k = PipelineConfig.shingle_k default
+
+# connected components over the brute-force dup + substring edge set
+# (shared by the dedup_clusters and near_dedup_keep oracles)
+_CC_CTES = (
+    _SHINGLE_CTES + ", "
+    "edges0 AS ("
+    "SELECT ua, ub FROM pairs WHERE jac >= 0.8 "
+    "UNION ALL "
+    "SELECT p.ua, p.ub FROM pairs p "
+    "JOIN documents da ON da.doc_id = p.ida "
+    "JOIN documents db ON db.doc_id = p.idb "
+    "WHERE p.jac < 0.8 AND p.cont >= 0.9 AND "
+    "CASE WHEN length(da.text) <= length(db.text) "
+    "THEN contains(db.text, da.text) "
+    "ELSE contains(da.text, db.text) END), "
+    "edges AS (SELECT ua AS u, ub AS v FROM edges0 "
+    "UNION SELECT ub, ua FROM edges0), "
+    "reach AS (SELECT u, v FROM edges "
+    "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), "
+    "allr AS (SELECT u, v FROM reach "
+    "UNION SELECT DISTINCT u, u FROM edges)")
 
 
 def _en_stopword_pattern() -> str:
@@ -1163,24 +1219,15 @@ ORACLE_SQL = {
         "SELECT LEAST(ua, ub) AS url_a, GREATEST(ua, ub) AS url_b, "
         "jac AS jaccard FROM pairs WHERE jac >= 0.7"),
     "dedup_clusters": (
-        "WITH RECURSIVE " + _SHINGLE_CTES + ", "
-        "edges0 AS ("
-        "SELECT ua, ub FROM pairs WHERE jac >= 0.8 "
-        "UNION ALL "
-        "SELECT p.ua, p.ub FROM pairs p "
-        "JOIN documents da ON da.doc_id = p.ida "
-        "JOIN documents db ON db.doc_id = p.idb "
-        "WHERE p.jac < 0.8 AND p.cont >= 0.9 AND "
-        "CASE WHEN length(da.text) <= length(db.text) "
-        "THEN contains(db.text, da.text) "
-        "ELSE contains(da.text, db.text) END), "
-        "edges AS (SELECT ua AS u, ub AS v FROM edges0 "
-        "UNION SELECT ub, ua FROM edges0), "
-        "reach AS (SELECT u, v FROM edges "
-        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), "
-        "allr AS (SELECT u, v FROM reach "
-        "UNION SELECT DISTINCT u, u FROM edges) "
+        "WITH RECURSIVE " + _CC_CTES + " "
         "SELECT u AS url, MIN(v) AS cluster_url FROM allr GROUP BY u"),
+    # the dedup 'apply': signed docs minus non-representative members
+    "near_dedup_keep": (
+        "WITH RECURSIVE " + _CC_CTES + ", "
+        "cl AS (SELECT u AS url, MIN(v) AS cluster_url FROM allr "
+        "GROUP BY u) "
+        "SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url FROM sizes "
+        "EXCEPT SELECT url FROM cl WHERE url <> cluster_url"),
     "minhash_signatures": (
         "WITH " + _SHINGLE_CTES + " "
         "SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, "

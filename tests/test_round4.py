@@ -278,3 +278,17 @@ def test_giant_scale_fallbacks_end_to_end(rd, corpus_dir, monkeypatch):
                       giant_cfg)
     assert canon_pairs(giant) == base_pairs
     assert canon_clusters(giant) == base_clusters
+
+
+def test_near_dedup_keep_partitions_signed_docs(ray_session, sf_dir):
+    """kept = signed \\ dropped, and every cluster representative
+    (min-url member) survives the anti-join."""
+    from lsh_ray.pipelines.queries import (
+        _dedup_result, q_dedup_clusters, q_near_dedup_keep)
+    kept = set(q_near_dedup_keep(sf_dir).to_pandas()["url"])
+    cl = q_dedup_clusters(sf_dir).to_pandas()
+    signed = set(_dedup_result(sf_dir).signatures
+                 .select_columns(["url"]).to_pandas()["url"])
+    dropped = set(cl.url[cl.url != cl.cluster_url])
+    assert kept == signed - dropped
+    assert set(cl.cluster_url) <= kept
