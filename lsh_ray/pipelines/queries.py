@@ -846,6 +846,22 @@ def q_near_dedup_keep(sf_dir: str):
                          zero_copy_batch=True)
 
 
+def q_top_tokens(sf_dir: str):
+    """Corpus-wide top-20 heavy-hitter tokens (count desc, token asc):
+    the vocabulary-sized sort-limit path."""
+    from lsh_ray.stages.tfidf import top_tokens
+    return top_tokens(_docs_text(sf_dir), k=20)
+
+
+def q_doc_length_quantiles(sf_dir: str):
+    """Exact n_chars quantiles via the distributed value histogram —
+    shuffle volume is value cardinality, not corpus rows."""
+    from lsh_ray.stages.sampling import exact_quantiles
+    return exact_quantiles(
+        _read(f"{sf_dir}/documents.parquet", columns=["n_chars"]),
+        "n_chars")
+
+
 def q_doc_repetition(sf_dir: str):
     """Per-doc repetition signals (most-common-token share, distinct
     ratio inputs): the Gopher-style within-document quality rule —
@@ -906,6 +922,8 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "dup_ngram_stats": q_dup_ngram_stats,
     "near_dedup_keep": q_near_dedup_keep,
+    "top_tokens": q_top_tokens,
+    "doc_length_quantiles": q_doc_length_quantiles,
 }
 
 # tfidf-family token definition: maximal non-whitespace runs of the
@@ -1288,6 +1306,18 @@ ORACLE_SQL = {
         "CAST(0.0 AS DOUBLE) AS score, CAST(1 AS BIGINT) AS rank "
         "FROM documents WHERE doc_id < 5 AND trim(text) <> '' AND "
         "len(string_split_regex(lower(trim(text)), '\\s+')) >= 5"),
+    "top_tokens": (
+        f"SELECT token, COUNT(*) AS n FROM {_TOKS} GROUP BY token "
+        "ORDER BY n DESC, token LIMIT 20"),
+    # rank = integer-permille ceil division — float-rounding-free, the
+    # exact rule the engine's histogram pick uses
+    "doc_length_quantiles": (
+        "WITH s AS (SELECT n_chars, "
+        "row_number() OVER (ORDER BY n_chars) AS r, "
+        "COUNT(*) OVER () AS n FROM documents), "
+        "qs AS (SELECT unnest([250, 500, 750, 900, 990]) AS qpm) "
+        "SELECT qs.qpm / 1000.0 AS q, s.n_chars AS n_chars_q "
+        "FROM qs JOIN s ON s.r = (qs.qpm * s.n + 999) // 1000"),
     # per-doc repetition: every doc present (LEFT JOIN), token-less docs
     # get zeros; the grouped CTE shares _TOKS's token definition
     "doc_repetition": (

@@ -69,3 +69,41 @@ def hash_sample(ds, rate_bucket_hex: str, key_col: str = "doc_id"):
         return batch.filter(pa.array(b < rate_bucket_hex))
 
     return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def exact_quantiles(ds, col: str, permille=(250, 500, 750, 900, 990)):
+    """Exact discrete quantiles of an integer column via a distributed
+    value histogram: per-batch ``np.unique`` partials -> one tiny
+    groupby over DISTINCT VALUES (not rows) -> driver-side rank pick.
+
+    No global sort: the shuffle/driver volume is the value cardinality,
+    not the row count — the right exact-quantile plan whenever the
+    domain is bounded (lengths, counts, scores). Ranks use integer
+    permille ceil-division (``(q_pm * n + 999) // 1000``) so a DuckDB
+    ``row_number`` oracle reproduces the pick with no float rounding.
+    Returns a pyarrow Table (q double, <col>_q int64).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, cnts = np.unique(v, return_counts=True)
+        return pa.table({"value": pa.array(vals),
+                         "cnt": pa.array(cnts.astype(np.int64))})
+
+    hist = (ds.select_columns([col])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("value").aggregate(Sum("cnt", alias_name="n"))
+            .to_pandas().sort_values("value"))
+    cum = hist["n"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    values = hist["value"].to_numpy()
+    out_q, out_v = [], []
+    for q_pm in permille:
+        r = (q_pm * n + 999) // 1000
+        i = int(np.searchsorted(cum, r))
+        out_q.append(q_pm / 1000.0)
+        out_v.append(int(values[min(i, len(values) - 1)]) if n else 0)
+    return pa.table({"q": pa.array(out_q, type=pa.float64()),
+                     f"{col}_q": pa.array(out_v, type=pa.int64())})

@@ -212,3 +212,23 @@ def tfidf_filter_stats(ds, min_tfidf: float, round_to: int = 6):
                 round_half_away(kept / np.maximum(dl, 1), round_to)),
         })
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def top_tokens(ds, k: int = 20):
+    """Corpus-wide heavy hitters: the k most frequent tokens with their
+    total occurrence counts, tie-broken by token so the cut line is
+    deterministic. Reuses the distinct (doc, token) explosion; the
+    global count is a combiner-friendly Sum over vocabulary-sized data,
+    and only the vocab table (never the corpus) is sorted."""
+    from ray.data.aggregate import Sum
+    counts = doc_token_rows(ds).groupby("token").aggregate(
+        Sum("tf_count", alias_name="n"))
+
+    def cast_n(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({"token": t["token"],
+                         "n": pc.cast(t["n"], pa.int64())})
+
+    return (counts.map_batches(cast_n, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .sort(["n", "token"], descending=[True, False]).limit(k))

@@ -808,3 +808,25 @@ def test_dup_ngram_stats_cross_doc_only(rd):
     assert out.n_grams.tolist() == [2, 2, 4, 0]
     assert out.n_dup_grams.tolist() == [1, 1, 0, 0]
     assert out.dup_gram_frac.tolist() == [0.5, 0.5, 0.0, 0.0]
+
+
+def test_exact_quantiles_known_ranks(rd):
+    from lsh_ray.stages.sampling import exact_quantiles
+    ds = rd.from_arrow(pa.table({
+        "n_chars": pa.array(list(range(1, 11)), type=pa.int64())}))
+    out = exact_quantiles(ds, "n_chars").to_pandas()
+    # rank = ceil(q * n) in integer permille: 3, 5, 8, 9, 10
+    assert out.n_chars_q.tolist() == [3, 5, 8, 9, 10]
+    assert out.q.tolist() == [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def test_top_tokens_count_then_token_order(rd):
+    from lsh_ray.stages.tfidf import top_tokens
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": ["b a b c", "a b z"],
+    }))
+    out = top_tokens(ds, k=3).to_pandas()
+    # b:3, a:2, then c/z tie at 1 -> token asc picks c
+    assert out.token.tolist() == ["b", "a", "c"]
+    assert out.n.tolist() == [3, 2, 1]
