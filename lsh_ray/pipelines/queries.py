@@ -846,6 +846,17 @@ def q_near_dedup_keep(sf_dir: str):
                          zero_copy_batch=True)
 
 
+def q_event_seq(sf_dir: str):
+    """Distributed row_number() OVER (PARTITION BY user ORDER BY ts,
+    id): the window-function family as a two-phase prefix scan —
+    per-(user, hour-bucket) counts become per-user offsets, then one
+    (user, bucket) exchange ranks locally. No per-user group ever
+    materializes (hot-user safe)."""
+    from lsh_ray.stages.windows import event_seq
+    return event_seq(_read(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "user_id", "ts"]))
+
+
 def q_top_tokens(sf_dir: str):
     """Corpus-wide top-20 heavy-hitter tokens (count desc, token asc):
     the vocabulary-sized sort-limit path."""
@@ -924,6 +935,7 @@ QUERIES = {
     "near_dedup_keep": q_near_dedup_keep,
     "top_tokens": q_top_tokens,
     "doc_length_quantiles": q_doc_length_quantiles,
+    "event_seq": q_event_seq,
 }
 
 # tfidf-family token definition: maximal non-whitespace runs of the
@@ -1309,6 +1321,10 @@ ORACLE_SQL = {
     "top_tokens": (
         f"SELECT token, COUNT(*) AS n FROM {_TOKS} GROUP BY token "
         "ORDER BY n DESC, token LIMIT 20"),
+    "event_seq": (
+        "SELECT event_id, user_id, ts, "
+        "CAST(row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS BIGINT) AS seq_no FROM events"),
     # rank = integer-permille ceil division — float-rounding-free, the
     # exact rule the engine's histogram pick uses
     "doc_length_quantiles": (

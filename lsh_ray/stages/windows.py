@@ -329,3 +329,94 @@ def sessionize(events_ds, gap_s: int = 1800,
 
     return interior.union(merged).map_batches(
         project_cols, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def event_seq(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
+              id_col: str = "event_id", ts_col: str = "ts"):
+    """Per-key running sequence number ordered by (ts, id) — SQL's
+    ``row_number() OVER (PARTITION BY key ORDER BY ts, id)`` as a
+    two-phase distributed prefix scan with NO per-key group:
+
+    - **Phase 1** aggregates per-(key, time-bucket) COUNTS (volume =
+      keys x buckets touched, bounded by time range — never by event
+      rate) and turns them into per-key exclusive prefix offsets with a
+      ``map_groups`` over that tiny count table (a group = one key's
+      buckets, so a bot key with 10^8 events still yields a small group).
+    - **Phase 2** co-locates events by (key, bucket) via the pluggable
+      exchange; each block lexsorts once and emits local ranks + the
+      joined bucket offset. Buckets are a monotone function of ts, so
+      bucket-then-(ts, id) order equals global (ts, id) order per key.
+
+    Composite key packs (key, bucket) into one int64 (injective while
+    key < 2^31 and epoch-bucket < 2^32 — document wider corpora onto a
+    128-bit pack).
+    """
+    from lsh_ray.config import coalesce_blocks
+    from lsh_ray.stages.exchange import colocate_map
+    from lsh_ray.stages.join import bucket_join
+
+    _SHIFT = np.int64(2**32)
+
+    def add_ck(t: pa.Table) -> pa.Table:
+        ts_us = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = (ts_us // 1_000_000) // bucket_s
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("ck", pa.array(key * _SHIFT + bucket))
+
+    ev = (events_ds.select_columns([id_col, key_col, ts_col])
+          .map_batches(add_ck, batch_format="pyarrow",
+                       zero_copy_batch=True))
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        ck, cnt = np.unique(t["ck"].to_numpy(zero_copy_only=False),
+                            return_counts=True)
+        return pa.table({"ck": pa.array(ck),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    counts = (ev.map_batches(count_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("ck").aggregate(Sum("cnt", alias_name="n"))
+              .map_batches(lambda t: t.append_column(
+                  "k", pa.array(t["ck"].to_numpy(zero_copy_only=False)
+                                // _SHIFT)),
+                  batch_format="pyarrow", zero_copy_batch=True))
+
+    def offsets_for_key(g: pa.Table) -> pa.Table:
+        ck = g["ck"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ck)  # bucket asc within one key
+        off = np.zeros(len(ck), dtype=np.int64)
+        off[order[1:]] = np.cumsum(n[order])[:-1]
+        return pa.table({"ck": pa.array(ck), "offset": pa.array(off)})
+
+    offsets = counts.groupby("k").map_groups(offsets_for_key,
+                                             batch_format="pyarrow")
+    joined = bucket_join(ev, offsets, "ck", "ck", ["offset"], suffix="_r")
+
+    def rank_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             key_col: pa.array([], pa.int64()),
+                             ts_col: pa.array([], t.schema.field(
+                                 ts_col).type),
+                             "seq_no": pa.array([], pa.int64())})
+        ck = t["ck"].to_numpy(zero_copy_only=False)
+        ts_us = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts_us, ck))
+        ck_s = ck[order]
+        new = np.concatenate(([True], ck_s[1:] != ck_s[:-1]))
+        starts = np.flatnonzero(new)
+        local = np.arange(len(ck_s), dtype=np.int64)
+        local -= np.repeat(starts, np.diff(
+            np.concatenate((starts, [len(ck_s)]))))
+        off_s = t["offset_r"].to_numpy(zero_copy_only=False)[order]
+        idx = pa.array(order, type=pa.int64())
+        return pa.table({
+            id_col: t[id_col].take(idx),
+            key_col: t[key_col].take(idx),
+            ts_col: t[ts_col].take(idx),
+            "seq_no": pa.array(off_s + local + 1),
+        })
+
+    return colocate_map(joined, ["ck"], coalesce_blocks(), rank_block)

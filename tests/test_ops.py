@@ -830,3 +830,28 @@ def test_top_tokens_count_then_token_order(rd):
     # b:3, a:2, then c/z tie at 1 -> token asc picks c
     assert out.token.tolist() == ["b", "a", "c"]
     assert out.n.tolist() == [3, 2, 1]
+
+
+def test_event_seq_is_rownumber_per_user(rd):
+    from lsh_ray.stages.windows import event_seq
+    rng = np.random.default_rng(7)
+    n = 5000
+    # hot user 1 spans many hour buckets; user 2 interleaves; ts ties
+    # within a user are broken by event_id
+    ts_s = 1_700_000_000 + np.sort(rng.integers(0, 40 * 3600, n))
+    ts_s[100] = ts_s[101]  # plant a tie
+    user = np.where(rng.random(n) < 0.9, 1, 2).astype(np.int64)
+    perm = rng.permutation(n)  # arrival order != time order
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)[perm]),
+        "user_id": pa.array(user[perm]),
+        "ts": pa.array(ts_s[perm] * 1_000_000, type=pa.timestamp("us")),
+    })
+    out = event_seq(rd.from_arrow(tbl)).to_pandas()
+    assert len(out) == n
+    for u, g in out.groupby("user_id"):
+        g = g.sort_values("seq_no")
+        assert g.seq_no.tolist() == list(range(1, len(g) + 1))
+        k = np.lexsort((g.event_id.to_numpy(),
+                        g.ts.astype("int64").to_numpy()))
+        assert (k == np.arange(len(g))).all(), f"user {u} out of order"
