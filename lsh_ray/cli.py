@@ -77,6 +77,10 @@ def main(argv: list[str] | None = None) -> int:
                         "base work is never redone)")
     p.add_argument("--distributed-cc", action="store_true",
                    default=None)  # None = auto by edge count
+    p.add_argument("--write-kept", action="store_true",
+                   help="also write OUTPUT/kept: the cleaned-corpus "
+                        "keep list (signed urls minus non-representative "
+                        "cluster members) as partitioned parquet")
     _add_config_flags(p)
 
     p = sub.add_parser("signatures", help="build the signature table only")
@@ -277,6 +281,11 @@ def main(argv: list[str] | None = None) -> int:
         res.clusters.write_parquet(args.output + "/clusters")
         res.verified.write_parquet(args.output + "/verified_pairs")
         metrics = res.metrics()
+        if getattr(args, "write_kept", False):
+            from lsh_ray.stages.cluster import kept_after_dedup
+            kept = kept_after_dedup(res).materialize()
+            kept.write_parquet(args.output + "/kept")
+            metrics["kept_docs"] = kept.count()
         metrics["wall_s"] = round(time.time() - t0, 2)
         import os
         with open(os.path.join(args.output, "metrics.json"), "w") as f:

@@ -167,48 +167,9 @@ def q_dedup_clusters(sf_dir: str):
     space. Oracle: recursive-CTE connected components over the DuckDB
     brute-force edge set (exact equality relies on the measured
     recall-1.0 property, see q_dedup_pairs)."""
-    import pyarrow as pa
-
-    from lsh_ray.stages.join import bucket_join
+    from lsh_ray.stages.cluster import relabel_clusters_by_min_url
     res = _dedup_result(sf_dir)
-    urls = res.signatures.select_columns(["doc_id", "url"])
-    withurl = bucket_join(res.clusters, urls, "doc_id", "doc_id",
-                          ["url"])
-    # one bucketed pass: every row of a cluster shares bucket =
-    # cluster_id % NB, so the per-bucket kernel can compute min-url per
-    # cluster and broadcast it — NOT ray.data's Min aggregate, which
-    # returns uint64 keys > 2^63 as pickled objects (observed on 2.49).
-    nbu = np.uint64(1024)
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        cid = t["cluster_id"].to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "bucket", pa.array((cid % nbu).astype(np.int32)))
-
-    def relabel(t: pa.Table) -> pa.Table:
-        import pyarrow as pa_
-        import pyarrow.compute as pc_
-        # Arrow-native group-min: sort (cluster_id, url) in C++, find
-        # group firsts on the numeric key, gather the first url per
-        # group — the string column never round-trips through Python
-        order = pc_.sort_indices(
-            t, sort_keys=[("cluster_id", "ascending"),
-                          ("url", "ascending")])
-        cid_s = t["cluster_id"].take(order).to_numpy(zero_copy_only=False)
-        url_s = t["url"].take(order).combine_chunks()
-        new = np.concatenate(([True], cid_s[1:] != cid_s[:-1]))
-        gid = np.cumsum(new) - 1
-        first_idx = np.flatnonzero(new)
-        return pa_.table({
-            "url": url_s,
-            "cluster_url": url_s.take(
-                pa_.array(first_idx[gid], type=pa_.int64())),
-        })
-
-    return (withurl.map_batches(add_bucket, batch_format="pyarrow",
-                                zero_copy_batch=True)
-            .groupby("bucket")
-            .map_groups(relabel, batch_format="pyarrow"))
+    return relabel_clusters_by_min_url(res.clusters, res.signatures)
 
 
 def signature_table(sf_dir: str):
@@ -818,32 +779,8 @@ def q_near_dedup_keep(sf_dir: str):
     their cluster's representative (MIN url). A distributed anti-join:
     the dropped-url set rides the bucketed left join as the (much
     smaller) right side and survivors are the null-marker rows."""
-    import pyarrow as pa
-
-    from lsh_ray.stages.join import bucket_join
-    res = _dedup_result(sf_dir)
-    clusters = q_dedup_clusters(sf_dir)
-
-    def dropped_only(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        keep = t.filter(pc.not_equal(t["url"], t["cluster_url"]))
-        return pa.table({
-            "url": keep["url"],
-            "dropped": pa.array(np.ones(keep.num_rows, dtype=np.int8)),
-        })
-
-    dropped = clusters.map_batches(dropped_only, batch_format="pyarrow",
-                                   zero_copy_batch=True)
-    urls = res.signatures.select_columns(["url"])
-    j = bucket_join(urls, dropped, "url", "url", ["dropped"],
-                    suffix="_r", how="left")
-
-    def anti(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        return t.filter(pc.is_null(t["dropped_r"])).select(["url"])
-
-    return j.map_batches(anti, batch_format="pyarrow",
-                         zero_copy_batch=True)
+    from lsh_ray.stages.cluster import kept_after_dedup
+    return kept_after_dedup(_dedup_result(sf_dir))
 
 
 def q_event_seq(sf_dir: str):

@@ -352,3 +352,80 @@ def clusters_table(edges_ds, distributed: bool | None = None):
     return ray.data.from_arrow(
         pa.Table.from_pandas(pdf, preserve_index=False)
         .replace_schema_metadata(None))
+
+
+def relabel_clusters_by_min_url(clusters_ds, signatures_ds,
+                                num_buckets: int = 1024):
+    """(doc_id, cluster_id) + signatures(doc_id, url) -> (url,
+    cluster_url = MIN url of the component): the content-derived cluster
+    id re-expressed in the stable key space. One bucketed pass — every
+    row of a cluster shares bucket = cluster_id % NB, so the per-bucket
+    kernel computes min-url per cluster with an Arrow C++ sort (NOT
+    ray.data's Min aggregate, which returns uint64 keys > 2^63 as
+    pickled objects on 2.49)."""
+    import pyarrow as pa
+
+    from lsh_ray.stages.join import bucket_join
+
+    urls = signatures_ds.select_columns(["doc_id", "url"])
+    withurl = bucket_join(clusters_ds, urls, "doc_id", "doc_id", ["url"])
+    nbu = np.uint64(num_buckets)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        cid = t["cluster_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((cid % nbu).astype(np.int32)))
+
+    def relabel(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+        order = pc_.sort_indices(
+            t, sort_keys=[("cluster_id", "ascending"),
+                          ("url", "ascending")])
+        cid_s = t["cluster_id"].take(order).to_numpy(zero_copy_only=False)
+        url_s = t["url"].take(order).combine_chunks()
+        new = np.concatenate(([True], cid_s[1:] != cid_s[:-1]))
+        gid = np.cumsum(new) - 1
+        first_idx = np.flatnonzero(new)
+        return pa.table({
+            "url": url_s,
+            "cluster_url": url_s.take(
+                pa.array(first_idx[gid], type=pa.int64())),
+        })
+
+    return (withurl.map_batches(add_bucket, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(relabel, batch_format="pyarrow"))
+
+
+def kept_after_dedup(res):
+    """DedupResult -> (url,) of every signed doc EXCEPT non-representative
+    cluster members (MIN-url representative wins) — the 'apply' step
+    producing the cleaned corpus, as a bucketed anti-join (the dropped
+    set is the small right side; survivors are the null-marker rows)."""
+    import pyarrow as pa
+
+    from lsh_ray.stages.join import bucket_join
+
+    clusters = relabel_clusters_by_min_url(res.clusters, res.signatures)
+
+    def dropped_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = t.filter(pc.not_equal(t["url"], t["cluster_url"]))
+        return pa.table({
+            "url": keep["url"],
+            "dropped": pa.array(np.ones(keep.num_rows, dtype=np.int8)),
+        })
+
+    dropped = clusters.map_batches(dropped_only, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    urls = res.signatures.select_columns(["url"])
+    j = bucket_join(urls, dropped, "url", "url", ["dropped"],
+                    suffix="_r", how="left")
+
+    def anti(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.is_null(t["dropped_r"])).select(["url"])
+
+    return j.map_batches(anti, batch_format="pyarrow",
+                         zero_copy_batch=True)
