@@ -99,3 +99,24 @@ def test_cli_dedup_incremental(tmp_path):
     assert r2["new_docs_signed"] > 0
     assert r2["clustered_docs"] >= r1["clustered_docs"]
     assert os.path.isdir(os.path.join(inc_out, "clusters"))
+
+
+def test_cli_dedup_write_kept(tmp_path):
+    """--write-kept writes the cleaned-corpus keep list and reports its
+    size; kept = signed - clustered + one representative per cluster."""
+    out = str(tmp_path / "kept_run")
+    metrics = _run(["dedup", "--input", f"{SF}/documents.parquet",
+                    "--output", out, "--num-cpus", "4", "--write-kept"])
+    assert metrics["kept_docs"] > 0
+    import duckdb
+    con = duckdb.connect()
+    kept, = con.execute(
+        f"SELECT COUNT(DISTINCT url) FROM read_parquet('{out}/kept/*.parquet')"
+    ).fetchone()
+    assert kept == metrics["kept_docs"]
+    n_clusters, = con.execute(
+        "SELECT COUNT(DISTINCT cluster_id) FROM "
+        f"read_parquet('{out}/clusters/*.parquet')").fetchone()
+    assert metrics["kept_docs"] == (metrics["docs_signed"]
+                                    - metrics["clustered_docs"]
+                                    + n_clusters)
