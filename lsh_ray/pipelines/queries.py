@@ -783,6 +783,16 @@ def q_near_dedup_keep(sf_dir: str):
     return kept_after_dedup(_dedup_result(sf_dir))
 
 
+def q_lang_top_docs(sf_dir: str):
+    """Per-group top-k (top-3 longest docs per language): combiner
+    pruning caps shuffle volume at groups x k x blocks."""
+    from lsh_ray.stages.sampling import grouped_top_k
+    return grouped_top_k(
+        _read(f"{sf_dir}/documents.parquet",
+              columns=["lang", "n_chars", "doc_id"]),
+        "lang", "n_chars", "doc_id", k=3)
+
+
 def q_event_seq(sf_dir: str):
     """Distributed row_number() OVER (PARTITION BY user ORDER BY ts,
     id): the window-function family as a two-phase prefix scan —
@@ -873,6 +883,7 @@ QUERIES = {
     "top_tokens": q_top_tokens,
     "doc_length_quantiles": q_doc_length_quantiles,
     "event_seq": q_event_seq,
+    "lang_top_docs": q_lang_top_docs,
 }
 
 # tfidf-family token definition: maximal non-whitespace runs of the
@@ -1262,6 +1273,10 @@ ORACLE_SQL = {
         "SELECT event_id, user_id, ts, "
         "CAST(row_number() OVER (PARTITION BY user_id "
         "ORDER BY ts, event_id) AS BIGINT) AS seq_no FROM events"),
+    "lang_top_docs": (
+        "SELECT lang, n_chars, doc_id FROM documents "
+        "QUALIFY row_number() OVER (PARTITION BY lang "
+        "ORDER BY n_chars DESC, doc_id) <= 3"),
     # rank = integer-permille ceil division — float-rounding-free, the
     # exact rule the engine's histogram pick uses
     "doc_length_quantiles": (

@@ -107,3 +107,32 @@ def exact_quantiles(ds, col: str, permille=(250, 500, 750, 900, 990)):
         out_v.append(int(values[min(i, len(values) - 1)]) if n else 0)
     return pa.table({"q": pa.array(out_q, type=pa.float64()),
                      f"{col}_q": pa.array(out_v, type=pa.int64())})
+
+
+def grouped_top_k(ds, group_col: str, order_col: str, id_col: str,
+                  k: int = 3):
+    """Per-group top-k rows by (order_col DESC, id_col ASC) — SQL's
+    QUALIFY row_number() <= k — with combiner pruning: every batch first
+    reduces to ITS local per-group top-k (so at most k rows per group
+    per block cross the shuffle), then one grouped pass finishes. The
+    exchange volume is bounded by groups x k x blocks, never by rows."""
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        order = pc.sort_indices(
+            t, sort_keys=[(group_col, "ascending"),
+                          (order_col, "descending"),
+                          (id_col, "ascending")])
+        s = t.take(order)
+        g = s[group_col].to_numpy(zero_copy_only=False)
+        new = np.concatenate(([True], g[1:] != g[:-1]))
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(g), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [len(g)]))))
+        return s.filter(pa.array(rank < k))
+
+    pruned = ds.select_columns([group_col, order_col, id_col]) \
+        .map_batches(local_topk, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    return pruned.groupby(group_col).map_groups(
+        local_topk, batch_format="pyarrow")

@@ -855,3 +855,18 @@ def test_event_seq_is_rownumber_per_user(rd):
         k = np.lexsort((g.event_id.to_numpy(),
                         g.ts.astype("int64").to_numpy()))
         assert (k == np.arange(len(g))).all(), f"user {u} out of order"
+
+
+def test_grouped_top_k_prunes_and_ranks(rd):
+    from lsh_ray.stages.sampling import grouped_top_k
+    n = 200
+    tbl = pa.table({
+        "lang": pa.array(["en", "de"] * (n // 2)),
+        "n_chars": pa.array(np.arange(n, dtype=np.int64)),
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    out = grouped_top_k(rd.from_arrow(tbl), "lang", "n_chars",
+                        "doc_id", k=2).to_pandas()
+    got = {(r.lang, r.n_chars) for r in out.itertuples()}
+    # en holds the even ids (..., 196, 198), de the odd (..., 197, 199)
+    assert got == {("en", 196), ("en", 198), ("de", 197), ("de", 199)}
