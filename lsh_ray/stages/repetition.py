@@ -37,34 +37,8 @@ import pyarrow as pa
 
 from lsh_ray.functions.num import round_half_away
 from lsh_ray.stages.join import bucket_join
-
-_WS = "\t\n\f\r "  # explicit RE2 ASCII whitespace (see stages/text_stats)
-
-
-def _flat_tokens(batch: pa.Table):
-    """batch -> (flat token StringArray, per-doc token counts int64,
-    doc_ids int64). Same lower/trim/split kernels (and the same
-    split-of-empty fix-up) as ``tfidf.doc_token_rows``."""
-    import pyarrow.compute as pc
-
-    low = pc.utf8_lower(pc.coalesce(batch["text"], ""))
-    trimmed = pc.utf8_trim(low, _WS)
-    lists = pc.split_pattern_regex(trimmed, f"[{_WS}]+")
-    if isinstance(lists, pa.ChunkedArray):
-        lists = lists.combine_chunks()
-    offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    offs = offs - offs[0]
-    flat = lists.flatten()
-    lens = np.diff(offs)
-    empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
-    if empty.any():
-        keep_rows = np.ones(int(offs[-1]), dtype=bool)
-        keep_rows[offs[:-1][empty]] = False
-        flat = flat.filter(pa.array(keep_rows))
-        lens = lens.copy()
-        lens[empty] = 0
-    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    return flat, lens, doc_ids
+# ONE tokenizer for the whole text family (oracle-shared definition)
+from lsh_ray.stages.tfidf import flat_tokens as _flat_tokens
 
 
 def _group_pairs(d: np.ndarray, keys):
@@ -242,11 +216,13 @@ def dup_ngram_stats(ds, n: int = 5, round_to: int = 6):
             pos[pos == len(ks)] = max(len(ks) - 1, 0)
             matched = (ks[pos] == gh) if len(ks) else np.zeros(
                 len(gh), dtype=bool)
-            nd = t["c"].to_numpy(zero_copy_only=False) * matched
-            return pa.table({"doc_id": t["doc_id"],
+            # only dup rows cross the final exchange (non-dup rows
+            # contribute nothing; coverage comes from the zeros stream)
+            kept = t.filter(pa.array(matched))
+            return pa.table({"doc_id": kept["doc_id"],
                              "n_grams": pa.array(
-                                 np.zeros(t.num_rows, dtype=np.int64)),
-                             "nd": pa.array(nd.astype(np.int64))})
+                                 np.zeros(kept.num_rows, dtype=np.int64)),
+                             "nd": kept["c"]})
 
         contrib = rows.map_batches(tag_broadcast, batch_format="pyarrow",
                                    zero_copy_batch=True)
@@ -256,27 +232,38 @@ def dup_ngram_stats(ds, n: int = 5, round_to: int = 6):
 
         def tag_joined(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
-            c = t["c"].to_numpy(zero_copy_only=False)
-            matched = pc.is_valid(t["dup_r"]).to_numpy(
-                zero_copy_only=False)
-            return pa.table({"doc_id": t["doc_id"],
+            kept = t.filter(pc.is_valid(t["dup_r"]))
+            return pa.table({"doc_id": kept["doc_id"],
                              "n_grams": pa.array(
-                                 np.zeros(t.num_rows, dtype=np.int64)),
-                             "nd": pa.array(c * matched.astype(np.int64))})
+                                 np.zeros(kept.num_rows, dtype=np.int64)),
+                             "nd": kept["c"]})
 
         contrib = tagged.map_batches(tag_joined, batch_format="pyarrow",
                                      zero_copy_batch=True)
 
-    def ng_rows(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t["doc_id"],
-                         "n_grams": t["n_grams"],
-                         "nd": pa.array(np.zeros(t.num_rows,
+    # per-doc gram totals come from the PINNED partials (sum of c per
+    # doc — each gram occurrence is in exactly one (doc, gram) row), so
+    # no third read+tokenize pass over the corpus; a doc_id-only
+    # column read supplies the gram-less docs as zero rows.
+    def ng_partial(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(d, return_inverse=True)
+        ng = np.bincount(inv, weights=c).astype(np.int64)
+        return pa.table({"doc_id": pa.array(uniq),
+                         "n_grams": pa.array(ng),
+                         "nd": pa.array(np.zeros(len(uniq),
                                                  dtype=np.int64))})
 
-    per_doc = (ngram_counts(ds, n)
-               .map_batches(ng_rows, batch_format="pyarrow",
-                            zero_copy_batch=True)
-               .union(contrib)
+    def zero_rows(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        return pa.table({"doc_id": t["doc_id"], "n_grams": z, "nd": z})
+
+    gram_totals = rows.map_batches(ng_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    zeros = ds.select_columns(["doc_id"]).map_batches(
+        zero_rows, batch_format="pyarrow", zero_copy_batch=True)
+    per_doc = (zeros.union(gram_totals).union(contrib)
                .groupby("doc_id")
                .aggregate(Sum("n_grams", alias_name="ng"),
                           Sum("nd", alias_name="n_dup")))

@@ -41,6 +41,36 @@ def _empty_token_rows() -> pa.Table:
                      "doc_len": pa.array([], pa.int64())})
 
 
+def flat_tokens(batch: pa.Table):
+    """batch -> (flat token StringArray, per-doc token counts int64,
+    doc_ids int64) — THE tokenizer of the text-statistics family
+    (lower + maximal runs of non-ASCII-whitespace, RE2 C++ kernels,
+    byte-for-byte the DuckDB oracles' regexp_extract_all pattern).
+    Shared by tfidf, repetition and every oracle that interpolates
+    ``TOKEN_RUN_PATTERN`` — edit here and nowhere else."""
+    import pyarrow.compute as pc
+
+    low = pc.utf8_lower(pc.coalesce(batch["text"], ""))
+    trimmed = pc.utf8_trim(low, _WS)
+    lists = pc.split_pattern_regex(trimmed, f"[{_WS}]+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]
+    flat = lists.flatten()
+    lens = np.diff(offs)
+    # splitting an empty string yields [""]: zero those docs out
+    empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+    if empty.any():
+        keep_rows = np.ones(int(offs[-1]), dtype=bool)
+        keep_rows[offs[:-1][empty]] = False
+        flat = flat.filter(pa.array(keep_rows))
+        lens = lens.copy()
+        lens[empty] = 0
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    return flat, lens, doc_ids
+
+
 def doc_token_rows(ds):
     """documents -> one row per DISTINCT (doc_id, token):
     (doc_id, token, tf_count, doc_len).
@@ -55,24 +85,7 @@ def doc_token_rows(ds):
     import pyarrow.compute as pc
 
     def f(batch: pa.Table) -> pa.Table:
-        low = pc.utf8_lower(pc.coalesce(batch["text"], ""))
-        trimmed = pc.utf8_trim(low, _WS)
-        lists = pc.split_pattern_regex(trimmed, f"[{_WS}]+")
-        if isinstance(lists, pa.ChunkedArray):
-            lists = lists.combine_chunks()
-        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        offs = offs - offs[0]
-        flat = lists.flatten()
-        lens = np.diff(offs)
-        # splitting an empty string yields [""]: zero those docs out
-        empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
-        if empty.any():
-            keep_rows = np.ones(int(offs[-1]), dtype=bool)
-            keep_rows[offs[:-1][empty]] = False
-            flat = flat.filter(pa.array(keep_rows))
-            lens = lens.copy()
-            lens[empty] = 0
-        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        flat, lens, doc_ids = flat_tokens(batch)
         doc_rep = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
         total = len(doc_rep)
         if total == 0:

@@ -419,4 +419,13 @@ def event_seq(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
             "seq_no": pa.array(off_s + local + 1),
         })
 
-    return colocate_map(joined, ["ck"], coalesce_blocks(), rank_block)
+    nblocks = coalesce_blocks()
+    nbu = np.uint64(nblocks)
+
+    def add_ck_bucket(t: pa.Table) -> pa.Table:
+        ck = t["ck"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "bucket", pa.array((ck % nbu).astype(np.int32)))
+
+    return colocate_map(joined, ["ck"], nblocks, rank_block,
+                        sort_bucket_expr=add_ck_bucket)

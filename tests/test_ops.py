@@ -870,3 +870,22 @@ def test_grouped_top_k_prunes_and_ranks(rd):
     got = {(r.lang, r.n_chars) for r in out.itertuples()}
     # en holds the even ids (..., 196, 198), de the odd (..., 197, 199)
     assert got == {("en", 196), ("en", 198), ("de", 197), ("de", 199)}
+
+
+def test_bucket_join_left_with_empty_right(rd):
+    """Every bucket has left rows and ZERO right rows — the r4 crash
+    (order[] indexing an empty array) regression, deterministic."""
+    from lsh_ray.stages.join import bucket_join
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(np.arange(50, dtype=np.int64)),
+        "v": pa.array(np.arange(50, dtype=np.int64) * 2),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()),
+        "w": pa.array([], pa.int64()),
+    }))
+    out = bucket_join(left, right, "k", "k", ["w"], suffix="_r",
+                      how="left").to_pandas().sort_values("k")
+    assert len(out) == 50
+    assert out.w_r.isna().all()
+    assert out.v.tolist() == [i * 2 for i in range(50)]
