@@ -804,6 +804,26 @@ def q_event_seq(sf_dir: str):
                            columns=["event_id", "user_id", "ts"]))
 
 
+def q_event_gaps(sf_dir: str):
+    """Distributed LAG: per-user previous-event timestamp + gap, with
+    the boundary-table plan (one grouped Max over (user, hour-bucket)
+    partials + one co-location exchange) — no per-user group ever
+    materializes."""
+    from lsh_ray.stages.windows import event_lag
+    return event_lag(_read(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "user_id", "ts"]))
+
+
+def q_event_moving_avg(sf_dir: str):
+    """Moving frame aggregate (AVG over ROWS 2 PRECEDING): rank via the
+    two-phase prefix scan, predecessors via bucketed left self-joins on
+    the injective (user, seq-j) pack."""
+    from lsh_ray.stages.windows import moving_frame_avg
+    return moving_frame_avg(
+        _read(f"{sf_dir}/events.parquet",
+              columns=["event_id", "user_id", "ts", "value"]), k=3)
+
+
 def q_top_tokens(sf_dir: str):
     """Corpus-wide top-20 heavy-hitter tokens (count desc, token asc):
     the vocabulary-sized sort-limit path."""
@@ -884,6 +904,8 @@ QUERIES = {
     "doc_length_quantiles": q_doc_length_quantiles,
     "event_seq": q_event_seq,
     "lang_top_docs": q_lang_top_docs,
+    "event_gaps": q_event_gaps,
+    "event_moving_avg": q_event_moving_avg,
 }
 
 # tfidf-family token definition: maximal non-whitespace runs of the
@@ -1273,6 +1295,18 @@ ORACLE_SQL = {
         "SELECT event_id, user_id, ts, "
         "CAST(row_number() OVER (PARTITION BY user_id "
         "ORDER BY ts, event_id) AS BIGINT) AS seq_no FROM events"),
+    "event_gaps": (
+        "SELECT event_id, user_id, ts, lag(ts) OVER w AS prev_ts, "
+        "epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+    # 2-decimal values / frame width in {1,2,3}: the quotient's distance
+    # from any 6-dp rounding boundary is >= 1/6e-6 >> float64 error, so
+    # ROUND agrees bit-for-bit regardless of summation association
+    "event_moving_avg": (
+        "SELECT event_id, user_id, ts, ROUND(AVG(value) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3 "
+        "FROM events"),
     "lang_top_docs": (
         "SELECT lang, n_chars, doc_id FROM documents "
         "QUALIFY row_number() OVER (PARTITION BY lang "

@@ -332,7 +332,8 @@ def sessionize(events_ds, gap_s: int = 1800,
 
 
 def event_seq(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
-              id_col: str = "event_id", ts_col: str = "ts"):
+              id_col: str = "event_id", ts_col: str = "ts",
+              carry_cols: tuple[str, ...] = ()):
     """Per-key running sequence number ordered by (ts, id) — SQL's
     ``row_number() OVER (PARTITION BY key ORDER BY ts, id)`` as a
     two-phase distributed prefix scan with NO per-key group:
@@ -350,6 +351,9 @@ def event_seq(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
     Composite key packs (key, bucket) into one int64 (injective while
     key < 2^31 and epoch-bucket < 2^32 — document wider corpora onto a
     128-bit pack).
+
+    ``carry_cols`` ride along unchanged (value columns a frame
+    aggregate downstream needs next to the rank).
     """
     from lsh_ray.config import coalesce_blocks
     from lsh_ray.stages.exchange import colocate_map
@@ -363,7 +367,8 @@ def event_seq(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
         key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return t.append_column("ck", pa.array(key * _SHIFT + bucket))
 
-    ev = (events_ds.select_columns([id_col, key_col, ts_col])
+    ev = (events_ds.select_columns([id_col, key_col, ts_col,
+                                    *carry_cols])
           .map_batches(add_ck, batch_format="pyarrow",
                        zero_copy_batch=True))
 
@@ -395,11 +400,12 @@ def event_seq(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
 
     def rank_block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             key_col: pa.array([], pa.int64()),
-                             ts_col: pa.array([], t.schema.field(
-                                 ts_col).type),
-                             "seq_no": pa.array([], pa.int64())})
+            cols = {c: pa.array([], t.schema.field(c).type)
+                    for c in (id_col, key_col, ts_col)}
+            cols["seq_no"] = pa.array([], pa.int64())
+            for c in carry_cols:
+                cols[c] = pa.array([], t.schema.field(c).type)
+            return pa.table(cols)
         ck = t["ck"].to_numpy(zero_copy_only=False)
         ts_us = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
         ids = t[id_col].to_numpy(zero_copy_only=False)
@@ -412,12 +418,15 @@ def event_seq(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
             np.concatenate((starts, [len(ck_s)]))))
         off_s = t["offset_r"].to_numpy(zero_copy_only=False)[order]
         idx = pa.array(order, type=pa.int64())
-        return pa.table({
+        out = {
             id_col: t[id_col].take(idx),
             key_col: t[key_col].take(idx),
             ts_col: t[ts_col].take(idx),
             "seq_no": pa.array(off_s + local + 1),
-        })
+        }
+        for c in carry_cols:
+            out[c] = t[c].take(idx)
+        return pa.table(out)
 
     nblocks = coalesce_blocks()
     nbu = np.uint64(nblocks)
@@ -429,3 +438,190 @@ def event_seq(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
 
     return colocate_map(joined, ["ck"], nblocks, rank_block,
                         sort_bucket_expr=add_ck_bucket)
+
+
+def event_lag(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
+              id_col: str = "event_id", ts_col: str = "ts"):
+    """Per-key LAG(ts) ordered by (ts, id) — SQL's
+    ``lag(ts) OVER (PARTITION BY key ORDER BY ts, id)`` — plus the gap
+    in microseconds, with NO per-key group (hot-key safe):
+
+    - **Boundary table**: one grouped Max over per-batch partials gives
+      the LAST event timestamp of every (key, time-bucket) — volume =
+      keys x buckets touched, never event rate. A ``map_groups`` over
+      that tiny table (a group = one key's buckets) shifts it by one
+      bucket: each bucket learns the last timestamp of its key's
+      PREVIOUS nonempty bucket (the predecessor of its first event,
+      because ts dominates the (ts, id) order).
+    - **One (key, bucket) exchange** co-locates events; each block
+      lexsorts once and takes within-bucket lags by a vectorized shift,
+      first-of-bucket rows from the joined boundary value. First event
+      of a key has no predecessor -> NULL (sentinel -1 masked out).
+
+    Same int64 (key, bucket) pack as ``event_seq``. Output:
+    (id, key, ts, prev_ts, gap_us).
+    """
+    from lsh_ray.config import coalesce_blocks
+    from lsh_ray.stages.exchange import colocate_map
+    from lsh_ray.stages.join import bucket_join
+
+    _SHIFT = np.int64(2**32)
+    ts_type = dict(zip(events_ds.schema().names,
+                       events_ds.schema().types))[ts_col]
+
+    def _us(col) -> np.ndarray:
+        return (col.cast(pa.timestamp("us")).cast(pa.int64())
+                .to_numpy(zero_copy_only=False))
+
+    def add_ck(t: pa.Table) -> pa.Table:
+        ts_us = _us(t[ts_col])
+        bucket = (ts_us // 1_000_000) // bucket_s
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("ck", pa.array(key * _SHIFT + bucket))
+
+    ev = (events_ds.select_columns([id_col, key_col, ts_col])
+          .map_batches(add_ck, batch_format="pyarrow",
+                       zero_copy_batch=True))
+
+    def last_partial(t: pa.Table) -> pa.Table:
+        ck = t["ck"].to_numpy(zero_copy_only=False)
+        ts_us = _us(t[ts_col])
+        order = np.lexsort((ts_us, ck))
+        ck_s, ts_s = ck[order], ts_us[order]
+        is_last = np.concatenate((ck_s[1:] != ck_s[:-1], [True]))
+        return pa.table({"ck": pa.array(ck_s[is_last]),
+                         "last_us": pa.array(ts_s[is_last])})
+
+    lasts = (ev.map_batches(last_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("ck").aggregate(Max("last_us",
+                                          alias_name="last_us"))
+             .map_batches(lambda t: t.append_column(
+                 "k", pa.array(t["ck"].to_numpy(zero_copy_only=False)
+                               // _SHIFT)),
+                 batch_format="pyarrow", zero_copy_batch=True))
+
+    def prev_for_key(g: pa.Table) -> pa.Table:
+        ck = g["ck"].to_numpy(zero_copy_only=False)
+        last = g["last_us"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ck)  # bucket asc within one key
+        prev = np.full(len(ck), -1, dtype=np.int64)
+        prev[order[1:]] = last[order][:-1]
+        return pa.table({"ck": pa.array(ck), "prev_us": pa.array(prev)})
+
+    prevs = lasts.groupby("k").map_groups(prev_for_key,
+                                          batch_format="pyarrow")
+    joined = bucket_join(ev, prevs, "ck", "ck", ["prev_us"], suffix="_r")
+
+    def lag_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], t.schema.field(id_col).type),
+                key_col: pa.array([], t.schema.field(key_col).type),
+                ts_col: pa.array([], ts_type),
+                "prev_ts": pa.array([], ts_type),
+                "gap_us": pa.array([], pa.int64())})
+        ck = t["ck"].to_numpy(zero_copy_only=False)
+        ts_us = _us(t[ts_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts_us, ck))
+        ck_s, ts_s = ck[order], ts_us[order]
+        bnd = t["prev_us_r"].to_numpy(zero_copy_only=False)[order]
+        prev = np.empty(len(ts_s), dtype=np.int64)
+        prev[1:] = ts_s[:-1]
+        new = np.concatenate(([True], ck_s[1:] != ck_s[:-1]))
+        prev[new] = bnd[new]
+        miss = prev < 0
+        idx = pa.array(order, type=pa.int64())
+        prev_arr = pa.array(prev, mask=miss).cast(
+            pa.timestamp("us")).cast(ts_type)
+        gap = pa.array(ts_s - prev, mask=miss)
+        return pa.table({
+            id_col: t[id_col].take(idx),
+            key_col: t[key_col].take(idx),
+            ts_col: t[ts_col].take(idx),
+            "prev_ts": prev_arr,
+            "gap_us": gap,
+        })
+
+    nblocks = coalesce_blocks()
+    nbu = np.uint64(nblocks)
+
+    def add_ck_bucket(t: pa.Table) -> pa.Table:
+        ck = t["ck"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "bucket", pa.array((ck % nbu).astype(np.int32)))
+
+    return colocate_map(joined, ["ck"], nblocks, lag_block,
+                        sort_bucket_expr=add_ck_bucket)
+
+
+def moving_frame_avg(events_ds, k: int = 3, key_col: str = "user_id",
+                     id_col: str = "event_id", ts_col: str = "ts",
+                     value_col: str = "value", ndigits: int = 6):
+    """Per-key moving average over the last ``k`` rows ordered by
+    (ts, id) — SQL's ``AVG(value) OVER (PARTITION BY key ORDER BY ts,
+    id ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)`` — as a
+    frame-by-join plan:
+
+    1. ``event_seq`` attaches the global per-key rank (hot-key-safe
+       two-phase prefix scan) carrying ``value_col`` alongside.
+    2. Each of the k-1 predecessors is fetched with one bucketed LEFT
+       self-join on the injective (key, seq-j) pack — missing
+       predecessors (frame start) null-fill, so the frame width is
+       ``min(seq, k)`` with no special-casing.
+    3. One vectorized pass sums the <=k values in ascending-seq order
+       and divides by the actual frame width.
+
+    All exchanges are hash-partitioned; no per-key state. For large k,
+    the optimization path is a boundary-scan plan (carry the last k-1
+    rows per (key, bucket) like ``event_lag``) instead of k-1 joins.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from lsh_ray.functions.num import round_half_away
+    from lsh_ray.stages.join import bucket_join
+
+    _SHIFT = np.int64(2**32)
+
+    seq = event_seq(events_ds, key_col=key_col, id_col=id_col,
+                    ts_col=ts_col, carry_cols=(value_col,))
+
+    def add_packs(t: pa.Table) -> pa.Table:
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["seq_no"].to_numpy(zero_copy_only=False)
+        t = t.append_column("pk", pa.array(key * _SHIFT + s))
+        for j in range(1, k):
+            # seq-j < 1 means "before the partition": a negative
+            # sentinel distinct per j that can never equal a real pack
+            lk = np.where(s - j >= 1, key * _SHIFT + (s - j),
+                          np.int64(-j))
+            t = t.append_column(f"jk{j}", pa.array(lk))
+        return t
+
+    cur = seq.map_batches(add_packs, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    right = cur.select_columns(["pk", value_col])
+    for j in range(1, k):
+        cur = bucket_join(cur, right, f"jk{j}", "pk", [value_col],
+                          suffix=f"_m{j}", how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        s = t["seq_no"].to_numpy(zero_copy_only=False)
+        width = np.minimum(s, k).astype(np.float64)
+        total = np.zeros(n, dtype=np.float64)
+        # ascending seq order: v[p-k+1] + ... + v[p]
+        for j in range(k - 1, 0, -1):
+            col = t[f"{value_col}_m{j}"]
+            v = col.to_numpy(zero_copy_only=False)
+            total += np.where(np.isnan(v.astype(np.float64)), 0.0, v)
+        total += t[value_col].to_numpy(zero_copy_only=False)
+        avg = round_half_away(total / width, ndigits)
+        return pa.table({
+            id_col: t[id_col], key_col: t[key_col], ts_col: t[ts_col],
+            f"avg{k}": pa.array(avg),
+        })
+
+    return cur.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)

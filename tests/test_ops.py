@@ -857,6 +857,56 @@ def test_event_seq_is_rownumber_per_user(rd):
         assert (k == np.arange(len(g))).all(), f"user {u} out of order"
 
 
+def _window_events(n=4000, seed=11):
+    """Arrival-shuffled events: hot user 1 spanning many hour buckets
+    (cross-bucket boundaries exercised), sparse user 2 with bucket gaps,
+    a planted ts tie broken by event_id."""
+    rng = np.random.default_rng(seed)
+    ts_s = 1_700_000_000 + np.sort(rng.integers(0, 60 * 3600, n))
+    ts_s[50] = ts_s[51]
+    user = np.where(rng.random(n) < 0.95, 1, 2).astype(np.int64)
+    val = np.round(rng.uniform(0, 500, n), 2)
+    perm = rng.permutation(n)
+    return pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)[perm]),
+        "user_id": pa.array(user[perm]),
+        "ts": pa.array(ts_s[perm] * 1_000_000, type=pa.timestamp("us")),
+        "value": pa.array(val[perm]),
+    })
+
+
+def test_event_lag_matches_pandas(rd):
+    from lsh_ray.stages.windows import event_lag
+    tbl = _window_events()
+    out = event_lag(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    df = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    df["prev"] = df.groupby("user_id")["ts"].shift(1)
+    df = df.sort_values("event_id").reset_index(drop=True)
+    assert len(out) == len(df)
+    exp_gap = (df.ts.astype("int64") - df.prev.astype("int64"))
+    miss = df.prev.isna()
+    assert out.prev_ts.isna().equals(miss)
+    assert (out.gap_us[~miss].to_numpy()
+            == exp_gap[~miss].to_numpy()).all()
+    assert out.gap_us[~miss].ge(0).all()
+
+
+def test_moving_frame_avg_matches_pandas(rd):
+    from lsh_ray.stages.windows import moving_frame_avg
+    tbl = _window_events(n=3000, seed=5)
+    out = moving_frame_avg(rd.from_arrow(tbl), k=3).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    df = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    exp = (df.groupby("user_id")["value"]
+           .rolling(3, min_periods=1).mean()
+           .reset_index(level=0, drop=True))
+    df["exp"] = exp
+    df = df.sort_values("event_id").reset_index(drop=True)
+    assert np.allclose(out.avg3.to_numpy(), df.exp.to_numpy(),
+                       atol=1e-6)
+
+
 def test_grouped_top_k_prunes_and_ranks(rd):
     from lsh_ray.stages.sampling import grouped_top_k
     n = 200
