@@ -824,6 +824,68 @@ def q_event_moving_avg(sf_dir: str):
               columns=["event_id", "user_id", "ts", "value"]), k=3)
 
 
+def q_event_type_users(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): per-batch distinct pairs, one
+    pair-dedup shuffle, grouped sum of partial counts — exchange
+    volume is distinct pairs, not events."""
+    from lsh_ray.stages.agg import grouped_distinct_count
+    return grouped_distinct_count(
+        _read(f"{sf_dir}/events.parquet",
+              columns=["event_type", "user_id"]),
+        "event_type", "user_id", alias="n_users")
+
+
+def q_users_no_big_purchase(sf_dir: str):
+    """Distributed anti-join (NOT EXISTS): users with no purchase
+    event above 150 — the right side ships only (key, tag) presence
+    probes through the bucketed left join, survivors are the null-tag
+    rows. (The synthetic TPC-H side tables are referentially dense —
+    every customer has orders — so the anti-join anchors on the events
+    stream where both sides are non-empty at every SF.)"""
+    import pyarrow.compute as _pc
+
+    from lsh_ray.stages.agg import distinct_values
+    from lsh_ray.stages.join import anti_join
+    ev = _read(f"{sf_dir}/events.parquet",
+               columns=["user_id", "event_type", "value"])
+    big = ev.map_batches(
+        lambda t: t.filter(_pc.and_(
+            _pc.equal(t["event_type"], "purchase"),
+            _pc.greater(t["value"], 150.0))).select(["user_id"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return anti_join(distinct_values(ev, "user_id"), big,
+                     "user_id", "user_id")
+
+
+def q_lineitem_rollup(sf_dir: str):
+    """GROUP BY ROLLUP: one finest-level distributed pass, coarser
+    levels derived from the group-cardinality partials."""
+    from lsh_ray.stages.agg import rollup_agg
+    return rollup_agg(
+        _read(f"{sf_dir}/lineitem.parquet",
+              columns=["l_returnflag", "l_linestatus", "l_quantity"]),
+        ["l_returnflag", "l_linestatus"], ["l_quantity"])
+
+
+def q_value_quantiles_by_type(sf_dir: str):
+    """Per-group exact quantiles via the distributed (group, value)
+    histogram; the pick is an element of the column, so doubles
+    compare bit-for-bit against the row_number oracle."""
+    from lsh_ray.stages.sampling import exact_quantiles_by
+    return exact_quantiles_by(
+        _read(f"{sf_dir}/events.parquet",
+              columns=["event_type", "value"]),
+        "value", "event_type")
+
+
+def q_top_bigrams(sf_dir: str):
+    """Corpus-wide top-20 adjacent token pairs — word co-occurrence
+    with per-batch partial counts; only the bigram vocabulary is
+    sorted."""
+    from lsh_ray.stages.tfidf import top_bigrams
+    return top_bigrams(_docs_text(sf_dir), k=20)
+
+
 def q_top_tokens(sf_dir: str):
     """Corpus-wide top-20 heavy-hitter tokens (count desc, token asc):
     the vocabulary-sized sort-limit path."""
@@ -906,6 +968,11 @@ QUERIES = {
     "lang_top_docs": q_lang_top_docs,
     "event_gaps": q_event_gaps,
     "event_moving_avg": q_event_moving_avg,
+    "event_type_users": q_event_type_users,
+    "users_no_big_purchase": q_users_no_big_purchase,
+    "lineitem_rollup": q_lineitem_rollup,
+    "value_quantiles_by_type": q_value_quantiles_by_type,
+    "top_bigrams": q_top_bigrams,
 }
 
 # tfidf-family token definition: maximal non-whitespace runs of the
@@ -1307,6 +1374,41 @@ ORACLE_SQL = {
         "(PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3 "
         "FROM events"),
+    "event_type_users": (
+        "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
+        "FROM events GROUP BY event_type"),
+    "users_no_big_purchase": (
+        "SELECT DISTINCT user_id FROM events e WHERE NOT EXISTS "
+        "(SELECT 1 FROM events x WHERE x.user_id = e.user_id "
+        "AND x.event_type = 'purchase' AND x.value > 150)"),
+    # integral TPC-H quantities: partial-sum association is exact in
+    # float64, so the rollup levels derived from finest partials agree
+    "lineitem_rollup": (
+        "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+        "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+        "ROUND(SUM(l_quantity), 2) AS sum_l_quantity, "
+        "COUNT(*) AS n_rows FROM lineitem "
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
+    # integer-permille rank rule shared with doc_length_quantiles; the
+    # pick is a row of the table, so the double compares exactly
+    "value_quantiles_by_type": (
+        "WITH r AS (SELECT event_type, value, "
+        "row_number() OVER (PARTITION BY event_type ORDER BY value) "
+        "AS rn, COUNT(*) OVER (PARTITION BY event_type) AS n "
+        "FROM events), "
+        "qs AS (SELECT unnest([250, 500, 750, 900, 990]) AS q_pm) "
+        "SELECT r.event_type, qs.q_pm / 1000.0 AS q, "
+        "r.value AS value_q FROM r JOIN qs "
+        "ON r.rn = (qs.q_pm * r.n + 999) // 1000"),
+    "top_bigrams": (
+        "WITH t AS (SELECT regexp_extract_all("
+        f"lower(COALESCE(text, '')), '{_TOKPAT}') AS toks "
+        "FROM documents), "
+        "b AS (SELECT toks[g.i] || ' ' || toks[g.i + 1] AS bigram "
+        "FROM t, LATERAL (SELECT unnest(generate_series(1, "
+        "len(toks) - 1)) AS i) g) "
+        "SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram "
+        "ORDER BY n DESC, bigram ASC LIMIT 20"),
     "lang_top_docs": (
         "SELECT lang, n_chars, doc_id FROM documents "
         "QUALIFY row_number() OVER (PARTITION BY lang "

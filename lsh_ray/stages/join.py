@@ -210,3 +210,36 @@ def bucket_join(left_ds, right_ds, left_key: str, right_key: str,
     # sort fallback groups on the precomputed coarse bucket column
     return colocate_map(both, [_KEY_COL], nblocks, join_block,
                         bucket_col=_BUCKET_COL)
+
+
+_ANTI_TAG = "__present"
+
+
+def anti_join(left_ds, right_ds, left_key: str, right_key: str,
+              num_blocks: int | None = None):
+    """Left rows with NO key match on the right (SQL ``NOT EXISTS`` /
+    ``ANTI JOIN``): the right side ships only (key, int8 tag) through
+    the bucketed left join, survivors are the null-tag rows. Right
+    keys need not be unique (duplicates collapse per bucket via the
+    unique-right searchsorted resolving to SOME tagged row — presence
+    is all that matters)."""
+    def tag(t: pa.Table) -> pa.Table:
+        # per-bucket presence probe: one tagged row per distinct key
+        keys = t[right_key].unique() if isinstance(
+            t[right_key], pa.ChunkedArray) else pa.chunked_array(
+            [t[right_key]]).unique()
+        return pa.table({right_key: keys,
+                         _ANTI_TAG: pa.array(
+                             np.ones(len(keys), dtype=np.int8))})
+
+    probe = right_ds.select_columns([right_key]).map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True)
+    j = bucket_join(left_ds, probe, left_key, right_key, [_ANTI_TAG],
+                    how="left", num_blocks=num_blocks)
+
+    def keep_missing(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.is_null(t[_ANTI_TAG])).drop([_ANTI_TAG])
+
+    return j.map_batches(keep_missing, batch_format="pyarrow",
+                         zero_copy_batch=True)

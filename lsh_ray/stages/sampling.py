@@ -109,6 +109,52 @@ def exact_quantiles(ds, col: str, permille=(250, 500, 750, 900, 990)):
                      f"{col}_q": pa.array(out_v, type=pa.int64())})
 
 
+def exact_quantiles_by(ds, col: str, group_col: str,
+                       permille=(250, 500, 750, 900, 990)):
+    """Per-group exact discrete quantiles via the same distributed
+    value-histogram plan as ``exact_quantiles``: per-batch distinct
+    (group, value) counts (Arrow C++ group_by), ONE grouped Sum over
+    (group, value) — volume = value cardinality per group, never
+    rows — then a driver-side rank pick per group with the integer
+    permille rule, so a DuckDB ``row_number`` oracle reproduces every
+    pick bit-for-bit (the picked value IS an element of the column, so
+    float columns compare exactly).
+
+    Returns a pyarrow Table (group, q double, <col>_q in the column's
+    own type), ordered by (group, q).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([group_col, col]).group_by(
+            [group_col, col]).aggregate([([], "count_all")])
+        return pa.table({group_col: g[group_col], "value": g[col],
+                         "cnt": g["count_all"].cast(pa.int64())})
+
+    hist = (ds.select_columns([group_col, col])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby([group_col, "value"])
+            .aggregate(Sum("cnt", alias_name="n"))
+            .to_pandas().sort_values([group_col, "value"]))
+
+    out_g, out_q, out_v = [], [], []
+    for gval, sub in hist.groupby(group_col, sort=True):
+        cum = sub["n"].to_numpy().cumsum()
+        n = int(cum[-1])
+        values = sub["value"].to_numpy()
+        for q_pm in permille:
+            r = (q_pm * n + 999) // 1000
+            i = int(np.searchsorted(cum, r))
+            out_g.append(gval)
+            out_q.append(q_pm / 1000.0)
+            out_v.append(values[min(i, len(values) - 1)])
+    vtype = dict(zip(ds.schema().names, ds.schema().types))[col]
+    return pa.table({group_col: pa.array(out_g),
+                     "q": pa.array(out_q, type=pa.float64()),
+                     f"{col}_q": pa.array(out_v, type=vtype)})
+
+
 def grouped_top_k(ds, group_col: str, order_col: str, id_col: str,
                   k: int = 3):
     """Per-group top-k rows by (order_col DESC, id_col ASC) — SQL's

@@ -227,6 +227,50 @@ def tfidf_filter_stats(ds, min_tfidf: float, round_to: int = 6):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def top_bigrams(ds, k: int = 20):
+    """Corpus-wide top-k adjacent token PAIRS ("w1 w2", count desc /
+    bigram asc): the word-co-occurrence operator. Bigram formation is
+    one boolean mask over the flat token array (drop each doc's last
+    token position) + an Arrow C++ element-wise join; per-batch
+    partial counts collapse before the vocabulary-sized shuffle, and
+    only the bigram-vocab count table is ever sorted."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, lens, _ = flat_tokens(t)
+        total = int(lens.sum())
+        if total < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        # position i starts a bigram unless it is its doc's last token
+        starts = np.ones(total, dtype=bool)
+        ends = np.cumsum(lens[lens > 0]) - 1
+        starts[ends] = False
+        starts[-1] = False
+        idx = np.flatnonzero(starts)
+        w1 = flat.take(pa.array(idx, type=pa.int64()))
+        w2 = flat.take(pa.array(idx + 1, type=pa.int64()))
+        big = pc.binary_join_element_wise(w1, w2, " ")
+        g = pa.table({"bigram": big}).group_by(["bigram"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"bigram": g["bigram"],
+                         "cnt": g["count_all"].cast(pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("bigram").aggregate(Sum("cnt", alias_name="n")))
+
+    def cast_n(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+        return pa.table({"bigram": t["bigram"],
+                         "n": pc2.cast(t["n"], pa.int64())})
+
+    return (counts.map_batches(cast_n, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .sort(["n", "bigram"], descending=[True, False]).limit(k))
+
+
 def top_tokens(ds, k: int = 20):
     """Corpus-wide heavy hitters: the k most frequent tokens with their
     total occurrence counts, tie-broken by token so the cut line is
