@@ -2,15 +2,16 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata
 (mime, width/height, duration) — exactly how the 100 TB corpus carries
-them. The decode kernel is REAL for PNG (8-bit, all five scanline
-filters — DEFLATE is stdlib zlib), uncompressed 24-bit BMP images and
-16-bit PCM WAV audio (pure numpy decoders below — no codec library
-needed); the remaining codecs (JPEG/MP3 — reference analog:
-essentia/music21 decoders, ``loader.py:69-83``) need external
-libraries absent from this environment and raise
-``NotImplementedError`` at a clearly-marked boundary. The Ray-side plumbing — actor-pool signature, schema, small
-batch sizes for large payloads, output layout — is identical for every
-codec and fully exercised through the BMP path.
+them. The decode kernel is REAL for baseline JPEG (any DQT/DHT, 4:4:4
+and 4:2:0, restart intervals — ``stages/jpeg.py``), PNG (8-bit, all
+five scanline filters — DEFLATE is stdlib zlib), uncompressed 24-bit
+BMP images and 16-bit PCM WAV audio (pure numpy decoders — no codec
+library needed); only compressed AUDIO (MP3 — reference analog:
+essentia/music21 decoders, ``loader.py:69-83``) needs external
+libraries absent from this environment and raises
+``NotImplementedError`` at a clearly-marked boundary. The Ray-side
+plumbing — actor-pool signature, schema, small batch sizes for large
+payloads, output layout — is identical for every codec.
 
 Set ``use_fake_decoder=True`` to force the deterministic fake decode
 (payload byte statistics) for any payload regardless of magic bytes.
@@ -420,10 +421,10 @@ class BinaryDecodeStage:
     """Actor-pool stage: decode binary payloads into fixed-size features.
 
     Compression wrappers (gzip/zlib/xz/bz2) are stripped by magic bytes
-    first (stdlib — ``_decompress_payload``); PNG / BMP / PCM-WAV / BMPV
-    payloads then decode for real via the numpy codecs above. Only
-    genuinely-unavailable compressed CODECS (JPEG/MP3) remain behind
-    the marked boundary below — their libraries would load once per
+    first (stdlib — ``_decompress_payload``); JPEG / PNG / BMP /
+    PCM-WAV / BMPV payloads then decode for real via the numpy codecs.
+    Only the genuinely-unavailable compressed AUDIO codec (MP3) remains
+    behind the marked boundary below — its library would load once per
     actor in ``__init__``.
     """
 
@@ -437,6 +438,9 @@ class BinaryDecodeStage:
     def _decode_one(self, payload: bytes) -> np.ndarray:
         if not self.use_fake_decoder:
             payload = _decompress_payload(payload)
+            if payload[:2] == b"\xff\xd8":
+                from lsh_ray.stages.jpeg import decode_jpeg
+                return image_features(decode_jpeg(payload))
             if payload[:8] == _PNG_SIG:
                 return image_features(decode_png(payload))
             if payload[:4] == b"BMPV":  # before "BM": shared prefix
@@ -446,10 +450,10 @@ class BinaryDecodeStage:
             if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                 return audio_features(*decode_wav(payload))
             raise NotImplementedError(
-                "JPEG/MP3 CODECS require libraries not present in this "
-                "environment; gzip/zlib/xz/bz2 wrappers and PNG / BMP / "
-                "PCM WAV / BMPV payloads decode natively, or construct "
-                "with use_fake_decoder=True for the stand-in")
+                "the MP3 CODEC requires libraries not present in this "
+                "environment; gzip/zlib/xz/bz2 wrappers and JPEG / PNG "
+                "/ BMP / PCM WAV / BMPV payloads decode natively, or "
+                "construct with use_fake_decoder=True for the stand-in")
         # deterministic fake: md5-seeded byte statistics as "features"
         digest = hashlib.md5(payload).digest()
         base = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)

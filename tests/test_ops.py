@@ -207,10 +207,14 @@ def test_multimodal_fake_decode(rd):
 
 
 def test_multimodal_compressed_codecs_are_stubbed():
-    # JPEG/MP3 payloads still need external codec libraries
+    # MP3 payloads still need external codec libraries (the one
+    # remaining boundary); malformed JPEG is a decode ERROR now that
+    # the JPEG codec is native
     from lsh_ray.stages.multimodal import BinaryDecodeStage
     stage = BinaryDecodeStage(use_fake_decoder=False)
     with pytest.raises(NotImplementedError):
+        stage._decode_one(b"ID3\x04\x00mp3 payload")
+    with pytest.raises(ValueError):
         stage._decode_one(b"\xff\xd8\xff\xe0jpeg payload")
 
 
