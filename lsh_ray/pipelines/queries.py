@@ -824,6 +824,57 @@ def q_event_moving_avg(sf_dir: str):
               columns=["event_id", "user_id", "ts", "value"]), k=3)
 
 
+def q_event_leads(sf_dir: str):
+    """Distributed LEAD: per-user next-event timestamp + gap — the
+    mirrored boundary-table plan (grouped Min, backward shift)."""
+    from lsh_ray.stages.windows import event_lead
+    return event_lead(_read(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"]))
+
+
+def q_clicks_errors_hourly(sf_dir: str):
+    """FULL OUTER JOIN through the bucketed exchange: hourly click
+    counts vs hourly error counts — hours with only one side survive
+    with a null other side, keys coalesced across sides."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from ray.data.aggregate import Sum
+
+    from lsh_ray.stages.join import bucket_join
+    ev = _read(f"{sf_dir}/events.parquet",
+               columns=["ts", "event_type"])
+
+    def hourly(tp: str, out_name: str):
+        def partial(t: pa.Table) -> pa.Table:
+            tt = t.filter(_pc.equal(t["event_type"], tp))
+            ts_us = tt["ts"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            ws = (ts_us // 1_000_000) // 3600 * 3600
+            vals, cnts = np.unique(ws, return_counts=True)
+            return pa.table({"ws": pa.array(vals),
+                             "cnt": pa.array(cnts.astype(np.int64))})
+        return (ev.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("ws").aggregate(Sum("cnt",
+                                             alias_name=out_name)))
+
+    clicks = hourly("click", "n_clicks")
+    errors = hourly("error", "n_errors")
+    j = bucket_join(clicks, errors, "ws", "ws", ["ws", "n_errors"],
+                    suffix="_e", how="outer", unique_right=False)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": _pc.coalesce(t["ws"], t["ws_e"]),
+            "n_clicks": t["n_clicks"],
+            "n_errors": t["n_errors_e"],
+        })
+
+    return j.map_batches(proj, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 def q_event_type_users(sf_dir: str):
     """Exact grouped COUNT(DISTINCT): per-batch distinct pairs, one
     pair-dedup shuffle, grouped sum of partial counts — exchange
@@ -973,6 +1024,8 @@ QUERIES = {
     "lineitem_rollup": q_lineitem_rollup,
     "value_quantiles_by_type": q_value_quantiles_by_type,
     "top_bigrams": q_top_bigrams,
+    "event_leads": q_event_leads,
+    "clicks_errors_hourly": q_clicks_errors_hourly,
 }
 
 # tfidf-family token definition: maximal non-whitespace runs of the
@@ -1374,6 +1427,19 @@ ORACLE_SQL = {
         "(PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3 "
         "FROM events"),
+    "event_leads": (
+        "SELECT event_id, user_id, ts, lead(ts) OVER w AS next_ts, "
+        "epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+    "clicks_errors_hourly": (
+        "WITH c AS (SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS "
+        "BIGINT) AS ws, COUNT(*) AS n_clicks FROM events "
+        "WHERE event_type = 'click' GROUP BY 1), "
+        "e AS (SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) "
+        "AS ws, COUNT(*) AS n_errors FROM events "
+        "WHERE event_type = 'error' GROUP BY 1) "
+        "SELECT COALESCE(c.ws, e.ws) AS window_start, c.n_clicks, "
+        "e.n_errors FROM c FULL OUTER JOIN e ON c.ws = e.ws"),
     "event_type_users": (
         "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
         "FROM events GROUP BY event_type"),

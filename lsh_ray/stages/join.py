@@ -157,7 +157,10 @@ def bucket_join(left_ds, right_ds, left_key: str, right_key: str,
     ~ total_bytes / 100 MB.
     """
     left_schema = left_ds.schema()
-    right_sel = right_ds.select_columns([right_key, *right_columns])
+    # the key may also ride as a payload column (outer joins need it on
+    # both sides to coalesce) — dedupe the projection
+    right_sel = right_ds.select_columns(
+        list(dict.fromkeys([right_key, *right_columns])))
     right_schema = right_sel.schema()
     left_cols = list(left_schema.names)
     rename = {c: c + suffix for c in right_columns}

@@ -440,8 +440,22 @@ def event_seq(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
                         sort_bucket_expr=add_ck_bucket)
 
 
+def event_lead(events_ds, bucket_s: int = 3600,
+               key_col: str = "user_id", id_col: str = "event_id",
+               ts_col: str = "ts"):
+    """Per-key LEAD(ts) ordered by (ts, id): the mirror of
+    ``event_lag`` — boundary table carries each (key, bucket)'s FIRST
+    timestamp (grouped Min), shifted one bucket backwards, so the last
+    event of a bucket learns its successor in the next nonempty
+    bucket. Output: (id, key, ts, next_ts, gap_us) with
+    gap = next - ts (NULL on each key's last event)."""
+    return event_lag(events_ds, bucket_s, key_col, id_col, ts_col,
+                     direction="lead")
+
+
 def event_lag(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
-              id_col: str = "event_id", ts_col: str = "ts"):
+              id_col: str = "event_id", ts_col: str = "ts",
+              direction: str = "lag"):
     """Per-key LAG(ts) ordered by (ts, id) — SQL's
     ``lag(ts) OVER (PARTITION BY key ORDER BY ts, id)`` — plus the gap
     in microseconds, with NO per-key group (hot-key safe):
@@ -458,13 +472,19 @@ def event_lag(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
       first-of-bucket rows from the joined boundary value. First event
       of a key has no predecessor -> NULL (sentinel -1 masked out).
 
+    ``direction="lead"`` mirrors everything (Min boundary, backward
+    shift, successor instead of predecessor) — see ``event_lead``.
     Same int64 (key, bucket) pack as ``event_seq``. Output:
-    (id, key, ts, prev_ts, gap_us).
+    (id, key, ts, prev_ts|next_ts, gap_us).
     """
     from lsh_ray.config import coalesce_blocks
     from lsh_ray.stages.exchange import colocate_map
     from lsh_ray.stages.join import bucket_join
 
+    if direction not in ("lag", "lead"):
+        raise ValueError("direction must be 'lag' or 'lead'")
+    lead = direction == "lead"
+    out_col = "next_ts" if lead else "prev_ts"
     _SHIFT = np.int64(2**32)
     ts_type = dict(zip(events_ds.schema().names,
                        events_ds.schema().types))[ts_col]
@@ -484,18 +504,24 @@ def event_lag(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
                        zero_copy_batch=True))
 
     def last_partial(t: pa.Table) -> pa.Table:
+        # lag keeps each ck's LAST ts per batch (Max-combine), lead its
+        # FIRST (Min-combine)
         ck = t["ck"].to_numpy(zero_copy_only=False)
         ts_us = _us(t[ts_col])
         order = np.lexsort((ts_us, ck))
         ck_s, ts_s = ck[order], ts_us[order]
-        is_last = np.concatenate((ck_s[1:] != ck_s[:-1], [True]))
-        return pa.table({"ck": pa.array(ck_s[is_last]),
-                         "last_us": pa.array(ts_s[is_last])})
+        if lead:
+            keep = np.concatenate(([True], ck_s[1:] != ck_s[:-1]))
+        else:
+            keep = np.concatenate((ck_s[1:] != ck_s[:-1], [True]))
+        return pa.table({"ck": pa.array(ck_s[keep]),
+                         "last_us": pa.array(ts_s[keep])})
 
+    from ray.data.aggregate import Min
+    agg = (Min if lead else Max)("last_us", alias_name="last_us")
     lasts = (ev.map_batches(last_partial, batch_format="pyarrow",
                             zero_copy_batch=True)
-             .groupby("ck").aggregate(Max("last_us",
-                                          alias_name="last_us"))
+             .groupby("ck").aggregate(agg)
              .map_batches(lambda t: t.append_column(
                  "k", pa.array(t["ck"].to_numpy(zero_copy_only=False)
                                // _SHIFT)),
@@ -506,7 +532,10 @@ def event_lag(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
         last = g["last_us"].to_numpy(zero_copy_only=False)
         order = np.argsort(ck)  # bucket asc within one key
         prev = np.full(len(ck), -1, dtype=np.int64)
-        prev[order[1:]] = last[order][:-1]
+        if lead:
+            prev[order[:-1]] = last[order][1:]
+        else:
+            prev[order[1:]] = last[order][:-1]
         return pa.table({"ck": pa.array(ck), "prev_us": pa.array(prev)})
 
     prevs = lasts.groupby("k").map_groups(prev_for_key,
@@ -519,7 +548,7 @@ def event_lag(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
                 id_col: pa.array([], t.schema.field(id_col).type),
                 key_col: pa.array([], t.schema.field(key_col).type),
                 ts_col: pa.array([], ts_type),
-                "prev_ts": pa.array([], ts_type),
+                out_col: pa.array([], ts_type),
                 "gap_us": pa.array([], pa.int64())})
         ck = t["ck"].to_numpy(zero_copy_only=False)
         ts_us = _us(t[ts_col])
@@ -528,19 +557,23 @@ def event_lag(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
         ck_s, ts_s = ck[order], ts_us[order]
         bnd = t["prev_us_r"].to_numpy(zero_copy_only=False)[order]
         prev = np.empty(len(ts_s), dtype=np.int64)
-        prev[1:] = ts_s[:-1]
-        new = np.concatenate(([True], ck_s[1:] != ck_s[:-1]))
-        prev[new] = bnd[new]
+        if lead:
+            prev[:-1] = ts_s[1:]
+            edge = np.concatenate((ck_s[1:] != ck_s[:-1], [True]))
+        else:
+            prev[1:] = ts_s[:-1]
+            edge = np.concatenate(([True], ck_s[1:] != ck_s[:-1]))
+        prev[edge] = bnd[edge]
         miss = prev < 0
         idx = pa.array(order, type=pa.int64())
         prev_arr = pa.array(prev, mask=miss).cast(
             pa.timestamp("us")).cast(ts_type)
-        gap = pa.array(ts_s - prev, mask=miss)
+        gap = pa.array(prev - ts_s if lead else ts_s - prev, mask=miss)
         return pa.table({
             id_col: t[id_col].take(idx),
             key_col: t[key_col].take(idx),
             ts_col: t[ts_col].take(idx),
-            "prev_ts": prev_arr,
+            out_col: prev_arr,
             "gap_us": gap,
         })
 

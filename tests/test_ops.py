@@ -896,6 +896,21 @@ def test_event_lag_matches_pandas(rd):
     assert out.gap_us[~miss].ge(0).all()
 
 
+def test_event_lead_matches_pandas(rd):
+    from lsh_ray.stages.windows import event_lead
+    tbl = _window_events(seed=13)
+    out = event_lead(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    df = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    df["nxt"] = df.groupby("user_id")["ts"].shift(-1)
+    df = df.sort_values("event_id").reset_index(drop=True)
+    miss = df.nxt.isna()
+    assert out.next_ts.isna().equals(miss)
+    exp_gap = (df.nxt.astype("int64") - df.ts.astype("int64"))
+    assert (out.gap_us[~miss].to_numpy()
+            == exp_gap[~miss].to_numpy()).all()
+
+
 def test_moving_frame_avg_matches_pandas(rd):
     from lsh_ray.stages.windows import moving_frame_avg
     tbl = _window_events(n=3000, seed=5)
