@@ -218,14 +218,114 @@ def bucket_join(left_ds, right_ds, left_key: str, right_key: str,
 _ANTI_TAG = "__present"
 
 
+def _mix_u64(x: np.ndarray, salt: int) -> np.ndarray:
+    """splitmix64 finalizer over salted keys -> uniform uint64."""
+    z = x.astype(np.uint64) ^ np.uint64(salt)
+    z = (z + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def bloom_build(keys: np.ndarray, m_bits: int, k: int = 4) -> np.ndarray:
+    """uint64 keys -> Bloom bitmap as a uint64 word array (m_bits/64
+    words). Double hashing (h1 + i*h2) gives k probe positions from two
+    splitmix mixes — the standard Kirsch-Mitzenmacher construction."""
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    h1 = _mix_u64(keys, 0x243F6A8885A308D3)
+    h2 = _mix_u64(keys, 0x13198A2E03707344) | np.uint64(1)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        np.bitwise_or.at(words, (idx >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (idx & np.uint64(63)))
+    return words
+
+
+def bloom_maybe_contains(words: np.ndarray, keys: np.ndarray,
+                         k: int = 4) -> np.ndarray:
+    """Bool mask: True = possibly present, False = DEFINITELY absent."""
+    m_bits = len(words) * 64
+    h1 = _mix_u64(keys, 0x243F6A8885A308D3)
+    h2 = _mix_u64(keys, 0x13198A2E03707344) | np.uint64(1)
+    out = np.ones(len(keys), dtype=bool)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        bit = (words[(idx >> np.uint64(6)).astype(np.int64)]
+               >> (idx & np.uint64(63))) & np.uint64(1)
+        out &= bit.astype(bool)
+    return out
+
+
+def _bloom_from_ds(ds, key_col: str, m_bits: int, k: int = 4
+                   ) -> np.ndarray:
+    """Distributed Bloom build: one fixed-size partial bitmap per
+    block (mergeable by bitwise OR — the same one-round tree-reduction
+    shape as the HLL sketch), folded on the driver."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = bloom_build(key_u64(t[key_col]), m_bits, k)
+        return pa.table({"w": pa.array([w], type=pa.list_(
+            pa.uint64(), len(w)))})
+
+    rows = ds.select_columns([key_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    for r in rows:
+        words |= np.asarray(r["w"], dtype=np.uint64)
+    return words
+
+
 def anti_join(left_ds, right_ds, left_key: str, right_key: str,
-              num_blocks: int | None = None):
+              num_blocks: int | None = None,
+              bloom_bits: int | None = None):
     """Left rows with NO key match on the right (SQL ``NOT EXISTS`` /
     ``ANTI JOIN``): the right side ships only (key, int8 tag) through
     the bucketed left join, survivors are the null-tag rows. Right
     keys need not be unique (duplicates collapse per bucket via the
     unique-right searchsorted resolving to SOME tagged row — presence
-    is all that matters)."""
+    is all that matters).
+
+    ``bloom_bits`` (power of two, e.g. ``1 << 23``) enables the
+    Bloom-prefilter plan for a LARGE right side: a distributed Bloom of
+    right keys is OR-folded once and broadcast via ``ray.put``; left
+    rows the filter proves ABSENT are emitted as survivors without
+    touching any exchange, and only maybe-present rows (right-side
+    cardinality x false-positive rate) pay the exact bucketed join.
+    Exchange volume drops from |left| to ~|matches|. The left side is
+    pinned once (``materialize``) so the two output streams share one
+    scan. False positives only ever route a row through the EXACT
+    join — the result is identical by construction."""
+    if bloom_bits is not None:
+        import ray
+
+        if bloom_bits & (bloom_bits - 1) or bloom_bits < 64:
+            raise ValueError("bloom_bits must be a power of two >= 64")
+        words_ref = ray.put(_bloom_from_ds(right_ds, right_key,
+                                           bloom_bits))
+
+        def mark(t: pa.Table, ref=None) -> pa.Table:
+            w = ray.get(ref)
+            maybe = bloom_maybe_contains(w, key_u64(t[left_key]))
+            return t.append_column("__maybe", pa.array(maybe))
+
+        marked = left_ds.map_batches(
+            mark, batch_format="pyarrow", zero_copy_batch=True,
+            fn_kwargs={"ref": words_ref}).materialize()
+        def keep_sure(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return t.filter(pc.invert(t["__maybe"])).drop(["__maybe"])
+
+        def keep_maybe(t: pa.Table) -> pa.Table:
+            return t.filter(t["__maybe"]).drop(["__maybe"])
+
+        sure = marked.map_batches(keep_sure, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        cand = marked.map_batches(keep_maybe, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        exact = anti_join(cand, right_ds, left_key, right_key,
+                          num_blocks=num_blocks)
+        return sure.union(exact)
     def tag(t: pa.Table) -> pa.Table:
         # per-bucket presence probe: one tagged row per distinct key
         keys = t[right_key].unique() if isinstance(

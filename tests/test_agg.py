@@ -74,6 +74,30 @@ def test_anti_join_drops_matches_keeps_rest(rd):
         i for i in range(100) if i not in (2, 5, 99)]
 
 
+def test_bloom_anti_join_identical_and_filters(rd):
+    from lsh_ray.stages.join import (anti_join, bloom_build,
+                                     bloom_maybe_contains)
+    rng = np.random.default_rng(7)
+    left_keys = np.arange(20_000, dtype=np.int64)
+    right_keys = rng.choice(20_000, 500, replace=False).astype(np.int64)
+    left = rd.from_arrow(pa.table({"k": pa.array(left_keys)}))
+    right = rd.from_arrow(pa.table({"rk": pa.array(right_keys)}))
+    plain = sorted(anti_join(left, right, "k", "rk")
+                   .to_pandas().k.tolist())
+    bloom = sorted(anti_join(left, right, "k", "rk",
+                             bloom_bits=1 << 16)
+                   .to_pandas().k.tolist())
+    assert plain == bloom
+    assert len(plain) == 20_000 - 500
+    # the prefilter is effective: false-positive rate well under 5%
+    # at 500 keys in 2^16 bits (k=4)
+    words = bloom_build(right_keys.astype(np.uint64), 1 << 16)
+    maybe = bloom_maybe_contains(
+        words, left_keys.astype(np.uint64))
+    assert maybe.sum() < 500 + 0.05 * 20_000
+    assert maybe[right_keys].all()  # no false negatives, ever
+
+
 def test_distinct_values(rd):
     from lsh_ray.stages.agg import distinct_values
     tbl = _rand_events(n=2000)
