@@ -835,7 +835,10 @@ def q_event_leads(sf_dir: str):
 def q_clicks_errors_hourly(sf_dir: str):
     """FULL OUTER JOIN through the bucketed exchange: hourly click
     counts vs hourly error counts — hours with only one side survive
-    with a null other side, keys coalesced across sides."""
+    with a null other side, keys coalesced across sides. ONE corpus
+    scan feeds both sides (a shared per-(hour, both-types) partial +
+    one tiny pinned groupby); the outer join runs over hour-cardinality
+    aggregates, not events."""
     import pyarrow as pa
     import pyarrow.compute as _pc
 
@@ -845,24 +848,42 @@ def q_clicks_errors_hourly(sf_dir: str):
     ev = _read(f"{sf_dir}/events.parquet",
                columns=["ts", "event_type"])
 
-    def hourly(tp: str, out_name: str):
-        def partial(t: pa.Table) -> pa.Table:
-            tt = t.filter(_pc.equal(t["event_type"], tp))
-            ts_us = tt["ts"].cast(pa.int64()).to_numpy(
-                zero_copy_only=False)
-            ws = (ts_us // 1_000_000) // 3600 * 3600
-            vals, cnts = np.unique(ws, return_counts=True)
-            return pa.table({"ws": pa.array(vals),
-                             "cnt": pa.array(cnts.astype(np.int64))})
-        return (ev.map_batches(partial, batch_format="pyarrow",
-                               zero_copy_batch=True)
-                .groupby("ws").aggregate(Sum("cnt",
-                                             alias_name=out_name)))
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ws = (ts_us // 1_000_000) // 3600 * 3600
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        cols = {}
+        for tp, name in (("click", "nc"), ("error", "ne")):
+            m = et == tp
+            vals, cnts = np.unique(ws[m], return_counts=True)
+            cols[name] = (vals, cnts)
+        allv = np.union1d(cols["nc"][0], cols["ne"][0])
+        nc = np.zeros(len(allv), dtype=np.int64)
+        ne = np.zeros(len(allv), dtype=np.int64)
+        nc[np.searchsorted(allv, cols["nc"][0])] = cols["nc"][1]
+        ne[np.searchsorted(allv, cols["ne"][0])] = cols["ne"][1]
+        return pa.table({"ws": pa.array(allv), "nc": pa.array(nc),
+                         "ne": pa.array(ne)})
 
-    clicks = hourly("click", "n_clicks")
-    errors = hourly("error", "n_errors")
-    j = bucket_join(clicks, errors, "ws", "ws", ["ws", "n_errors"],
-                    suffix="_e", how="outer", unique_right=False)
+    # tiny hour-cardinality aggregate, pinned so the two join sides
+    # share the single corpus scan
+    agg = (ev.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("ws")
+           .aggregate(Sum("nc", alias_name="n_clicks"),
+                      Sum("ne", alias_name="n_errors"))
+           .materialize())
+
+    def side(count_col: str):
+        def f(t: pa.Table) -> pa.Table:
+            keep = t.filter(_pc.greater(t[count_col], 0))
+            return keep.select(["ws", count_col])
+        return agg.map_batches(f, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    j = bucket_join(side("n_clicks"), side("n_errors"), "ws", "ws",
+                    ["ws", "n_errors"], suffix="_e", how="outer",
+                    unique_right=False)
 
     def proj(t: pa.Table) -> pa.Table:
         return pa.table({

@@ -35,8 +35,12 @@ def grouped_distinct_count(ds, group_col: str, value_col: str,
     alias = alias or f"n_{value_col}"
 
     def local_pairs(t: pa.Table) -> pa.Table:
-        g = t.select([group_col, value_col]).group_by(
-            [group_col, value_col]).aggregate([([], "count_all")])
+        # SQL COUNT(DISTINCT) excludes NULLs — drop them before the
+        # pair dedup (Arrow group_by would keep a null key group)
+        t = t.select([group_col, value_col])
+        t = t.filter(pc.is_valid(t[value_col]))
+        g = t.group_by([group_col, value_col]).aggregate(
+            [([], "count_all")])
         return g.select([group_col, value_col])
 
     pairs = (ds.map_batches(local_pairs, batch_format="pyarrow",
@@ -124,7 +128,9 @@ def rollup_agg(ds, keys: list[str], sum_cols: list[str],
 
 def distinct_values(ds, col: str):
     """DISTINCT over one column: per-batch unique partials, one
-    dedup shuffle — volume = distinct values per block, not rows."""
+    dedup shuffle — volume = distinct values per block, not rows.
+    NULL is kept as a value (SQL SELECT DISTINCT semantics — unlike
+    COUNT(DISTINCT), which excludes it)."""
     from ray.data.aggregate import Count
 
     def local(t: pa.Table) -> pa.Table:

@@ -156,6 +156,10 @@ def bucket_join(left_ds, right_ds, left_key: str, right_key: str,
     scale, ``num_buckets`` is the shuffle-parallelism knob — size it to
     ~ total_bytes / 100 MB.
     """
+    if how == "outer" and unique_right:
+        # _join_bucket only implements inner/left; silently degrading
+        # a full-outer request to inner would drop right-only rows
+        raise ValueError("how='outer' requires unique_right=False")
     left_schema = left_ds.schema()
     # the key may also ride as a payload column (outer joins need it on
     # both sides to coalesce) — dedupe the projection

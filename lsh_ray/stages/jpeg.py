@@ -175,7 +175,9 @@ class _BitReader:
                     f"unexpected marker 0xFF{nxt:02X} in entropy data")
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | byte
+        # mask to the live bits: an unmasked Python-int accumulator
+        # grows to the whole entropy stream and turns decode O(N^2)
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | byte
         self.nbits += 8
 
     def read_bit(self) -> int:
@@ -233,7 +235,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffDecoder] = {}
     frame = None          # (h, w, [(cid, hs, vs, tq)])
     restart_interval = 0
-    planes = None
+    planes: dict = {}
 
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -294,15 +296,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tt = struct.unpack_from(">BB", seg, 1 + 2 * i)
                 scan.append((cs, tt >> 4, tt & 0xF))
-            planes, pos = _decode_scan(
+            # a baseline file may carry one interleaved scan OR several
+            # non-interleaved (single-component) scans — merge them
+            scan_planes, pos = _decode_scan(
                 payload, pos + 2 + seglen, frame, scan, qt,
                 huff_dc, huff_ac, restart_interval)
+            planes.update(scan_planes)
             continue
         pos += 2 + seglen
 
-    if planes is None or frame is None:
+    if not planes or frame is None:
         raise ValueError("JPEG missing SOS scan")
-    h, w, comps = frame
+    for cid, _hs, _vs, _tq in frame[2]:
+        if cid not in planes:
+            raise ValueError(
+                "JPEG scans do not cover every frame component")
     return _planes_to_rgb(planes, frame)
 
 
@@ -328,38 +336,59 @@ def _decode_scan(buf: bytes, pos: int, frame, scan, qt,
               for cid, hs, vs, _q, _d, _a in order}
     pred = {cid: 0 for cid, *_ in order}
     br = _BitReader(buf, pos)
-    n_mcu = mcux * mcuy
-    for m in range(n_mcu):
+
+    def decode_block(blk: np.ndarray, cid: int, hdc: _HuffDecoder,
+                     hac: _HuffDecoder) -> None:
+        t = hdc.decode(br)
+        if t > 11:
+            raise ValueError("invalid JPEG DC category")
+        diff = _extend(br.receive(t), t)
+        pred[cid] += diff
+        blk[0] = pred[cid]
+        k = 1
+        while k < 64:
+            rs = hac.decode(br)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:        # ZRL: 16 zeros
+                    k += 16
+                    continue
+                break              # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC index overflow")
+            blk[k] = _extend(br.receive(s), s)
+            k += 1
+
+    def maybe_restart(m: int) -> None:
         if restart_interval and m and m % restart_interval == 0:
             br.restart()
             for cid in pred:
                 pred[cid] = 0
-        my, mx = divmod(m, mcux)
-        for cid, hs, vs, _q, hdc, hac in order:
-            store = coeffs[cid]
-            for v in range(vs):
-                for hh in range(hs):
-                    blk = store[my * vs + v, mx * hs + hh]
-                    t = hdc.decode(br)
-                    if t > 11:
-                        raise ValueError("invalid JPEG DC category")
-                    diff = _extend(br.receive(t), t)
-                    pred[cid] += diff
-                    blk[0] = pred[cid]
-                    k = 1
-                    while k < 64:
-                        rs = hac.decode(br)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:        # ZRL: 16 zeros
-                                k += 16
-                                continue
-                            break              # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC index overflow")
-                        blk[k] = _extend(br.receive(s), s)
-                        k += 1
+
+    if len(order) > 1:                         # interleaved MCU walk
+        for m in range(mcux * mcuy):
+            maybe_restart(m)
+            my, mx = divmod(m, mcux)
+            for cid, hs, vs, _q, hdc, hac in order:
+                store = coeffs[cid]
+                for v in range(vs):
+                    for hh in range(hs):
+                        decode_block(store[my * vs + v, mx * hs + hh],
+                                     cid, hdc, hac)
+    else:
+        # non-interleaved scan (T.81 A.2.2): the data-unit walk is the
+        # COMPONENT's own block raster, not the MCU grid
+        cid, hs, vs, _q, hdc, hac = order[0]
+        store = coeffs[cid]
+        comp_w = -((-w * hs) // hmax)          # ceil(w*hs/hmax)
+        comp_h = -((-h * vs) // vmax)
+        bx = -((-comp_w) // 8)                 # ceil(comp_w/8)
+        by = -((-comp_h) // 8)
+        for m in range(bx * by):
+            maybe_restart(m)
+            my, mx = divmod(m, bx)
+            decode_block(store[my, mx], cid, hdc, hac)
 
     planes = {}
     for cid, hs, vs, q, _d, _a in order:
@@ -421,6 +450,8 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:                   # byte stuffing
                 self.out.append(0x00)
+        # keep only the live bits (unbounded int => O(N^2) encode)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> None:
         if self.nbits:
@@ -475,9 +506,12 @@ def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg(img: np.ndarray, subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                interleaved: bool = True) -> bytes:
     """(H, W, 3) uint8 RGB -> baseline JFIF bytes (4:4:4, or 4:2:0
-    with ``subsample=True``)."""
+    with ``subsample=True``). ``interleaved=False`` writes three
+    single-component scans (T.81 A.2.2 non-interleaved order) instead
+    of one interleaved scan."""
     h, w, c = img.shape
     if c != 3:
         raise ValueError("encode_jpeg expects (H, W, 3) RGB")
@@ -511,31 +545,61 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False,
 
     dc_codes = _codes_for(*_ENC_DC)
     ac_codes = _codes_for(*_ENC_AC)
-    bw = _BitWriter()
     mcux = pw // mcu_w
     mcuy = ph // mcu_h
-    pred = {"y": 0, "cb": 0, "cr": 0}
-    rst = 0
-    for m in range(mcux * mcuy):
-        if restart_interval and m and m % restart_interval == 0:
-            bw.flush()
-            bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
-            rst += 1
-            pred = {"y": 0, "cb": 0, "cr": 0}
-        my, mx = divmod(m, mcux)
-        for v in range(vs_y):
-            for hh2 in range(hs_y):
-                pred["y"] = _encode_component_block(
-                    bw, cy[my * vs_y + v, mx * hs_y + hh2], pred["y"],
-                    dc_codes, ac_codes)
-        pred["cb"] = _encode_component_block(
-            bw, ccb[my, mx], pred["cb"], dc_codes, ac_codes)
-        pred["cr"] = _encode_component_block(
-            bw, ccr[my, mx], pred["cr"], dc_codes, ac_codes)
-    bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    if interleaved:
+        bw = _BitWriter()
+        pred = {"y": 0, "cb": 0, "cr": 0}
+        rst = 0
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                pred = {"y": 0, "cb": 0, "cr": 0}
+            my, mx = divmod(m, mcux)
+            for v in range(vs_y):
+                for hh2 in range(hs_y):
+                    pred["y"] = _encode_component_block(
+                        bw, cy[my * vs_y + v, mx * hs_y + hh2],
+                        pred["y"], dc_codes, ac_codes)
+            pred["cb"] = _encode_component_block(
+                bw, ccb[my, mx], pred["cb"], dc_codes, ac_codes)
+            pred["cr"] = _encode_component_block(
+                bw, ccr[my, mx], pred["cr"], dc_codes, ac_codes)
+        bw.flush()
+        scans = [seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00,
+                                  0, 63, 0])) + bytes(bw.out)]
+    else:
+        # one scan per component; the data-unit walk covers exactly
+        # ceil(comp_dim/8) blocks (NOT the MCU-padded raster)
+        scans = []
+        for comp_id, coef, hs, vs in ((1, cy, hs_y, vs_y),
+                                      (2, ccb, 1, 1), (3, ccr, 1, 1)):
+            comp_w = -((-w * hs) // hs_y)
+            comp_h = -((-h * vs) // vs_y)
+            bx = -((-comp_w) // 8)
+            by = -((-comp_h) // 8)
+            bw = _BitWriter()
+            p = 0
+            rst = 0
+            for m in range(bx * by):
+                if restart_interval and m \
+                        and m % restart_interval == 0:
+                    bw.flush()
+                    bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                    rst += 1
+                    p = 0
+                my, mx = divmod(m, bx)
+                p = _encode_component_block(bw, coef[my, mx], p,
+                                            dc_codes, ac_codes)
+            bw.flush()
+            scans.append(seg(0xDA, bytes([1, comp_id, 0x00, 0, 63, 0]))
+                         + bytes(bw.out))
 
     def dqt(tid: int, q: np.ndarray) -> bytes:
         zz = q.reshape(64)[_ZIGZAG].astype(np.uint8)
@@ -550,9 +614,8 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False,
               + bytes([1, (hs_y << 4) | vs_y, 0,
                        2, 0x11, 1,
                        3, 0x11, 1]))
-    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     dri = seg(0xDD, struct.pack(">H", restart_interval)) \
         if restart_interval else b""
     return (b"\xff\xd8" + app0 + dqt(0, _QT_LUMA) + dqt(1, _QT_CHROMA)
             + dht(0, 0, _ENC_DC) + dht(1, 0, _ENC_AC)
-            + sof + dri + sos + bytes(bw.out) + b"\xff\xd9")
+            + sof + dri + b"".join(scans) + b"\xff\xd9")

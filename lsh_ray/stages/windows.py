@@ -360,10 +360,13 @@ def event_seq(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
     from lsh_ray.stages.join import bucket_join
 
     _SHIFT = np.int64(2**32)
+    # +2^31: pre-1970 timestamps floor to negative buckets; the offset
+    # keeps the pack injective across the full epoch range
+    _BOFF = np.int64(1 << 31)
 
     def add_ck(t: pa.Table) -> pa.Table:
         ts_us = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        bucket = (ts_us // 1_000_000) // bucket_s
+        bucket = (ts_us // 1_000_000) // bucket_s + _BOFF
         key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return t.append_column("ck", pa.array(key * _SHIFT + bucket))
 
@@ -486,6 +489,9 @@ def event_lag(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
     lead = direction == "lead"
     out_col = "next_ts" if lead else "prev_ts"
     _SHIFT = np.int64(2**32)
+    # pre-1970 timestamps floor to negative buckets; the +2^31 offset
+    # keeps the (key, bucket) pack injective across the full range
+    _BOFF = np.int64(1 << 31)
     ts_type = dict(zip(events_ds.schema().names,
                        events_ds.schema().types))[ts_col]
 
@@ -495,7 +501,7 @@ def event_lag(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
 
     def add_ck(t: pa.Table) -> pa.Table:
         ts_us = _us(t[ts_col])
-        bucket = (ts_us // 1_000_000) // bucket_s
+        bucket = (ts_us // 1_000_000) // bucket_s + _BOFF
         key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return t.append_column("ck", pa.array(key * _SHIFT + bucket))
 
@@ -528,19 +534,26 @@ def event_lag(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
                  batch_format="pyarrow", zero_copy_batch=True))
 
     def prev_for_key(g: pa.Table) -> pa.Table:
+        # explicit validity flag, NOT a timestamp sentinel: negative
+        # (pre-1970) timestamps are legitimate values
         ck = g["ck"].to_numpy(zero_copy_only=False)
         last = g["last_us"].to_numpy(zero_copy_only=False)
         order = np.argsort(ck)  # bucket asc within one key
-        prev = np.full(len(ck), -1, dtype=np.int64)
+        prev = np.zeros(len(ck), dtype=np.int64)
+        has = np.zeros(len(ck), dtype=bool)
         if lead:
             prev[order[:-1]] = last[order][1:]
+            has[order[:-1]] = True
         else:
             prev[order[1:]] = last[order][:-1]
-        return pa.table({"ck": pa.array(ck), "prev_us": pa.array(prev)})
+            has[order[1:]] = True
+        return pa.table({"ck": pa.array(ck), "prev_us": pa.array(prev),
+                         "has_prev": pa.array(has)})
 
     prevs = lasts.groupby("k").map_groups(prev_for_key,
                                           batch_format="pyarrow")
-    joined = bucket_join(ev, prevs, "ck", "ck", ["prev_us"], suffix="_r")
+    joined = bucket_join(ev, prevs, "ck", "ck",
+                         ["prev_us", "has_prev"], suffix="_r")
 
     def lag_block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -556,6 +569,8 @@ def event_lag(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
         order = np.lexsort((ids, ts_us, ck))
         ck_s, ts_s = ck[order], ts_us[order]
         bnd = t["prev_us_r"].to_numpy(zero_copy_only=False)[order]
+        has = t["has_prev_r"].to_numpy(zero_copy_only=False)[order] \
+            .astype(bool)
         prev = np.empty(len(ts_s), dtype=np.int64)
         if lead:
             prev[:-1] = ts_s[1:]
@@ -564,7 +579,7 @@ def event_lag(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
             prev[1:] = ts_s[:-1]
             edge = np.concatenate(([True], ck_s[1:] != ck_s[:-1]))
         prev[edge] = bnd[edge]
-        miss = prev < 0
+        miss = edge & ~has
         idx = pa.array(order, type=pa.int64())
         prev_arr = pa.array(prev, mask=miss).cast(
             pa.timestamp("us")).cast(ts_type)

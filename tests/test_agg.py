@@ -74,6 +74,44 @@ def test_anti_join_drops_matches_keeps_rest(rd):
         i for i in range(100) if i not in (2, 5, 99)]
 
 
+def test_grouped_distinct_excludes_nulls(rd):
+    from lsh_ray.stages.agg import grouped_distinct_count
+    tbl = pa.table({
+        "g": pa.array(["a", "a", "a", "b", "b"]),
+        "u": pa.array([1, 1, None, 2, None], type=pa.int64()),
+    })
+    out = grouped_distinct_count(rd.from_arrow(tbl), "g", "u",
+                                 alias="n_u").to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    # SQL COUNT(DISTINCT u): nulls excluded -> a:1, b:1
+    assert out.g.tolist() == ["a", "b"]
+    assert out.n_u.tolist() == [1, 1]
+
+
+def test_bucket_join_outer_requires_many_mode(rd):
+    from lsh_ray.stages.join import bucket_join
+    ds = rd.from_arrow(pa.table({"k": pa.array([1], type=pa.int64())}))
+    with pytest.raises(ValueError, match="unique_right"):
+        bucket_join(ds, ds, "k", "k", [], how="outer")
+
+
+def test_event_lag_pre_1970_timestamps(rd):
+    # negative epoch-us values are legitimate, not the missing marker
+    from lsh_ray.stages.windows import event_lag
+    ts = pa.array(np.array([-7_200_000_000, -3_600_000_000, 0,
+                            3_600_000_000], dtype=np.int64),
+                  type=pa.timestamp("us"))
+    tbl = pa.table({
+        "event_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1], type=pa.int64()),
+        "ts": ts,
+    })
+    out = event_lag(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert out.prev_ts.isna().tolist() == [True, False, False, False]
+    assert out.gap_us[1:].tolist() == [3_600_000_000] * 3
+
+
 def test_bloom_anti_join_identical_and_filters(rd):
     from lsh_ray.stages.join import (anti_join, bloom_build,
                                      bloom_maybe_contains)

@@ -74,6 +74,38 @@ def test_restart_interval_resets_predictors():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.parametrize("subsample", [False, True])
+def test_non_interleaved_scans_match_interleaved(subsample):
+    # three single-component scans (T.81 non-interleaved order) must
+    # decode identically to the one-scan interleaved file
+    img = _gradient(24, 40)
+    a = decode_jpeg(encode_jpeg(img, subsample=subsample))
+    b = decode_jpeg(encode_jpeg(img, subsample=subsample,
+                                interleaved=False))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_non_interleaved_with_restarts_and_odd_size():
+    img = _gradient(19, 21)
+    a = decode_jpeg(encode_jpeg(img, subsample=True))
+    b = decode_jpeg(encode_jpeg(img, subsample=True, interleaved=False,
+                                restart_interval=2))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_decode_large_image_is_not_quadratic():
+    # the bit accumulator must stay bounded: a 256x256 noise image
+    # (~100 KB entropy stream) decodes in well under a second
+    import time
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (256, 256, 3), dtype=np.uint8)
+    data = encode_jpeg(img)
+    t0 = time.time()
+    out = decode_jpeg(data)
+    assert out.shape == (256, 256, 3)
+    assert time.time() - t0 < 5.0
+
+
 def test_subsampled_chroma_upsamples_to_full_size():
     img = np.zeros((16, 16, 3), dtype=np.uint8)
     img[:, :8] = (255, 0, 0)
