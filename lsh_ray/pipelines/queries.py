@@ -896,6 +896,85 @@ def q_clicks_errors_hourly(sf_dir: str):
                          zero_copy_batch=True)
 
 
+def q_top_revenue_orders(sf_dir: str):
+    """TPC-H Q3-shaped end-to-end relational pipeline: segment-filtered
+    customers semi-join orders, lineitem revenue pre-aggregates per
+    order BEFORE its join (partial/combine over the biggest table),
+    grouped sum, global top-10 by revenue. Only the order-cardinality
+    aggregate is ever sorted."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from ray.data.aggregate import Sum
+
+    from lsh_ray.stages.join import bucket_join
+
+    cutoff = np.datetime64("1998-06-01T00:00:00").astype(
+        "datetime64[us]").astype(np.int64)
+
+    cust = _read(f"{sf_dir}/customer.parquet",
+                 columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(_pc.equal(t["c_mktsegment"], "BUILDING"))
+                   .select(["c_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def ord_filter(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].cast(pa.int64())
+        t = t.filter(_pc.less(od, cutoff))
+        # int64 epoch-us, NOT a timestamp column: Ray's sort/groupby
+        # round-trips timestamp keys through numpy datetime64 and
+        # downcasts to second precision
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "od": t["o_orderdate"].cast(pa.int64())})
+
+    orders = _read(f"{sf_dir}/orders.parquet",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(ord_filter, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    qual = bucket_join(orders, cust, "o_custkey", "c_custkey",
+                       ["c_custkey"], suffix="_c").select_columns(
+        ["o_orderkey", "od"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].cast(pa.int64())
+        t = t.filter(_pc.greater(sd, cutoff))
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        rev = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)))
+        uniq, inv = np.unique(ok, return_inverse=True)
+        return pa.table({
+            "l_orderkey": pa.array(uniq),
+            "rev": pa.array(np.bincount(inv, weights=rev)),
+        })
+
+    li = _read(f"{sf_dir}/lineitem.parquet",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"]) \
+        .map_batches(li_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    j = bucket_join(li, qual, "l_orderkey", "o_orderkey",
+                    ["od"], suffix="_o")
+    # o_orderdate is functionally dependent on the order key; grouping
+    # by the pair keeps it through the aggregate with no second join
+    top = (j.groupby(["l_orderkey", "od_o"])
+           .aggregate(Sum("rev", alias_name="revenue"))
+           .sort(["revenue", "l_orderkey"], descending=[True, False])
+           .limit(10))
+
+    def finish(t: pa.Table) -> pa.Table:
+        from lsh_ray.functions.num import round_half_away
+        rev = t["revenue"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": t["l_orderkey"],
+            "o_orderdate": t["od_o"].cast(pa.timestamp("us")),
+            "revenue": pa.array(round_half_away(rev, 2)),
+        })
+
+    return top.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def q_event_type_users(sf_dir: str):
     """Exact grouped COUNT(DISTINCT): per-batch distinct pairs, one
     pair-dedup shuffle, grouped sum of partial counts — exchange
@@ -1047,6 +1126,7 @@ QUERIES = {
     "top_bigrams": q_top_bigrams,
     "event_leads": q_event_leads,
     "clicks_errors_hourly": q_clicks_errors_hourly,
+    "top_revenue_orders": q_top_revenue_orders,
 }
 
 # tfidf-family token definition: maximal non-whitespace runs of the
@@ -1464,6 +1544,21 @@ ORACLE_SQL = {
     "event_type_users": (
         "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
         "FROM events GROUP BY event_type"),
+    # both engines select the top 10 by the UNROUNDED float sum (gaps
+    # between order revenues dwarf association error), round on output
+    "top_revenue_orders": (
+        "SELECT o.o_orderkey, o.o_orderdate, "
+        "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) "
+        "AS revenue "
+        "FROM customer c "
+        "JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "WHERE c.c_mktsegment = 'BUILDING' "
+        "AND o.o_orderdate < TIMESTAMP '1998-06-01' "
+        "AND l.l_shipdate > TIMESTAMP '1998-06-01' "
+        "GROUP BY 1, 2 "
+        "ORDER BY SUM(l.l_extendedprice * (1 - l.l_discount)) DESC, "
+        "o.o_orderkey LIMIT 10"),
     "users_no_big_purchase": (
         "SELECT DISTINCT user_id FROM events e WHERE NOT EXISTS "
         "(SELECT 1 FROM events x WHERE x.user_id = e.user_id "

@@ -143,6 +143,68 @@ def distinct_values(ds, col: str):
             .select_columns([col]))
 
 
+# -------------------------------------------------- quantile sketch ----
+
+def dd_quantiles(ds, col: str, qs=(0.5, 0.9, 0.99),
+                 alpha: float = 0.01):
+    """Approximate quantiles with a RELATIVE-error guarantee (DDSketch,
+    Masson et al. 2019): values map to log-scale buckets
+    ``ceil(log_gamma(v))`` with ``gamma = (1+alpha)/(1-alpha)``, so any
+    returned quantile is within ``alpha`` relative error of the true
+    one. Deterministic and mergeable (bucket counts add): per-block
+    partials are tiny (bucket, count) tables — bucket cardinality is
+    logarithmic in the value range, NOT the cardinality-bounded volume
+    of ``exact_quantiles`` and never the row count. Use when the value
+    domain is unbounded (latencies, scores).
+
+    Non-negative values only (the standard single-store form); zeros
+    get a dedicated bucket. Returns a pyarrow Table (q, <col>_q).
+    """
+    from ray.data.aggregate import Sum
+
+    gamma = (1 + alpha) / (1 - alpha)
+    lg = float(np.log(gamma))
+    ZERO = np.int64(np.iinfo(np.int32).min)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if (v < 0).any():
+            raise ValueError("dd_quantiles supports non-negative "
+                             "values only")
+        pos = v > 0
+        idx = np.ceil(np.log(v[pos]) / lg).astype(np.int64)
+        buckets, counts = np.unique(idx, return_counts=True)
+        nz = int((~pos).sum())
+        if nz:
+            buckets = np.concatenate(([ZERO], buckets))
+            counts = np.concatenate(([nz], counts))
+        return pa.table({"bucket": pa.array(buckets),
+                         "cnt": pa.array(counts.astype(np.int64))})
+
+    hist = (ds.select_columns([col])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("bucket").aggregate(Sum("cnt", alias_name="n"))
+            .to_pandas().sort_values("bucket"))
+    buckets = hist["bucket"].to_numpy()
+    cum = hist["n"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        out_q.append(float(q))
+        if n == 0:
+            out_v.append(0.0)
+            continue
+        r = max(1, int(np.ceil(q * n)))
+        i = int(np.searchsorted(cum, r))
+        b = buckets[min(i, len(buckets) - 1)]
+        # bucket midpoint representative: 2*gamma^b/(gamma+1)
+        out_v.append(0.0 if b == ZERO
+                     else float(2 * gamma ** b / (gamma + 1)))
+    return pa.table({"q": pa.array(out_q, type=pa.float64()),
+                     f"{col}_q": pa.array(out_v, type=pa.float64())})
+
+
 # ------------------------------------------------------------- HLL ----
 
 _HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}

@@ -161,6 +161,26 @@ def test_exact_quantiles_by_picks_real_rows(rd):
             assert got == exp, (gval, q_pm)
 
 
+def test_dd_quantiles_relative_error_guarantee(rd):
+    from lsh_ray.stages.agg import dd_quantiles
+    rng = np.random.default_rng(6)
+    # heavy-tailed domain incl. zeros — the case exact_quantiles'
+    # cardinality-bounded histogram does not cover
+    v = np.concatenate([np.exp(rng.normal(2, 1.5, 30_000)),
+                        np.zeros(100)])
+    ds = rd.from_arrow(pa.table({"v": pa.array(v)}))
+    alpha = 0.01
+    out = dd_quantiles(ds, "v", qs=(0.1, 0.5, 0.9, 0.99),
+                       alpha=alpha).to_pandas()
+    for q, est in zip(out.q, out.v_q):
+        true = np.quantile(v, q, method="inverted_cdf")
+        assert abs(est - true) <= 2 * alpha * true + 1e-9, (q, est, true)
+    # the ValueError surfaces wrapped in Ray's task-error envelope
+    with pytest.raises(Exception, match="non-negative"):
+        neg = rd.from_arrow(pa.table({"v": pa.array([-1.0])}))
+        dd_quantiles(neg, "v")
+
+
 def test_hll_registers_merge_and_estimate():
     from lsh_ray.stages.agg import (_mix64, hll_estimate, hll_registers)
     rng = np.random.default_rng(1)
