@@ -606,31 +606,42 @@ def event_lag(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
 
 def moving_frame_avg(events_ds, k: int = 3, key_col: str = "user_id",
                      id_col: str = "event_id", ts_col: str = "ts",
-                     value_col: str = "value", ndigits: int = 6):
+                     value_col: str = "value", ndigits: int = 6,
+                     plan: str = "boundary"):
     """Per-key moving average over the last ``k`` rows ordered by
     (ts, id) — SQL's ``AVG(value) OVER (PARTITION BY key ORDER BY ts,
-    id ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)`` — as a
-    frame-by-join plan:
+    id ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)``.
 
-    1. ``event_seq`` attaches the global per-key rank (hot-key-safe
-       two-phase prefix scan) carrying ``value_col`` alongside.
-    2. Each of the k-1 predecessors is fetched with one bucketed LEFT
-       self-join on the injective (key, seq-j) pack — missing
-       predecessors (frame start) null-fill, so the frame width is
-       ``min(seq, k)`` with no special-casing.
-    3. One vectorized pass sums the <=k values in ascending-seq order
-       and divides by the actual frame width.
+    ``plan="boundary"`` (default — each event crosses ONE exchange):
+    the ``event_lag`` boundary-table idea generalized to carry the
+    last k-1 (value, validity) slots of every (key, time-bucket) into
+    the NEXT bucket. Per-batch tail candidates reduce to exact
+    per-bucket tails in a tiny grouped pass; a per-key ``map_groups``
+    over that bucket-cardinality table chains tails across buckets
+    (a bucket with fewer than k-1 rows borrows the remainder from
+    earlier buckets); one co-location exchange then resolves every
+    frame locally — predecessors inside the bucket by vectorized
+    shifts, the first k-1 rows of each bucket from the carried slots.
 
-    All exchanges are hash-partitioned; no per-key state. For large k,
-    the optimization path is a boundary-scan plan (carry the last k-1
-    rows per (key, bucket) like ``event_lag``) instead of k-1 joins.
+    ``plan="join"`` (parity reference): ``event_seq`` rank + k-1
+    bucketed LEFT self-joins on the injective (key, seq-j) pack —
+    ships every event k times; kept for cross-plan equivalence tests.
+
+    Both plans are hot-key-safe: no per-key group of events ever
+    materializes.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    if plan not in ("boundary", "join"):
+        raise ValueError("plan must be 'boundary' or 'join'")
     from lsh_ray.functions.num import round_half_away
     from lsh_ray.stages.join import bucket_join
 
     _SHIFT = np.int64(2**32)
+
+    if plan == "boundary":
+        return _moving_avg_boundary(events_ds, k, key_col, id_col,
+                                    ts_col, value_col, ndigits)
 
     seq = event_seq(events_ds, key_col=key_col, id_col=id_col,
                     ts_col=ts_col, carry_cols=(value_col,))
@@ -673,3 +684,179 @@ def moving_frame_avg(events_ds, k: int = 3, key_col: str = "user_id",
 
     return cur.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def _moving_avg_boundary(events_ds, k: int, key_col: str, id_col: str,
+                         ts_col: str, value_col: str, ndigits: int,
+                         bucket_s: int = 3600):
+    """Boundary-scan frame-average plan (see ``moving_frame_avg``):
+    each event crosses exactly one exchange; cross-bucket frame slots
+    travel in a bucket-cardinality carry table."""
+    from lsh_ray.config import coalesce_blocks
+    from lsh_ray.functions.num import round_half_away
+    from lsh_ray.stages.exchange import colocate_map
+    from lsh_ray.stages.join import bucket_join
+
+    _SHIFT = np.int64(2**32)
+    _BOFF = np.int64(1 << 31)
+    km1 = k - 1
+
+    def _us(col) -> np.ndarray:
+        return (col.cast(pa.timestamp("us")).cast(pa.int64())
+                .to_numpy(zero_copy_only=False))
+
+    def add_ck(t: pa.Table) -> pa.Table:
+        ts_us = _us(t[ts_col])
+        bucket = (ts_us // 1_000_000) // bucket_s + _BOFF
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("ck", pa.array(key * _SHIFT + bucket))
+
+    ev = (events_ds.select_columns([id_col, key_col, ts_col, value_col])
+          .map_batches(add_ck, batch_format="pyarrow",
+                       zero_copy_batch=True))
+
+    if km1 == 0:
+        def avg1(t: pa.Table) -> pa.Table:
+            v = t[value_col].to_numpy(zero_copy_only=False)
+            return pa.table({
+                id_col: t[id_col], key_col: t[key_col],
+                ts_col: t[ts_col],
+                f"avg{k}": pa.array(round_half_away(
+                    v.astype(np.float64), ndigits))})
+        return ev.map_batches(avg1, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def tail_partial(t: pa.Table) -> pa.Table:
+        # a ck's true global last k-1 rows are among each batch's last
+        # k-1 rows of that ck, so per-batch tails are a safe candidate
+        # superset (volume <= batches x buckets x (k-1), never rate)
+        ck = t["ck"].to_numpy(zero_copy_only=False)
+        ts_us = _us(t[ts_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts_us, ck))
+        ck_s = ck[order]
+        new = np.concatenate(([True], ck_s[1:] != ck_s[:-1]))
+        starts = np.flatnonzero(new)
+        seg_end = np.repeat(np.concatenate((starts[1:], [len(ck_s)])),
+                            np.diff(np.concatenate((starts,
+                                                    [len(ck_s)]))))
+        from_end = seg_end - np.arange(len(ck_s)) - 1
+        keep_idx = order[from_end < km1]
+        kt = t.take(pa.array(keep_idx, type=pa.int64()))
+        return pa.table({"ck": kt["ck"],
+                         "tsv": pa.array(_us(kt[ts_col])),
+                         "idv": kt[id_col],
+                         "val": kt[value_col]})
+
+    tails = ev.map_batches(tail_partial, batch_format="pyarrow",
+                           zero_copy_batch=True).map_batches(
+        lambda t: t.append_column(
+            "k", pa.array(t["ck"].to_numpy(zero_copy_only=False)
+                          // _SHIFT)),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def carry_for_key(g: pa.Table) -> pa.Table:
+        # one key's tail candidates, all buckets: reduce to exact
+        # per-bucket tails, then every bucket's carry slots are the
+        # k-1 rows immediately before its segment in the concatenated
+        # tail list (earlier buckets contribute their true last rows
+        # in order, so the suffix IS the true cross-bucket tail chain)
+        ck = g["ck"].to_numpy(zero_copy_only=False)
+        ts_us = g["tsv"].to_numpy(zero_copy_only=False)
+        ids = g["idv"].to_numpy(zero_copy_only=False)
+        val = g["val"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts_us, ck))
+        ck_s, val_s = ck[order], val[order]
+        new = np.concatenate(([True], ck_s[1:] != ck_s[:-1]))
+        starts = np.flatnonzero(new)
+        seg_end = np.repeat(np.concatenate((starts[1:], [len(ck_s)])),
+                            np.diff(np.concatenate((starts,
+                                                    [len(ck_s)]))))
+        from_end = seg_end - np.arange(len(ck_s)) - 1
+        exact = from_end < km1
+        ck_e, val_e = ck_s[exact], val_s[exact]
+        new_e = np.concatenate(([True], ck_e[1:] != ck_e[:-1]))
+        firsts = np.flatnonzero(new_e)
+        out = {"ck": pa.array(ck_e[firsts])}
+        for j in range(1, k):
+            pos = firsts - j
+            ok = pos >= 0
+            v = np.zeros(len(firsts), dtype=np.float64)
+            v[ok] = val_e[pos[ok]]
+            out[f"cv{j}"] = pa.array(v)
+            out[f"ch{j}"] = pa.array(ok)
+        return pa.table(out)
+
+    carry = tails.groupby("k").map_groups(carry_for_key,
+                                          batch_format="pyarrow")
+    carry_cols = [f"cv{j}" for j in range(1, k)] \
+        + [f"ch{j}" for j in range(1, k)]
+    joined = bucket_join(ev, carry, "ck", "ck", carry_cols,
+                         suffix="_r")
+
+    ts_type = dict(zip(events_ds.schema().names,
+                       events_ds.schema().types))[ts_col]
+
+    def frame_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], t.schema.field(id_col).type),
+                key_col: pa.array([], t.schema.field(key_col).type),
+                ts_col: pa.array([], ts_type),
+                f"avg{k}": pa.array([], pa.float64())})
+        ck = t["ck"].to_numpy(zero_copy_only=False)
+        ts_us = _us(t[ts_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts_us, ck))
+        ck_s = ck[order]
+        val_s = t[value_col].to_numpy(zero_copy_only=False)[order] \
+            .astype(np.float64)
+        cv = [t[f"cv{j}_r"].to_numpy(zero_copy_only=False)[order]
+              for j in range(1, k)]
+        ch = [t[f"ch{j}_r"].to_numpy(zero_copy_only=False)[order]
+              .astype(bool) for j in range(1, k)]
+        new = np.concatenate(([True], ck_s[1:] != ck_s[:-1]))
+        starts = np.flatnonzero(new)
+        p = np.arange(len(ck_s), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [len(ck_s)]))))
+        cnt_prev = np.zeros(len(ck_s), dtype=np.int64)
+        for h in ch:
+            cnt_prev += h
+        navail = np.minimum(p + cnt_prev, km1)
+        total = val_s.copy()
+        idxs = np.arange(len(ck_s))
+        for j in range(1, k):
+            include = j <= navail
+            pred = np.zeros(len(ck_s), dtype=np.float64)
+            local = include & (p >= j)
+            pred[local] = val_s[idxs[local] - j]
+            borrow = include & (p < j)
+            if borrow.any():
+                slot = (j - p)[borrow]          # 1..k-1 by construction
+                bvals = np.zeros(int(borrow.sum()), dtype=np.float64)
+                for s in range(1, k):
+                    m = slot == s
+                    if m.any():
+                        bvals[m] = cv[s - 1][borrow][m]
+                pred[borrow] = bvals
+            total += np.where(include, pred, 0.0)
+        width = (navail + 1).astype(np.float64)
+        idx = pa.array(order, type=pa.int64())
+        return pa.table({
+            id_col: t[id_col].take(idx),
+            key_col: t[key_col].take(idx),
+            ts_col: t[ts_col].take(idx),
+            f"avg{k}": pa.array(round_half_away(total / width,
+                                                ndigits)),
+        })
+
+    nblocks = coalesce_blocks()
+    nbu = np.uint64(nblocks)
+
+    def add_ck_bucket(t: pa.Table) -> pa.Table:
+        ckv = t["ck"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "bucket", pa.array((ckv % nbu).astype(np.int32)))
+
+    return colocate_map(joined, ["ck"], nblocks, frame_block,
+                        sort_bucket_expr=add_ck_bucket)

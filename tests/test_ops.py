@@ -911,10 +911,12 @@ def test_event_lead_matches_pandas(rd):
             == exp_gap[~miss].to_numpy()).all()
 
 
-def test_moving_frame_avg_matches_pandas(rd):
+@pytest.mark.parametrize("plan", ["boundary", "join"])
+def test_moving_frame_avg_matches_pandas(rd, plan):
     from lsh_ray.stages.windows import moving_frame_avg
     tbl = _window_events(n=3000, seed=5)
-    out = moving_frame_avg(rd.from_arrow(tbl), k=3).to_pandas() \
+    out = moving_frame_avg(rd.from_arrow(tbl), k=3,
+                           plan=plan).to_pandas() \
         .sort_values("event_id").reset_index(drop=True)
     df = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"])
     exp = (df.groupby("user_id")["value"]
@@ -924,6 +926,19 @@ def test_moving_frame_avg_matches_pandas(rd):
     df = df.sort_values("event_id").reset_index(drop=True)
     assert np.allclose(out.avg3.to_numpy(), df.exp.to_numpy(),
                        atol=1e-6)
+
+
+def test_moving_frame_avg_plans_agree_wide_frame(rd):
+    # k=5 stresses multi-bucket borrow chains (sparse user 2 has
+    # buckets with < k-1 rows): both plans must agree exactly after
+    # rounding
+    from lsh_ray.stages.windows import moving_frame_avg
+    tbl = _window_events(n=1500, seed=21)
+    a = moving_frame_avg(rd.from_arrow(tbl), k=5, plan="boundary") \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    b = moving_frame_avg(rd.from_arrow(tbl), k=5, plan="join") \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert np.array_equal(a.avg5.to_numpy(), b.avg5.to_numpy())
 
 
 def test_grouped_top_k_prunes_and_ranks(rd):
