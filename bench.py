@@ -115,7 +115,8 @@ def run_bench() -> dict:
     q_names = [] if os.environ.get("GRAFT_SKIP_QUERIES") else [
         "tfidf", "knn_topk", "events_hourly", "lineitem_agg",
         "exact_dup_groups", "sessions", "ngram_jaccard_dups",
-        "events_asof", "dup_ngram_stats"]
+        "events_asof", "dup_ngram_stats", "event_gaps",
+        "event_moving_avg", "top_revenue_orders"]
     for name in q_names:
         t0 = time.time()
         ds = QUERIES[name](sf_dir)
