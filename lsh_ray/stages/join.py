@@ -138,7 +138,8 @@ def bucket_join(left_ds, right_ds, left_key: str, right_key: str,
                 right_columns: list[str], suffix: str = "",
                 num_buckets: int = _NUM_BUCKETS, how: str = "inner",
                 unique_right: bool = True,
-                num_blocks: int | None = None):
+                num_blocks: int | None = None,
+                post_fn=None):
     """Join ``left_ds`` with unique-keyed ``right_ds`` (inner or left outer).
 
     Output = all left columns + ``right_columns`` (each renamed with
@@ -148,6 +149,12 @@ def bucket_join(left_ds, right_ds, left_key: str, right_key: str,
     ``num_blocks`` overrides the pre-shuffle coalesce width (the default
     derives from cluster CPUs) — pass a small value for tiny tables so
     they don't pay wide-exchange overhead.
+
+    ``post_fn`` runs on each joined bucket BEFORE it is emitted. The
+    join co-locates every left key in one bucket, so a kernel needing
+    all rows of a key together (rank, lag, frame resolve) can fuse here
+    instead of paying a second full-table co-location exchange on the
+    same key — the output schema becomes whatever ``post_fn`` returns.
 
     The pre-shuffle union is coalesced to ``num_buckets`` blocks: the
     sort shuffle's merge cost grows superlinearly with input block COUNT
@@ -209,9 +216,10 @@ def bucket_join(left_ds, right_ds, left_key: str, right_key: str,
     both = tagged_left.union(tagged_right)
 
     def join_block(g: pa.Table) -> pa.Table:
-        return (_join_bucket(g, left_cols, out_right_cols, how)
-                if unique_right else
-                _join_bucket_many(g, left_cols, out_right_cols, how))
+        out = (_join_bucket(g, left_cols, out_right_cols, how)
+               if unique_right else
+               _join_bucket_many(g, left_cols, out_right_cols, how))
+        return post_fn(out) if post_fn is not None else out
 
     # hash mode co-locates on the u64 key itself (one exchange); the
     # sort fallback groups on the precomputed coarse bucket column

@@ -355,8 +355,6 @@ def event_seq(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
     ``carry_cols`` ride along unchanged (value columns a frame
     aggregate downstream needs next to the rank).
     """
-    from lsh_ray.config import coalesce_blocks
-    from lsh_ray.stages.exchange import colocate_map
     from lsh_ray.stages.join import bucket_join
 
     _SHIFT = np.int64(2**32)
@@ -399,7 +397,6 @@ def event_seq(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
 
     offsets = counts.groupby("k").map_groups(offsets_for_key,
                                              batch_format="pyarrow")
-    joined = bucket_join(ev, offsets, "ck", "ck", ["offset"], suffix="_r")
 
     def rank_block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -431,16 +428,11 @@ def event_seq(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
             out[c] = t[c].take(idx)
         return pa.table(out)
 
-    nblocks = coalesce_blocks()
-    nbu = np.uint64(nblocks)
-
-    def add_ck_bucket(t: pa.Table) -> pa.Table:
-        ck = t["ck"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return t.append_column(
-            "bucket", pa.array((ck % nbu).astype(np.int32)))
-
-    return colocate_map(joined, ["ck"], nblocks, rank_block,
-                        sort_bucket_expr=add_ck_bucket)
+    # the join already co-locates every ck in one bucket, so the rank
+    # kernel fuses into it (post_fn) instead of paying a second
+    # full-table exchange on the same key
+    return bucket_join(ev, offsets, "ck", "ck", ["offset"],
+                       suffix="_r", post_fn=rank_block)
 
 
 def event_lead(events_ds, bucket_s: int = 3600,
@@ -480,8 +472,6 @@ def event_lag(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
     Same int64 (key, bucket) pack as ``event_seq``. Output:
     (id, key, ts, prev_ts|next_ts, gap_us).
     """
-    from lsh_ray.config import coalesce_blocks
-    from lsh_ray.stages.exchange import colocate_map
     from lsh_ray.stages.join import bucket_join
 
     if direction not in ("lag", "lead"):
@@ -523,37 +513,41 @@ def event_lag(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
         return pa.table({"ck": pa.array(ck_s[keep]),
                          "last_us": pa.array(ts_s[keep])})
 
-    from ray.data.aggregate import Min
-    agg = (Min if lead else Max)("last_us", alias_name="last_us")
-    lasts = (ev.map_batches(last_partial, batch_format="pyarrow",
-                            zero_copy_batch=True)
-             .groupby("ck").aggregate(agg)
-             .map_batches(lambda t: t.append_column(
-                 "k", pa.array(t["ck"].to_numpy(zero_copy_only=False)
-                               // _SHIFT)),
-                 batch_format="pyarrow", zero_copy_batch=True))
+    lasts = ev.map_batches(last_partial, batch_format="pyarrow",
+                           zero_copy_batch=True).map_batches(
+        lambda t: t.append_column(
+            "k", pa.array(t["ck"].to_numpy(zero_copy_only=False)
+                          // _SHIFT)),
+        batch_format="pyarrow", zero_copy_batch=True)
 
     def prev_for_key(g: pa.Table) -> pa.Table:
-        # explicit validity flag, NOT a timestamp sentinel: negative
-        # (pre-1970) timestamps are legitimate values
-        ck = g["ck"].to_numpy(zero_copy_only=False)
-        last = g["last_us"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ck)  # bucket asc within one key
+        # one key's per-batch boundary candidates: reduce to the exact
+        # per-bucket last (lag) / first (lead) here — no separate
+        # grouped Max/Min pass. Explicit validity flag, NOT a timestamp
+        # sentinel: negative (pre-1970) timestamps are legitimate.
+        ck_c = g["ck"].to_numpy(zero_copy_only=False)
+        last_c = g["last_us"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((last_c, ck_c))
+        ck_s, last_s = ck_c[o], last_c[o]
+        keep = (np.concatenate(([True], ck_s[1:] != ck_s[:-1]))
+                if lead else
+                np.concatenate((ck_s[1:] != ck_s[:-1], [True])))
+        ck = ck_s[keep]
+        last = last_s[keep]
+        # ck is sorted ascending = bucket asc within the one key
         prev = np.zeros(len(ck), dtype=np.int64)
         has = np.zeros(len(ck), dtype=bool)
         if lead:
-            prev[order[:-1]] = last[order][1:]
-            has[order[:-1]] = True
+            prev[:-1] = last[1:]
+            has[:-1] = True
         else:
-            prev[order[1:]] = last[order][:-1]
-            has[order[1:]] = True
+            prev[1:] = last[:-1]
+            has[1:] = True
         return pa.table({"ck": pa.array(ck), "prev_us": pa.array(prev),
                          "has_prev": pa.array(has)})
 
     prevs = lasts.groupby("k").map_groups(prev_for_key,
                                           batch_format="pyarrow")
-    joined = bucket_join(ev, prevs, "ck", "ck",
-                         ["prev_us", "has_prev"], suffix="_r")
 
     def lag_block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -592,16 +586,11 @@ def event_lag(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
             "gap_us": gap,
         })
 
-    nblocks = coalesce_blocks()
-    nbu = np.uint64(nblocks)
-
-    def add_ck_bucket(t: pa.Table) -> pa.Table:
-        ck = t["ck"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return t.append_column(
-            "bucket", pa.array((ck % nbu).astype(np.int32)))
-
-    return colocate_map(joined, ["ck"], nblocks, lag_block,
-                        sort_bucket_expr=add_ck_bucket)
+    # fuse the lag kernel into the boundary join's bucket (one
+    # full-table exchange instead of join + re-colocation)
+    return bucket_join(ev, prevs, "ck", "ck",
+                       ["prev_us", "has_prev"], suffix="_r",
+                       post_fn=lag_block)
 
 
 def moving_frame_avg(events_ds, k: int = 3, key_col: str = "user_id",
@@ -692,9 +681,7 @@ def _moving_avg_boundary(events_ds, k: int, key_col: str, id_col: str,
     """Boundary-scan frame-average plan (see ``moving_frame_avg``):
     each event crosses exactly one exchange; cross-bucket frame slots
     travel in a bucket-cardinality carry table."""
-    from lsh_ray.config import coalesce_blocks
     from lsh_ray.functions.num import round_half_away
-    from lsh_ray.stages.exchange import colocate_map
     from lsh_ray.stages.join import bucket_join
 
     _SHIFT = np.int64(2**32)
@@ -791,8 +778,6 @@ def _moving_avg_boundary(events_ds, k: int, key_col: str, id_col: str,
                                           batch_format="pyarrow")
     carry_cols = [f"cv{j}" for j in range(1, k)] \
         + [f"ch{j}" for j in range(1, k)]
-    joined = bucket_join(ev, carry, "ck", "ck", carry_cols,
-                         suffix="_r")
 
     ts_type = dict(zip(events_ds.schema().names,
                        events_ds.schema().types))[ts_col]
@@ -850,13 +835,6 @@ def _moving_avg_boundary(events_ds, k: int, key_col: str, id_col: str,
                                                 ndigits)),
         })
 
-    nblocks = coalesce_blocks()
-    nbu = np.uint64(nblocks)
-
-    def add_ck_bucket(t: pa.Table) -> pa.Table:
-        ckv = t["ck"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return t.append_column(
-            "bucket", pa.array((ckv % nbu).astype(np.int32)))
-
-    return colocate_map(joined, ["ck"], nblocks, frame_block,
-                        sort_bucket_expr=add_ck_bucket)
+    # frame kernel fused into the carry join (one full-table exchange)
+    return bucket_join(ev, carry, "ck", "ck", carry_cols,
+                       suffix="_r", post_fn=frame_block)
