@@ -815,9 +815,11 @@ def q_event_gaps(sf_dir: str):
 
 
 def q_event_moving_avg(sf_dir: str):
-    """Moving frame aggregate (AVG over ROWS 2 PRECEDING): rank via the
-    two-phase prefix scan, predecessors via bucketed left self-joins on
-    the injective (user, seq-j) pack."""
+    """Moving frame aggregate (AVG over ROWS 2 PRECEDING): the
+    boundary-scan plan — per-(user, hour-bucket) tail slots carried
+    into the next bucket, frame resolved fused inside ONE co-locating
+    exchange (events ship once, not k times; the frame-by-join plan
+    remains available as ``moving_frame_avg(plan='join')``)."""
     from lsh_ray.stages.windows import moving_frame_avg
     return moving_frame_avg(
         _read(f"{sf_dir}/events.parquet",

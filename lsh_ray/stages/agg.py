@@ -168,6 +168,9 @@ def dd_quantiles(ds, col: str, qs=(0.5, 0.9, 0.99),
 
     def partial(t: pa.Table) -> pa.Table:
         v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if not np.isfinite(v).all():
+            raise ValueError("dd_quantiles requires finite values "
+                             "(found inf/NaN)")
         if (v < 0).any():
             raise ValueError("dd_quantiles supports non-negative "
                              "values only")

@@ -16,6 +16,45 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Max, Sum
 
 
+# shared (key, time-bucket) pack for the window-function family:
+# ck = key * 2^32 + (epoch-bucket + 2^31). Injective while key < 2^31
+# and |epoch bucket| < 2^31 (the offset admits pre-1970 timestamps).
+_CK_SHIFT = np.int64(2**32)
+_CK_BOFF = np.int64(1 << 31)
+
+
+def _ts_us(col) -> np.ndarray:
+    """Timestamp column (any unit) -> int64 epoch-microseconds."""
+    return (col.cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False))
+
+
+def _add_ck_us(t: pa.Table, key_col: str, ts_col: str,
+               bucket_s: int) -> pa.Table:
+    """Append the packed ``ck`` column (one definition for the whole
+    lag/lead/frame family — edit here and nowhere else)."""
+    ts_us = _ts_us(t[ts_col])
+    bucket = (ts_us // 1_000_000) // bucket_s + _CK_BOFF
+    key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    return t.append_column("ck", pa.array(key * _CK_SHIFT + bucket))
+
+
+def _seg_starts(keys_sorted: np.ndarray) -> np.ndarray:
+    """First index of every run in a sorted key array."""
+    new = np.concatenate(([True], keys_sorted[1:] != keys_sorted[:-1]))
+    return np.flatnonzero(new)
+
+
+def _seg_from_end(keys_sorted: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """(distance from each row to its run's END, run starts)."""
+    starts = _seg_starts(keys_sorted)
+    n = len(keys_sorted)
+    lens = np.diff(np.concatenate((starts, [n])))
+    seg_end = np.repeat(np.concatenate((starts[1:], [n])), lens)
+    return seg_end - np.arange(n) - 1, starts
+
+
 def add_window_bucket(ds, window_s: int = 3600, ts_col: str = "ts"):
     """Append ``window_start`` (epoch seconds, floored to the window)."""
     def f(t: pa.Table) -> pa.Table:
@@ -462,10 +501,12 @@ def event_lag(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
       bucket: each bucket learns the last timestamp of its key's
       PREVIOUS nonempty bucket (the predecessor of its first event,
       because ts dominates the (ts, id) order).
-    - **One (key, bucket) exchange** co-locates events; each block
+    - **One (key, bucket) exchange** co-locates events (the lag kernel
+      runs fused inside the boundary join's bucket); each block
       lexsorts once and takes within-bucket lags by a vectorized shift,
       first-of-bucket rows from the joined boundary value. First event
-      of a key has no predecessor -> NULL (sentinel -1 masked out).
+      of a key has no predecessor -> NULL (explicit validity flag, so
+      pre-1970 timestamps are legitimate values).
 
     ``direction="lead"`` mirrors everything (Min boundary, backward
     shift, successor instead of predecessor) — see ``event_lead``.
@@ -478,32 +519,20 @@ def event_lag(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
         raise ValueError("direction must be 'lag' or 'lead'")
     lead = direction == "lead"
     out_col = "next_ts" if lead else "prev_ts"
-    _SHIFT = np.int64(2**32)
-    # pre-1970 timestamps floor to negative buckets; the +2^31 offset
-    # keeps the (key, bucket) pack injective across the full range
-    _BOFF = np.int64(1 << 31)
     ts_type = dict(zip(events_ds.schema().names,
                        events_ds.schema().types))[ts_col]
 
-    def _us(col) -> np.ndarray:
-        return (col.cast(pa.timestamp("us")).cast(pa.int64())
-                .to_numpy(zero_copy_only=False))
-
-    def add_ck(t: pa.Table) -> pa.Table:
-        ts_us = _us(t[ts_col])
-        bucket = (ts_us // 1_000_000) // bucket_s + _BOFF
-        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return t.append_column("ck", pa.array(key * _SHIFT + bucket))
-
     ev = (events_ds.select_columns([id_col, key_col, ts_col])
-          .map_batches(add_ck, batch_format="pyarrow",
-                       zero_copy_batch=True))
+          .map_batches(_add_ck_us, batch_format="pyarrow",
+                       zero_copy_batch=True,
+                       fn_kwargs={"key_col": key_col, "ts_col": ts_col,
+                                  "bucket_s": bucket_s}))
 
     def last_partial(t: pa.Table) -> pa.Table:
         # lag keeps each ck's LAST ts per batch (Max-combine), lead its
         # FIRST (Min-combine)
         ck = t["ck"].to_numpy(zero_copy_only=False)
-        ts_us = _us(t[ts_col])
+        ts_us = _ts_us(t[ts_col])
         order = np.lexsort((ts_us, ck))
         ck_s, ts_s = ck[order], ts_us[order]
         if lead:
@@ -513,28 +542,29 @@ def event_lag(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
         return pa.table({"ck": pa.array(ck_s[keep]),
                          "last_us": pa.array(ts_s[keep])})
 
-    lasts = ev.map_batches(last_partial, batch_format="pyarrow",
-                           zero_copy_batch=True).map_batches(
-        lambda t: t.append_column(
-            "k", pa.array(t["ck"].to_numpy(zero_copy_only=False)
-                          // _SHIFT)),
-        batch_format="pyarrow", zero_copy_batch=True)
+    # grouped Max/Min FIRST: it reduces the blocks x buckets candidate
+    # rows to bucket cardinality BEFORE any per-key group forms, so a
+    # hot key spread over many blocks cannot concentrate one candidate
+    # row per (block, bucket) into a single map_groups task
+    from ray.data.aggregate import Min
+    agg = (Min if lead else Max)("last_us", alias_name="last_us")
+    lasts = (ev.map_batches(last_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("ck").aggregate(agg)
+             .map_batches(lambda t: t.append_column(
+                 "k", pa.array(t["ck"].to_numpy(zero_copy_only=False)
+                               // _CK_SHIFT)),
+                 batch_format="pyarrow", zero_copy_batch=True))
 
     def prev_for_key(g: pa.Table) -> pa.Table:
-        # one key's per-batch boundary candidates: reduce to the exact
-        # per-bucket last (lag) / first (lead) here — no separate
-        # grouped Max/Min pass. Explicit validity flag, NOT a timestamp
-        # sentinel: negative (pre-1970) timestamps are legitimate.
+        # one key's buckets (bucket cardinality after the grouped
+        # reduction): shift by one bucket. Explicit validity flag, NOT
+        # a timestamp sentinel: negative (pre-1970) ts are legitimate.
         ck_c = g["ck"].to_numpy(zero_copy_only=False)
         last_c = g["last_us"].to_numpy(zero_copy_only=False)
-        o = np.lexsort((last_c, ck_c))
-        ck_s, last_s = ck_c[o], last_c[o]
-        keep = (np.concatenate(([True], ck_s[1:] != ck_s[:-1]))
-                if lead else
-                np.concatenate((ck_s[1:] != ck_s[:-1], [True])))
-        ck = ck_s[keep]
-        last = last_s[keep]
-        # ck is sorted ascending = bucket asc within the one key
+        o = np.argsort(ck_c)  # bucket asc within the one key
+        ck = ck_c[o]
+        last = last_c[o]
         prev = np.zeros(len(ck), dtype=np.int64)
         has = np.zeros(len(ck), dtype=bool)
         if lead:
@@ -558,7 +588,7 @@ def event_lag(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
                 out_col: pa.array([], ts_type),
                 "gap_us": pa.array([], pa.int64())})
         ck = t["ck"].to_numpy(zero_copy_only=False)
-        ts_us = _us(t[ts_col])
+        ts_us = _ts_us(t[ts_col])
         ids = t[id_col].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, ts_us, ck))
         ck_s, ts_s = ck[order], ts_us[order]
@@ -684,23 +714,13 @@ def _moving_avg_boundary(events_ds, k: int, key_col: str, id_col: str,
     from lsh_ray.functions.num import round_half_away
     from lsh_ray.stages.join import bucket_join
 
-    _SHIFT = np.int64(2**32)
-    _BOFF = np.int64(1 << 31)
     km1 = k - 1
 
-    def _us(col) -> np.ndarray:
-        return (col.cast(pa.timestamp("us")).cast(pa.int64())
-                .to_numpy(zero_copy_only=False))
-
-    def add_ck(t: pa.Table) -> pa.Table:
-        ts_us = _us(t[ts_col])
-        bucket = (ts_us // 1_000_000) // bucket_s + _BOFF
-        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return t.append_column("ck", pa.array(key * _SHIFT + bucket))
-
     ev = (events_ds.select_columns([id_col, key_col, ts_col, value_col])
-          .map_batches(add_ck, batch_format="pyarrow",
-                       zero_copy_batch=True))
+          .map_batches(_add_ck_us, batch_format="pyarrow",
+                       zero_copy_batch=True,
+                       fn_kwargs={"key_col": key_col, "ts_col": ts_col,
+                                  "bucket_s": bucket_s}))
 
     if km1 == 0:
         def avg1(t: pa.Table) -> pa.Table:
@@ -718,52 +738,55 @@ def _moving_avg_boundary(events_ds, k: int, key_col: str, id_col: str,
         # k-1 rows of that ck, so per-batch tails are a safe candidate
         # superset (volume <= batches x buckets x (k-1), never rate)
         ck = t["ck"].to_numpy(zero_copy_only=False)
-        ts_us = _us(t[ts_col])
+        ts_us = _ts_us(t[ts_col])
         ids = t[id_col].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, ts_us, ck))
-        ck_s = ck[order]
-        new = np.concatenate(([True], ck_s[1:] != ck_s[:-1]))
-        starts = np.flatnonzero(new)
-        seg_end = np.repeat(np.concatenate((starts[1:], [len(ck_s)])),
-                            np.diff(np.concatenate((starts,
-                                                    [len(ck_s)]))))
-        from_end = seg_end - np.arange(len(ck_s)) - 1
+        from_end, _ = _seg_from_end(ck[order])
         keep_idx = order[from_end < km1]
         kt = t.take(pa.array(keep_idx, type=pa.int64()))
         return pa.table({"ck": kt["ck"],
-                         "tsv": pa.array(_us(kt[ts_col])),
+                         "tsv": pa.array(_ts_us(kt[ts_col])),
                          "idv": kt[id_col],
                          "val": kt[value_col]})
 
-    tails = ev.map_batches(tail_partial, batch_format="pyarrow",
-                           zero_copy_batch=True).map_batches(
-        lambda t: t.append_column(
-            "k", pa.array(t["ck"].to_numpy(zero_copy_only=False)
-                          // _SHIFT)),
-        batch_format="pyarrow", zero_copy_batch=True)
+    def exact_tails(g: pa.Table) -> pa.Table:
+        # one ck's candidates (<= blocks x (k-1) rows) -> its true
+        # last k-1 rows. Running this per-CK before any per-key group
+        # forms keeps the key chain at bucket cardinality even for a
+        # hot key spread over many blocks.
+        ts_us = g["tsv"].to_numpy(zero_copy_only=False)
+        ids = g["idv"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts_us))
+        keep = order[max(0, len(order) - km1):]
+        return g.take(pa.array(np.sort(keep), type=pa.int64()))
+
+    tails = (ev.map_batches(tail_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("ck").map_groups(exact_tails,
+                                       batch_format="pyarrow")
+             .map_batches(lambda t: t.append_column(
+                 "k", pa.array(t["ck"].to_numpy(zero_copy_only=False)
+                               // _CK_SHIFT)),
+                 batch_format="pyarrow", zero_copy_batch=True))
 
     def carry_for_key(g: pa.Table) -> pa.Table:
-        # one key's tail candidates, all buckets: reduce to exact
-        # per-bucket tails, then every bucket's carry slots are the
+        # one key's exact per-bucket tails (bucket cardinality x (k-1)
+        # rows after exact_tails): every bucket's carry slots are the
         # k-1 rows immediately before its segment in the concatenated
         # tail list (earlier buckets contribute their true last rows
-        # in order, so the suffix IS the true cross-bucket tail chain)
+        # in order, so the suffix IS the true cross-bucket tail chain).
+        # The per-ck trim below is idempotent on reduced input, kept as
+        # a guard.
         ck = g["ck"].to_numpy(zero_copy_only=False)
         ts_us = g["tsv"].to_numpy(zero_copy_only=False)
         ids = g["idv"].to_numpy(zero_copy_only=False)
         val = g["val"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, ts_us, ck))
         ck_s, val_s = ck[order], val[order]
-        new = np.concatenate(([True], ck_s[1:] != ck_s[:-1]))
-        starts = np.flatnonzero(new)
-        seg_end = np.repeat(np.concatenate((starts[1:], [len(ck_s)])),
-                            np.diff(np.concatenate((starts,
-                                                    [len(ck_s)]))))
-        from_end = seg_end - np.arange(len(ck_s)) - 1
+        from_end, _ = _seg_from_end(ck_s)
         exact = from_end < km1
         ck_e, val_e = ck_s[exact], val_s[exact]
-        new_e = np.concatenate(([True], ck_e[1:] != ck_e[:-1]))
-        firsts = np.flatnonzero(new_e)
+        firsts = _seg_starts(ck_e)
         out = {"ck": pa.array(ck_e[firsts])}
         for j in range(1, k):
             pos = firsts - j
@@ -790,7 +813,7 @@ def _moving_avg_boundary(events_ds, k: int, key_col: str, id_col: str,
                 ts_col: pa.array([], ts_type),
                 f"avg{k}": pa.array([], pa.float64())})
         ck = t["ck"].to_numpy(zero_copy_only=False)
-        ts_us = _us(t[ts_col])
+        ts_us = _ts_us(t[ts_col])
         ids = t[id_col].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, ts_us, ck))
         ck_s = ck[order]
@@ -800,8 +823,7 @@ def _moving_avg_boundary(events_ds, k: int, key_col: str, id_col: str,
               for j in range(1, k)]
         ch = [t[f"ch{j}_r"].to_numpy(zero_copy_only=False)[order]
               .astype(bool) for j in range(1, k)]
-        new = np.concatenate(([True], ck_s[1:] != ck_s[:-1]))
-        starts = np.flatnonzero(new)
+        starts = _seg_starts(ck_s)
         p = np.arange(len(ck_s), dtype=np.int64) - np.repeat(
             starts, np.diff(np.concatenate((starts, [len(ck_s)]))))
         cnt_prev = np.zeros(len(ck_s), dtype=np.int64)
@@ -810,6 +832,7 @@ def _moving_avg_boundary(events_ds, k: int, key_col: str, id_col: str,
         navail = np.minimum(p + cnt_prev, km1)
         total = val_s.copy()
         idxs = np.arange(len(ck_s))
+        cv_stack = None
         for j in range(1, k):
             include = j <= navail
             pred = np.zeros(len(ck_s), dtype=np.float64)
@@ -818,12 +841,11 @@ def _moving_avg_boundary(events_ds, k: int, key_col: str, id_col: str,
             borrow = include & (p < j)
             if borrow.any():
                 slot = (j - p)[borrow]          # 1..k-1 by construction
-                bvals = np.zeros(int(borrow.sum()), dtype=np.float64)
-                for s in range(1, k):
-                    m = slot == s
-                    if m.any():
-                        bvals[m] = cv[s - 1][borrow][m]
-                pred[borrow] = bvals
+                bidx = np.flatnonzero(borrow)
+                # one stacked gather instead of (k-1) masked re-slices
+                if cv_stack is None:
+                    cv_stack = np.stack(cv)
+                pred[borrow] = cv_stack[slot - 1, bidx]
             total += np.where(include, pred, 0.0)
         width = (navail + 1).astype(np.float64)
         idx = pa.array(order, type=pa.int64())
