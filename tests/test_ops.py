@@ -928,6 +928,46 @@ def test_moving_frame_avg_matches_pandas(rd, plan):
                        atol=1e-6)
 
 
+def test_window_family_hot_key_scale(rd):
+    """One bot user owning 300k events across thousands of hour
+    buckets: lag and the boundary frame plan must stay correct (and
+    bounded — no per-key event group) under the exact skew their
+    docstrings promise to survive."""
+    from lsh_ray.stages.windows import event_lag, moving_frame_avg
+    rng = np.random.default_rng(17)
+    n = 300_000
+    ts_s = 1_700_000_000 + np.sort(rng.integers(0, 5000 * 3600, n))
+    val = np.round(rng.uniform(0, 100, n), 2)
+    perm = rng.permutation(n)
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)[perm]),
+        "user_id": pa.array(np.ones(n, dtype=np.int64)),
+        "ts": pa.array(ts_s[perm] * 1_000_000, type=pa.timestamp("us")),
+        "value": pa.array(val[perm]),
+    })
+    ds = rd.from_arrow(tbl).repartition(32)
+
+    lag = event_lag(ds).to_pandas().sort_values("event_id") \
+        .reset_index(drop=True)
+    df = tbl.to_pandas().sort_values(["ts", "event_id"])
+    df["prev"] = df["ts"].shift(1)
+    df = df.sort_values("event_id").reset_index(drop=True)
+    miss = df.prev.isna()
+    assert lag.prev_ts.isna().equals(miss)
+    assert (lag.gap_us[~miss].to_numpy() ==
+            (df.ts.astype("int64")
+             - df.prev.astype("int64"))[~miss].to_numpy()).all()
+
+    avg = moving_frame_avg(rd.from_arrow(tbl).repartition(32), k=3) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    df2 = tbl.to_pandas().sort_values(["ts", "event_id"])
+    exp = df2["value"].rolling(3, min_periods=1).mean()
+    df2["exp"] = exp
+    df2 = df2.sort_values("event_id").reset_index(drop=True)
+    assert np.allclose(avg.avg3.to_numpy(), df2.exp.to_numpy(),
+                       atol=1e-6)
+
+
 def test_moving_frame_avg_plans_agree_wide_frame(rd):
     # k=5 stresses multi-bucket borrow chains (sparse user 2 has
     # buckets with < k-1 rows): both plans must agree exactly after
