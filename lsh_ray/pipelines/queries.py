@@ -977,6 +977,41 @@ def q_top_revenue_orders(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def q_user_event_pivot(sf_dir: str):
+    """Grouped PIVOT: one row per user with per-event-type counts as
+    columns — per-batch Arrow group_by partials pivot locally (the
+    column set is the known type domain), one grouped Sum combines.
+    Shuffle volume = users x batches, never events."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["user_id", "event_type"]).group_by(
+            ["user_id", "event_type"]).aggregate([([], "count_all")])
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        c = g["count_all"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(u, return_inverse=True)
+        cols = {"user_id": pa.array(uniq)}
+        for tp in types:
+            v = np.zeros(len(uniq), dtype=np.int64)
+            m = et == tp
+            np.add.at(v, inv[m], c[m])
+            cols[f"n_{tp}"] = pa.array(v)
+        return pa.table(cols)
+
+    return (_read(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "event_type"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("user_id")
+            .aggregate(*[Sum(f"n_{tp}", alias_name=f"n_{tp}")
+                         for tp in types]))
+
+
 def q_event_type_users(sf_dir: str):
     """Exact grouped COUNT(DISTINCT): per-batch distinct pairs, one
     pair-dedup shuffle, grouped sum of partial counts — exchange
@@ -1129,6 +1164,7 @@ QUERIES = {
     "event_leads": q_event_leads,
     "clicks_errors_hourly": q_clicks_errors_hourly,
     "top_revenue_orders": q_top_revenue_orders,
+    "user_event_pivot": q_user_event_pivot,
 }
 
 # tfidf-family token definition: maximal non-whitespace runs of the
@@ -1546,6 +1582,15 @@ ORACLE_SQL = {
     "event_type_users": (
         "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
         "FROM events GROUP BY event_type"),
+    "user_event_pivot": (
+        "SELECT user_id, "
+        "COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click, "
+        "COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error, "
+        "COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) "
+        "AS n_purchase, "
+        "COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup, "
+        "COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view "
+        "FROM events GROUP BY user_id"),
     # both engines select the top 10 by the UNROUNDED float sum (gaps
     # between order revenues dwarf association error), round on output
     "top_revenue_orders": (

@@ -90,3 +90,65 @@ def test_bmp_roundtrip_property(h, w, seed):
     rng = np.random.default_rng(seed)
     img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
     np.testing.assert_array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+# ------------------------------------------------- join bucket kernel ----
+
+_jkeys = st.lists(st.integers(0, 8), min_size=0, max_size=12)
+
+
+def _join_group(lk, rk):
+    """Assemble the tagged union table _join_bucket* receives for one
+    bucket: left rows carry a payload 'lv', right rows 'rv' (values
+    encode the original row index so matches are checkable)."""
+    n_l, n_r = len(lk), len(rk)
+    return pa.table({
+        "__jkey": pa.array(np.array(lk + rk, dtype=np.uint64)),
+        "__side": pa.array(np.array([0] * n_l + [1] * n_r,
+                                    dtype=np.int8)),
+        "lv": pa.array(list(range(n_l)) + [None] * n_r,
+                       type=pa.int64()),
+        "rv": pa.array([None] * n_l + [100 + i for i in range(n_r)],
+                       type=pa.int64()),
+    })
+
+
+@settings(max_examples=120, deadline=None)
+@given(_jkeys, _jkeys, st.sampled_from(["inner", "left", "outer"]))
+def test_join_bucket_many_matches_pandas_merge(lk, rk, how):
+    import pandas as pd
+
+    from lsh_ray.stages.join import _join_bucket_many
+    out = _join_bucket_many(_join_group(lk, rk), ["lv"], ["rv"], how)
+    nkey = (lambda t: tuple(-1 if v is None else v for v in t))
+    got = sorted(((r["lv"], r["rv"]) for r in out.to_pylist()),
+                 key=nkey)
+    left = pd.DataFrame({"k": lk, "lv": range(len(lk))})
+    right = pd.DataFrame({"k": rk, "rv": [100 + i
+                                          for i in range(len(rk))]})
+    exp_df = left.merge(right, on="k", how=how)
+    exp = sorted(((None if pd.isna(a) else int(a),
+                   None if pd.isna(b) else int(b))
+                  for a, b in zip(exp_df.lv, exp_df.rv)), key=nkey)
+    assert got == exp, (how, lk, rk)
+
+
+@settings(max_examples=120, deadline=None)
+@given(_jkeys, _jkeys, st.sampled_from(["inner", "left"]))
+def test_join_bucket_unique_right_matches_pandas(lk, rk, how):
+    import pandas as pd
+
+    from lsh_ray.stages.join import _join_bucket
+    rk = sorted(set(rk))  # the unique-right contract
+    out = _join_bucket(_join_group(lk, rk), ["lv"], ["rv"], how)
+    nkey = (lambda t: tuple(-1 if v is None else v for v in t))
+    got = sorted(((r["lv"], r["rv"]) for r in out.to_pylist()),
+                 key=nkey)
+    left = pd.DataFrame({"k": lk, "lv": range(len(lk))})
+    right = pd.DataFrame({"k": rk, "rv": [100 + i
+                                          for i in range(len(rk))]})
+    exp_df = left.merge(right, on="k", how=how)
+    exp = sorted(((None if pd.isna(a) else int(a),
+                   None if pd.isna(b) else int(b))
+                  for a, b in zip(exp_df.lv, exp_df.rv)), key=nkey)
+    assert got == exp, (how, lk, rk)
