@@ -55,6 +55,28 @@ def _seg_from_end(keys_sorted: np.ndarray
     return seg_end - np.arange(n) - 1, starts
 
 
+def _colocate_by_key(tbl_ds, kernel):
+    """Co-locate a small boundary table by its ``k`` (user key) column
+    and run ``kernel`` per block, vectorized across ALL keys in the
+    block. The window family's boundary passes are per-key logic over
+    key-cardinality tables; ``groupby(k).map_groups`` pays per-group
+    dispatch (~ms per group — measured 3.6 -> 11 s on a 100k-event
+    query), while one co-location exchange + segment arithmetic is
+    group-count-free."""
+    from lsh_ray.config import coalesce_blocks
+    from lsh_ray.stages.exchange import colocate_map
+    nblocks = min(coalesce_blocks(), 64)
+    nbu = np.uint64(nblocks)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        kv = t["k"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "bucket", pa.array((kv % nbu).astype(np.int32)))
+
+    return colocate_map(tbl_ds, ["k"], nblocks, kernel,
+                        sort_bucket_expr=add_bucket)
+
+
 def add_window_bucket(ds, window_s: int = 3600, ts_col: str = "ts"):
     """Append ``window_start`` (epoch seconds, floored to the window)."""
     def f(t: pa.Table) -> pa.Table:
@@ -426,16 +448,25 @@ def event_seq(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
                                 // _SHIFT)),
                   batch_format="pyarrow", zero_copy_batch=True))
 
-    def offsets_for_key(g: pa.Table) -> pa.Table:
+    def offsets_block(g: pa.Table) -> pa.Table:
+        # all keys of one co-located block at once: sorting by ck is
+        # key-contiguous with buckets ascending inside each key, so
+        # per-key exclusive prefix sums are one cumsum minus each
+        # key's base
+        if g.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"ck": z, "offset": z})
         ck = g["ck"].to_numpy(zero_copy_only=False)
         n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(ck)  # bucket asc within one key
-        off = np.zeros(len(ck), dtype=np.int64)
-        off[order[1:]] = np.cumsum(n[order])[:-1]
-        return pa.table({"ck": pa.array(ck), "offset": pa.array(off)})
+        order = np.argsort(ck)
+        ck_s, n_s = ck[order], n[order]
+        starts = _seg_starts(ck_s // _SHIFT)
+        cum = np.cumsum(n_s) - n_s
+        lens = np.diff(np.concatenate((starts, [len(ck_s)])))
+        off = cum - np.repeat(cum[starts], lens)
+        return pa.table({"ck": pa.array(ck_s), "offset": pa.array(off)})
 
-    offsets = counts.groupby("k").map_groups(offsets_for_key,
-                                             batch_format="pyarrow")
+    offsets = _colocate_by_key(counts, offsets_block)
 
     def rank_block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -556,28 +587,37 @@ def event_lag(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
                                // _CK_SHIFT)),
                  batch_format="pyarrow", zero_copy_batch=True))
 
-    def prev_for_key(g: pa.Table) -> pa.Table:
-        # one key's buckets (bucket cardinality after the grouped
-        # reduction): shift by one bucket. Explicit validity flag, NOT
-        # a timestamp sentinel: negative (pre-1970) ts are legitimate.
+    def prev_block(g: pa.Table) -> pa.Table:
+        # all keys of one co-located block at once: ck-sorted rows are
+        # key-contiguous with buckets ascending, so the one-bucket
+        # shift is a vectorized shift masked at key-segment edges.
+        # Explicit validity flag, NOT a timestamp sentinel: negative
+        # (pre-1970) ts are legitimate.
+        if g.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"ck": z, "prev_us": z,
+                             "has_prev": pa.array([], pa.bool_())})
         ck_c = g["ck"].to_numpy(zero_copy_only=False)
         last_c = g["last_us"].to_numpy(zero_copy_only=False)
-        o = np.argsort(ck_c)  # bucket asc within the one key
+        o = np.argsort(ck_c)
         ck = ck_c[o]
         last = last_c[o]
+        starts = _seg_starts(ck // _CK_SHIFT)
+        is_first = np.zeros(len(ck), dtype=bool)
+        is_first[starts] = True
         prev = np.zeros(len(ck), dtype=np.int64)
         has = np.zeros(len(ck), dtype=bool)
         if lead:
             prev[:-1] = last[1:]
-            has[:-1] = True
+            is_last = np.concatenate((is_first[1:], [True]))
+            has = ~is_last
         else:
             prev[1:] = last[:-1]
-            has[1:] = True
+            has = ~is_first
         return pa.table({"ck": pa.array(ck), "prev_us": pa.array(prev),
                          "has_prev": pa.array(has)})
 
-    prevs = lasts.groupby("k").map_groups(prev_for_key,
-                                          batch_format="pyarrow")
+    prevs = _colocate_by_key(lasts, prev_block)
 
     def lag_block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -785,36 +825,43 @@ def _moving_avg_boundary(events_ds, k: int, key_col: str, id_col: str,
     tails = colocate_map(cands, ["ck"], nblocks, trim_block,
                          sort_bucket_expr=add_bucket)
 
-    def carry_for_key(g: pa.Table) -> pa.Table:
-        # one key's exact per-bucket tails (bucket cardinality x (k-1)
-        # rows after exact_tails): every bucket's carry slots are the
-        # k-1 rows immediately before its segment in the concatenated
-        # tail list (earlier buckets contribute their true last rows
-        # in order, so the suffix IS the true cross-bucket tail chain).
-        # The per-ck trim below is idempotent on reduced input, kept as
-        # a guard.
+    def carry_block(g: pa.Table) -> pa.Table:
+        # all keys of one co-located block at once: exact per-bucket
+        # tails (<= (k-1) rows per ck after the trim stage), ck-sorted
+        # so buckets are ascending inside each key-contiguous run.
+        # Every bucket's carry slots are the k-1 rows immediately
+        # before its segment in the concatenated tail list — valid only
+        # while they stay inside the SAME key's run (earlier buckets
+        # contribute their true last rows in order, so the suffix IS
+        # the true cross-bucket tail chain).
+        if g.num_rows == 0:
+            cols = {"ck": pa.array([], pa.int64())}
+            for j in range(1, k):
+                cols[f"cv{j}"] = pa.array([], pa.float64())
+                cols[f"ch{j}"] = pa.array([], pa.bool_())
+            return pa.table(cols)
         ck = g["ck"].to_numpy(zero_copy_only=False)
         ts_us = g["tsv"].to_numpy(zero_copy_only=False)
         ids = g["idv"].to_numpy(zero_copy_only=False)
         val = g["val"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, ts_us, ck))
-        ck_s, val_s = ck[order], val[order]
-        from_end, _ = _seg_from_end(ck_s)
-        exact = from_end < km1
-        ck_e, val_e = ck_s[exact], val_s[exact]
+        ck_e, val_e = ck[order], val[order]
         firsts = _seg_starts(ck_e)
+        key_starts = _seg_starts(ck_e // _CK_SHIFT)
+        lens = np.diff(np.concatenate((key_starts, [len(ck_e)])))
+        key_first_per_row = np.repeat(key_starts, lens)
+        key_first = key_first_per_row[firsts]
         out = {"ck": pa.array(ck_e[firsts])}
         for j in range(1, k):
             pos = firsts - j
-            ok = pos >= 0
+            ok = pos >= key_first
             v = np.zeros(len(firsts), dtype=np.float64)
             v[ok] = val_e[pos[ok]]
             out[f"cv{j}"] = pa.array(v)
             out[f"ch{j}"] = pa.array(ok)
         return pa.table(out)
 
-    carry = tails.groupby("k").map_groups(carry_for_key,
-                                          batch_format="pyarrow")
+    carry = _colocate_by_key(tails, carry_block)
     carry_cols = [f"cv{j}" for j in range(1, k)] \
         + [f"ch{j}" for j in range(1, k)]
 
