@@ -979,14 +979,24 @@ def q_top_revenue_orders(sf_dir: str):
 
 def q_user_event_pivot(sf_dir: str):
     """Grouped PIVOT: one row per user with per-event-type counts as
-    columns — per-batch Arrow group_by partials pivot locally (the
-    column set is the known type domain), one grouped Sum combines.
-    Shuffle volume = users x batches, never events."""
+    columns — per-batch Arrow group_by partials pivot locally, one
+    grouped Sum combines. Shuffle volume = users x batches, never
+    events. The pivot column domain is DERIVED from a distinct
+    event_type pass (domain cardinality, tiny) rather than hardcoded —
+    a guessed domain the oracle shares can't be caught by the oracle
+    (this exact failure happened in round 4 with a phantom "search"
+    type); deriving it makes the oracle a real constraint."""
     import pyarrow as pa
 
     from ray.data.aggregate import Sum
 
-    types = ["click", "error", "purchase", "signup", "view"]
+    from lsh_ray.stages.agg import distinct_values
+
+    types = sorted(
+        v for v in distinct_values(
+            _read(f"{sf_dir}/events.parquet", columns=["event_type"]),
+            "event_type").to_pandas()["event_type"].tolist()
+        if v is not None)
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.select(["user_id", "event_type"]).group_by(

@@ -264,6 +264,17 @@ def colocate_map(ds, keys: list[str], num_blocks: int, fn,
     if sort_bucket_expr is not None:
         ds = ds.map_batches(sort_bucket_expr, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+    # tasks/hash modes never materialize the bucket column, so fn never
+    # sees it; strip it here too so all three modes present identical
+    # schemas — a pass-through fn (e.g. a trim kernel returning a take of
+    # its input) must not leak the sort-plan bucket into downstream
+    # exchanges that append their own.
+    def _fn_sans_bucket(t: pa.Table) -> pa.Table:
+        if bucket_col in t.column_names:
+            t = t.drop_columns([bucket_col])
+        return fn(t)
+
     return (ds.repartition(num_blocks)
               .groupby(bucket_col)
-              .map_groups(fn, batch_format="pyarrow"))
+              .map_groups(_fn_sans_bucket, batch_format="pyarrow"))

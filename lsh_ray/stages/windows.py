@@ -32,10 +32,29 @@ def _ts_us(col) -> np.ndarray:
 def _add_ck_us(t: pa.Table, key_col: str, ts_col: str,
                bucket_s: int) -> pa.Table:
     """Append the packed ``ck`` column (one definition for the whole
-    lag/lead/frame family — edit here and nowhere else)."""
+    lag/lead/frame family — edit here and nowhere else).
+
+    The pack's injectivity domain is RUNTIME-CHECKED per batch: a key
+    outside [0, 2^31) (e.g. a uint64 hash used as the key column) would
+    silently alias distinct (key, bucket) groups, corrupting every
+    window result downstream. The check is two vectorized compares —
+    negligible next to the timestamp cast above it."""
     ts_us = _ts_us(t[ts_col])
     bucket = (ts_us // 1_000_000) // bucket_s + _CK_BOFF
-    key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    raw = t[key_col].to_numpy(zero_copy_only=False)
+    if raw.size and (raw.min() < 0 or raw.max() >= (1 << 31)):
+        raise ValueError(
+            f"window key column {key_col!r} has values outside "
+            f"[0, 2^31) (min={raw.min()}, max={raw.max()}); the "
+            "(key, bucket) int64 pack would alias groups. Remap the "
+            "key to a dense/31-bit id first (e.g. hash % 2**31 with a "
+            "collision-checked dictionary, or a dense-rank pass).")
+    if bucket.size and (bucket.min() < 0 or bucket.max() >= (1 << 32)):
+        raise ValueError(
+            f"window time bucket for {ts_col!r} overflows the 32-bit "
+            "pack slot (timestamps beyond +/-2^31 buckets of epoch); "
+            "use a coarser bucket_s.")
+    key = raw.astype(np.int64)
     return t.append_column("ck", pa.array(key * _CK_SHIFT + bucket))
 
 
