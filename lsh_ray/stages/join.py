@@ -349,8 +349,16 @@ def anti_join(left_ds, right_ds, left_key: str, right_key: str,
 
     probe = right_ds.select_columns([right_key]).map_batches(
         tag, batch_format="pyarrow", zero_copy_batch=True)
+    # per-batch dedupe above shrinks probe volume but is NOT globally
+    # unique (the same key appears once per batch that holds it), so
+    # route through the duplicate-tolerant join kernel: a matched left
+    # row emits one row per surviving probe duplicate — all dropped by
+    # keep_missing below — while each unmatched row emits exactly one
+    # null-tag row. Relying on unique_right=True here would lean on an
+    # undocumented resolve-to-some-row behavior of the unique kernel.
     j = bucket_join(left_ds, probe, left_key, right_key, [_ANTI_TAG],
-                    how="left", num_blocks=num_blocks)
+                    how="left", num_blocks=num_blocks,
+                    unique_right=False)
 
     def keep_missing(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

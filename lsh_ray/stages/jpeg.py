@@ -237,11 +237,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     restart_interval = 0
     planes: dict = {}
 
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad the gap
+        # before a marker code — skip to the LAST 0xFF of the run
+        while pos + 2 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:                      # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # standalone markers (TEM, RSTn outside a scan, stray SOI)
+            # carry no length field — advance past the two marker bytes
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
             break
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         seg = payload[pos + 4: pos + 2 + seglen]

@@ -71,7 +71,8 @@ def hash_sample(ds, rate_bucket_hex: str, key_col: str = "doc_id"):
     return ds.map_batches(_filter, batch_format="pyarrow")
 
 
-def exact_quantiles(ds, col: str, permille=(250, 500, 750, 900, 990)):
+def exact_quantiles(ds, col: str, permille=(250, 500, 750, 900, 990),
+                    max_cardinality: int = 1_000_000):
     """Exact discrete quantiles of an integer column via a distributed
     value histogram: per-batch ``np.unique`` partials -> one tiny
     groupby over DISTINCT VALUES (not rows) -> driver-side rank pick.
@@ -82,6 +83,14 @@ def exact_quantiles(ds, col: str, permille=(250, 500, 750, 900, 990)):
     permille ceil-division (``(q_pm * n + 999) // 1000``) so a DuckDB
     ``row_number`` oracle reproduces the pick with no float rounding.
     Returns a pyarrow Table (q double, <col>_q int64).
+
+    CARDINALITY GUARD: the driver pull scales with distinct-value
+    count, so a column whose histogram exceeds ``max_cardinality``
+    distinct values (checked on the aggregated histogram's metadata —
+    no extra pass over rows) automatically falls back to the
+    ``dd_quantiles`` sketch (alpha-relative-error, fixed driver
+    volume), with the sketch's midpoint representatives rounded into
+    this function's (q double, <col>_q int64) schema.
     """
     from ray.data.aggregate import Sum
 
@@ -91,11 +100,20 @@ def exact_quantiles(ds, col: str, permille=(250, 500, 750, 900, 990)):
         return pa.table({"value": pa.array(vals),
                          "cnt": pa.array(cnts.astype(np.int64))})
 
-    hist = (ds.select_columns([col])
-            .map_batches(partial, batch_format="pyarrow",
-                         zero_copy_batch=True)
-            .groupby("value").aggregate(Sum("cnt", alias_name="n"))
-            .to_pandas().sort_values("value"))
+    hist_ds = (ds.select_columns([col])
+               .map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .groupby("value").aggregate(Sum("cnt", alias_name="n"))
+               .materialize())
+    if hist_ds.count() > max_cardinality:
+        from lsh_ray.stages.agg import dd_quantiles
+        dd = dd_quantiles(ds, col,
+                          qs=tuple(p / 1000.0 for p in permille))
+        vals = dd[f"{col}_q"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "q": dd["q"],
+            f"{col}_q": pa.array(np.rint(vals).astype(np.int64))})
+    hist = hist_ds.to_pandas().sort_values("value")
     cum = hist["n"].to_numpy().cumsum()
     n = int(cum[-1]) if len(cum) else 0
     values = hist["value"].to_numpy()

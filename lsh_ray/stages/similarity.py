@@ -19,7 +19,6 @@
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -27,13 +26,16 @@ import ray
 from lsh_ray.functions.num import round_half_away
 
 
-def _topk_merge(group: pd.DataFrame, k: int) -> pa.Table:
-    g = group.sort_values(["cosine", "neighbor_id"],
-                          ascending=[False, True]).head(k)
-    # emit metadata-free Arrow so the block stream keeps ONE hashable schema
-    return pa.Table.from_pandas(g.reset_index(drop=True),
-                                preserve_index=False
-                                ).replace_schema_metadata(None)
+def _topk_merge(group: pa.Table, k: int) -> pa.Table:
+    """Arrow-native top-k of one query's merged partials (sort by
+    -cosine then neighbor_id, head k) — the input is only the partial
+    top-k rows (O(batches * k)), so the kernel is tiny; staying Arrow
+    avoids a per-group pandas round-trip in an otherwise Arrow-native
+    stage."""
+    sims = group["cosine"].to_numpy(zero_copy_only=False)
+    ids = group["neighbor_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -sims))[:k]
+    return group.take(pa.array(order, type=pa.int64()))
 
 
 def knn_brute_force(embeddings_ds, query_vectors: np.ndarray,
@@ -85,7 +87,7 @@ def knn_brute_force(embeddings_ds, query_vectors: np.ndarray,
     partial = embeddings_ds.map_batches(per_batch, batch_format="pyarrow",
                                         zero_copy_batch=True)
     merged = partial.groupby("query_id").map_groups(
-        lambda g: _topk_merge(g, k), batch_format="pandas")
+        lambda g: _topk_merge(g, k), batch_format="pyarrow")
 
     def round_out(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -201,7 +203,7 @@ def knn_lsh(embeddings_ds, query_vectors: np.ndarray,
     partial = embeddings_ds.map_batches(per_batch, batch_format="pyarrow",
                                         zero_copy_batch=True)
     merged = partial.groupby("query_id").map_groups(
-        lambda g: _topk_merge(g, k), batch_format="pandas")
+        lambda g: _topk_merge(g, k), batch_format="pyarrow")
     if round_to is None:
         return merged
 
@@ -324,7 +326,7 @@ def knn_ivf(embeddings_ds, query_vectors: np.ndarray,
     partial = embeddings_ds.map_batches(per_batch, batch_format="pyarrow",
                                         zero_copy_batch=True)
     merged = partial.groupby("query_id").map_groups(
-        lambda g: _topk_merge(g, k), batch_format="pandas")
+        lambda g: _topk_merge(g, k), batch_format="pyarrow")
     if round_to is None:
         return merged
 

@@ -93,6 +93,43 @@ def test_incremental_rolling_checkpoint_is_valid_base(
     assert _canon(inc2.clusters).equals(_canon(full.clusters))
 
 
+def test_incremental_three_hop_chain_matches_full_run(
+        ray_session, split_corpora, tmp_path):
+    """THREE successive increments, each rolling its merged checkpoint
+    into the next hop's base: the final clustering must equal one full
+    run over everything — exercising the merged-checkpoint-as-base
+    loop beyond a single hop (round-5 verdict item; each hop's base is
+    itself a merge product, so drift would compound)."""
+    import ray.data
+
+    from lsh_ray.config import PipelineConfig
+    from lsh_ray.pipelines.dedup_pipeline import run_dedup
+    from lsh_ray.pipelines.incremental import run_dedup_incremental
+
+    base_t, delta_t = split_corpora
+    d1 = delta_t.slice(0, 34)
+    d2 = delta_t.slice(34, 33)
+    d3 = delta_t.slice(67)
+    cfg = PipelineConfig()
+
+    cur = str(tmp_path / "chain0")
+    run_dedup(ray.data.from_arrow(base_t), cfg, checkpoint_dir=cur)
+    last = None
+    for i, d in enumerate((d1, d2, d3), start=1):
+        nxt = str(tmp_path / f"chain{i}")
+        last = run_dedup_incremental(ray.data.from_arrow(d), cur, cfg,
+                                     checkpoint_dir=nxt)
+        cur = nxt
+
+    full = run_dedup(ray.data.from_arrow(
+        pa.concat_tables([base_t, delta_t])), cfg)
+    assert _canon(last.clusters).equals(_canon(full.clusters))
+    # and the final merged checkpoint pair set == the full run's pairs
+    from lsh_ray.pipelines.incremental import _read_stage
+    merged_pairs = _read_stage(cur, "verified")
+    assert _canon(merged_pairs).equals(_canon(full.verified))
+
+
 def test_incremental_idempotent_reingestion(ray_session, split_corpora,
                                             tmp_path):
     """A delta overlapping the base (re-crawled urls / a re-delivered

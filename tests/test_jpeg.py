@@ -25,6 +25,20 @@ def test_roundtrip_gradient(subsample, restart):
     assert err.mean() < 3.0 and err.max() <= 30
 
 
+def test_fill_bytes_and_standalone_markers_between_segments():
+    """T.81 allows 0xFF fill/padding bytes between segments and
+    standalone length-less markers (TEM); real crawled JPEGs contain
+    both — decode must skip them, not read a bogus segment length
+    (round-5 ADVICE item)."""
+    img = _gradient(24, 24)
+    data = encode_jpeg(img)
+    base = decode_jpeg(data)
+    # splice after SOI (bytes 0-1): fill run + TEM + more fill
+    padded = data[:2] + b"\xff\xff\xff" + b"\xff\x01" + b"\xff" + data[2:]
+    out = decode_jpeg(padded)
+    assert np.array_equal(out, base)
+
+
 def test_roundtrip_flat_color_is_near_exact():
     img = np.full((16, 16, 3), 137, dtype=np.uint8)
     out = decode_jpeg(encode_jpeg(img))

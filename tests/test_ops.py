@@ -824,6 +824,29 @@ def test_exact_quantiles_known_ranks(rd):
     assert out.q.tolist() == [0.25, 0.5, 0.75, 0.9, 0.99]
 
 
+def test_exact_quantiles_high_cardinality_falls_back_to_sketch(rd):
+    """A column whose distinct-value histogram exceeds the cap must
+    auto-route to the DDSketch path (bounded driver volume) instead of
+    pulling the whole histogram — same output schema, alpha-relative
+    accuracy (round-5 verdict item)."""
+    from lsh_ray.stages.sampling import exact_quantiles
+    rng = np.random.default_rng(7)
+    v = rng.integers(1, 10_000_000, size=20_000)  # ~all distinct
+    ds = rd.from_arrow(pa.table({"n": pa.array(v, type=pa.int64())}))
+    out = exact_quantiles(ds, "n", max_cardinality=1000).to_pandas()
+    assert str(out.n_q.dtype) == "int64" and out.q.tolist() == [
+        0.25, 0.5, 0.75, 0.9, 0.99]
+    exact = np.quantile(v, [0.25, 0.5, 0.75, 0.9, 0.99])
+    # DDSketch alpha=0.01 => within ~2% relative of the true quantile
+    assert np.all(np.abs(out.n_q.to_numpy() - exact) / exact < 0.05)
+    # under the cap the exact path still runs (rank-pick values)
+    small = exact_quantiles(
+        rd.from_arrow(pa.table({
+            "n": pa.array(list(range(1, 11)), type=pa.int64())})),
+        "n", max_cardinality=1000).to_pandas()
+    assert small.n_q.tolist() == [3, 5, 8, 9, 10]
+
+
 def test_top_tokens_count_then_token_order(rd):
     from lsh_ray.stages.tfidf import top_tokens
     ds = rd.from_arrow(pa.table({
