@@ -5,13 +5,14 @@ Images/audio/video are opaque ``binary`` columns with typed metadata
 them. The decode kernel is REAL for baseline JPEG (any DQT/DHT, 4:4:4
 and 4:2:0, restart intervals — ``stages/jpeg.py``), PNG (8-bit, all
 five scanline filters — DEFLATE is stdlib zlib), uncompressed 24-bit
-BMP images and 16-bit PCM WAV audio (pure numpy decoders — no codec
-library needed); only compressed AUDIO (MP3 — reference analog:
-essentia/music21 decoders, ``loader.py:69-83``) needs external
-libraries absent from this environment and raises
-``NotImplementedError`` at a clearly-marked boundary. The Ray-side
-plumbing — actor-pool signature, schema, small batch sizes for large
-payloads, output layout — is identical for every codec.
+BMP images, 16-bit PCM WAV audio, and MPEG-1 Layer I compressed audio
+(``stages/mpeg_audio.py`` — reference analog: essentia/music21
+decoders, ``loader.py:69-83``). The remaining boundary is Layer II/III
+(MP3 proper): those need the ISO allocation/Huffman tables (pages of
+tabulated standard data) and raise a precise ``ValueError`` naming the
+missing piece. The Ray-side plumbing — actor-pool signature, schema,
+small batch sizes for large payloads, output layout — is identical for
+every codec.
 
 Set ``use_fake_decoder=True`` to force the deterministic fake decode
 (payload byte statistics) for any payload regardless of magic bytes.
@@ -422,10 +423,10 @@ class BinaryDecodeStage:
 
     Compression wrappers (gzip/zlib/xz/bz2) are stripped by magic bytes
     first (stdlib — ``_decompress_payload``); JPEG / PNG / BMP /
-    PCM-WAV / BMPV payloads then decode for real via the numpy codecs.
-    Only the genuinely-unavailable compressed AUDIO codec (MP3) remains
-    behind the marked boundary below — its library would load once per
-    actor in ``__init__``.
+    PCM-WAV / MPEG-1-Layer-I / BMPV payloads then decode for real via
+    the numpy codecs. The remaining boundary is MPEG Layer II/III
+    inside ``mpeg_audio`` (ISO tables not reproducible) — a heavier
+    codec library would load once per actor in ``__init__``.
     """
 
     FEATURE_DIM = 16
@@ -449,11 +450,18 @@ class BinaryDecodeStage:
                 return image_features(decode_bmp(payload))
             if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                 return audio_features(*decode_wav(payload))
+            if payload[:3] == b"ID3" or (
+                    len(payload) >= 2 and payload[0] == 0xFF
+                    and payload[1] & 0xE0 == 0xE0):
+                # MPEG audio (Layer I native; II/III raise inside with
+                # the precise missing standard table — see mpeg_audio)
+                from lsh_ray.stages.mpeg_audio import decode_mpeg1
+                return audio_features(*decode_mpeg1(payload))
             raise NotImplementedError(
-                "the MP3 CODEC requires libraries not present in this "
-                "environment; gzip/zlib/xz/bz2 wrappers and JPEG / PNG "
-                "/ BMP / PCM WAV / BMPV payloads decode natively, or "
-                "construct with use_fake_decoder=True for the stand-in")
+                "unrecognized payload format; gzip/zlib/xz/bz2 wrappers "
+                "and JPEG / PNG / BMP / PCM WAV / MPEG-1 Layer I audio "
+                "/ BMPV payloads decode natively, or construct with "
+                "use_fake_decoder=True for the stand-in")
         # deterministic fake: md5-seeded byte statistics as "features"
         digest = hashlib.md5(payload).digest()
         base = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)

@@ -1,0 +1,131 @@
+"""MPEG-1 Layer I audio codec: header parse, real-bitstream round-trip
+fidelity, channel modes, boundary errors, actor-stage dispatch.
+
+The encoder produces REAL ISO-framed Layer I bitstreams (header, bit
+allocation, scalefactors, quantized subband samples), so the decoder is
+exercised end-to-end on the actual wire format — the same test strategy
+as the JPEG codec (encode_jpeg fixtures)."""
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lsh_ray.stages.mpeg_audio import (FILTERBANK_DELAY, decode_mpeg1,
+                                       encode_mpeg1_layer1,
+                                       parse_frame_header)
+
+
+def _tone(n=11025, sr=44100):
+    t = np.arange(n)
+    return (0.6 * np.sin(2 * np.pi * 440 * t / sr)
+            + 0.2 * np.sin(2 * np.pi * 2500 * t / sr))
+
+
+def _snr_db(ref, out):
+    d = FILTERBANK_DELAY
+    a = ref[: len(ref) - d]
+    b = out[d: d + len(a)]
+    return -20 * np.log10(np.linalg.norm(b - a) / np.linalg.norm(a))
+
+
+def test_roundtrip_tone_mono():
+    sig = _tone()
+    dec, sr = decode_mpeg1(encode_mpeg1_layer1(sig))
+    assert sr == 44100
+    assert len(dec) >= len(sig)
+    assert _snr_db(sig, dec) > 40.0
+
+
+def test_roundtrip_stereo_layout():
+    sig = _tone(n=4096)
+    dec, sr = decode_mpeg1(encode_mpeg1_layer1(sig, stereo=True,
+                                               nbits=4))
+    # 4-bit quantization: coarse but clearly the same signal
+    assert sr == 44100 and _snr_db(sig, dec) > 18.0
+
+
+@pytest.mark.parametrize("sr", [44100, 48000, 32000])
+def test_sample_rates_survive_header(sr):
+    sig = _tone(n=2000, sr=sr)
+    # 48 kHz frames carry fewer bytes at fixed bitrate: 8-bit fits all
+    dec, got = decode_mpeg1(encode_mpeg1_layer1(sig, sample_rate=sr,
+                                                nbits=8))
+    assert got == sr
+
+
+def test_quantizer_depth_improves_snr():
+    sig = _tone(n=4096)
+    coarse = _snr_db(sig, decode_mpeg1(
+        encode_mpeg1_layer1(sig, nbits=4))[0])
+    fine = _snr_db(sig, decode_mpeg1(
+        encode_mpeg1_layer1(sig, nbits=9))[0])
+    assert fine > coarse + 10.0
+
+
+def test_id3v2_tag_skipped():
+    sig = _tone(n=2000)
+    data = encode_mpeg1_layer1(sig)
+    # minimal ID3v2 tag: "ID3", version, flags, syncsafe size 100
+    tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 100]) + b"\x00" * 100
+    a, _ = decode_mpeg1(data)
+    b, _ = decode_mpeg1(tag + data)
+    assert np.array_equal(a, b)
+
+
+def test_header_parse_fields():
+    data = encode_mpeg1_layer1(_tone(n=500), bitrate_kbps=448)
+    (word,) = struct.unpack_from(">I", data, 0)
+    h = parse_frame_header(word)
+    assert h["layer"] == 1 and h["bitrate"] == 448_000
+    assert h["sample_rate"] == 44100 and h["mode"] == 3
+
+
+def test_layer_2_and_3_raise_with_named_boundary():
+    # rewrite the layer bits of a real frame header: 0b10 = II, 0b01 = III
+    data = bytearray(encode_mpeg1_layer1(_tone(n=500)))
+    for code, name in ((0b10, "Table B.2"), (0b01, "Huffman")):
+        data[1] = (data[1] & ~0b110) | (code << 1)
+        with pytest.raises(ValueError, match=name):
+            decode_mpeg1(bytes(data))
+
+
+def test_malformed_payloads_raise():
+    with pytest.raises(ValueError):
+        decode_mpeg1(b"\x00\x01\x02\x03" * 100)
+    data = bytearray(encode_mpeg1_layer1(_tone(n=500)))
+    data[2] |= 0xF0                   # bitrate index 15: forbidden
+    with pytest.raises(ValueError):
+        decode_mpeg1(bytes(data))
+
+
+def test_truncated_final_frame_is_dropped_not_fatal():
+    sig = _tone(n=3 * 384)
+    data = encode_mpeg1_layer1(sig)
+    dec_full, _ = decode_mpeg1(data)
+    dec_cut, _ = decode_mpeg1(data[:-10])
+    assert len(dec_cut) == len(dec_full) - 384
+
+
+def test_stage_dispatches_mpeg_audio(ray_session):
+    """BinaryDecodeStage routes MPEG sync bytes to the native decoder
+    and emits the standard 16-dim audio feature vector."""
+    import ray.data
+
+    from lsh_ray.stages.multimodal import (BinaryDecodeStage,
+                                           decode_binary)
+    sig = _tone(n=4096)
+    payload = encode_mpeg1_layer1(sig)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "payload": pa.array([payload], type=pa.binary()),
+    }))
+    out = decode_binary(ds).to_pandas()
+    feats = np.asarray(out.features.iloc[0], dtype=np.float32)
+    assert feats.shape == (16,)
+    assert feats[1] == 44100.0          # sample_rate feature slot
+    assert feats[3] > 0.1               # RMS of a -4 dBFS-ish tone
+    # parity with the in-process decode path
+    direct = BinaryDecodeStage()._decode_one(payload)
+    assert np.allclose(feats, direct)

@@ -206,16 +206,19 @@ def test_multimodal_fake_decode(rd):
                        np.stack(out2.features.values))
 
 
-def test_multimodal_compressed_codecs_are_stubbed():
-    # MP3 payloads still need external codec libraries (the one
-    # remaining boundary); malformed JPEG is a decode ERROR now that
-    # the JPEG codec is native
+def test_multimodal_codec_boundaries():
+    # MPEG audio now routes to the native Layer I decoder; a bogus
+    # "ID3"-tagged payload with no sync word is a decode ERROR, as is
+    # malformed JPEG; an unrecognized format hits the declared
+    # NotImplementedError boundary
     from lsh_ray.stages.multimodal import BinaryDecodeStage
     stage = BinaryDecodeStage(use_fake_decoder=False)
-    with pytest.raises(NotImplementedError):
-        stage._decode_one(b"ID3\x04\x00mp3 payload")
+    with pytest.raises(ValueError):
+        stage._decode_one(b"ID3\x04\x00\x00\x00\x00\x00\x00not audio")
     with pytest.raises(ValueError):
         stage._decode_one(b"\xff\xd8\xff\xe0jpeg payload")
+    with pytest.raises(NotImplementedError):
+        stage._decode_one(b"\x00unknown format payload")
 
 
 def test_png_roundtrip_all_filters_and_color_types():
