@@ -181,25 +181,57 @@ def dup_ngram_stats(ds, n: int = 5, round_to: int = 6):
     """
     import ray
 
-    from ray.data.aggregate import Max, Min, Sum
+    from lsh_ray.config import coalesce_blocks
+    from lsh_ray.stages.exchange import colocate_map
 
-    # pin the partials: two consumers (the flag groupby and the dup
+    # pin the partials: two consumers (the flag exchange and the dup
     # tagging) would otherwise each re-run the read + gram explosion
     # (Ray Data shares no common subexpressions across a lazy DAG)
     rows = doc_gram_rows(ds, n).materialize()
-    flags = rows.groupby("gram_h").aggregate(
-        Min("doc_id", alias_name="mn"), Max("doc_id", alias_name="mx"))
+    nblocks = coalesce_blocks()
 
-    def dup_only(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        keep = t.filter(pc.not_equal(t["mn"], t["mx"]))
+    # cross-doc flag: per-batch (gram -> min/max doc) pre-reduction,
+    # ONE tasks-mode exchange on gram_h, dup filter fused into the
+    # reduce block. The former groupby(gram_h).aggregate(Min, Max) +
+    # filter pass computed the same thing but paid the native sort-
+    # groupby's sample/sort barriers — measured 3.4 s of fixed floor on
+    # a 250k-row gram table at sf0.1 (the whole query's data costs
+    # ~1.5 s); the raw-task exchange does it in one wave.
+    def mm_partial(t: pa.Table) -> pa.Table:
+        gh = t["gram_h"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(gh, return_inverse=True)
+        mn = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        mx = np.full(len(uniq), np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(mn, inv, d)
+        np.maximum.at(mx, inv, d)
+        return pa.table({"gram_h": pa.array(uniq),
+                         "mn": pa.array(mn), "mx": pa.array(mx)})
+
+    def dup_block(t: pa.Table) -> pa.Table:
+        gh = t["gram_h"].to_numpy(zero_copy_only=False)
+        mn = t["mn"].to_numpy(zero_copy_only=False)
+        mx = t["mx"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(gh, return_inverse=True)
+        gmn = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        gmx = np.full(len(uniq), np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(gmn, inv, mn)
+        np.maximum.at(gmx, inv, mx)
+        keep = gmn != gmx
         return pa.table({
-            "gram_h": keep["gram_h"],
-            "dup": pa.array(np.ones(keep.num_rows, dtype=np.int8)),
+            "gram_h": pa.array(uniq[keep]),
+            "dup": pa.array(np.ones(int(keep.sum()), dtype=np.int8)),
         })
 
-    dup_keys = flags.map_batches(dup_only, batch_format="pyarrow",
-                                 zero_copy_batch=True).materialize()
+    def gram_bucket(t: pa.Table) -> pa.Table:
+        gh = t["gram_h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("bucket", pa.array(
+            (gh % np.uint64(nblocks)).astype(np.int32)))
+
+    mm = rows.map_batches(mm_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    dup_keys = colocate_map(mm, ["gram_h"], nblocks, dup_block,
+                            sort_bucket_expr=gram_bucket).materialize()
 
     broadcast_max_keys = 4_000_000  # ~32 MB of int64 via ray.put
     if dup_keys.count() <= broadcast_max_keys:
@@ -263,10 +295,30 @@ def dup_ngram_stats(ds, n: int = 5, round_to: int = 6):
                                    zero_copy_batch=True)
     zeros = ds.select_columns(["doc_id"]).map_batches(
         zero_rows, batch_format="pyarrow", zero_copy_batch=True)
-    per_doc = (zeros.union(gram_totals).union(contrib)
-               .groupby("doc_id")
-               .aggregate(Sum("n_grams", alias_name="ng"),
-                          Sum("nd", alias_name="n_dup")))
+
+    # per-doc totals: same native-groupby -> tasks-exchange swap as the
+    # flag pass (the union streams are already per-batch pre-reduced,
+    # so the exchange ships doc-cardinality partials, not grams)
+    def doc_sum_block(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(d, return_inverse=True)
+        ng = np.bincount(
+            inv, weights=t["n_grams"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        nd = np.bincount(
+            inv, weights=t["nd"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table({"doc_id": pa.array(uniq),
+                         "ng": pa.array(ng), "n_dup": pa.array(nd)})
+
+    def doc_bucket(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("bucket", pa.array(
+            (d % np.uint64(nblocks)).astype(np.int32)))
+
+    per_doc = colocate_map(zeros.union(gram_totals).union(contrib),
+                           ["doc_id"], nblocks, doc_sum_block,
+                           sort_bucket_expr=doc_bucket)
 
     def finish(t: pa.Table) -> pa.Table:
         ng = t["ng"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -119,5 +119,8 @@ def test_oversized_exchange_falls_back_to_sort(ray_session, monkeypatch):
                        sort_bucket_expr=add_bucket)
     tab = _collect(out)
     assert tab.num_rows == 400
-    # the sort plan's bucket column survives; tasks mode never adds one
-    assert "bucket" in tab.column_names
+    # the sort plan's transient bucket column is stripped before the
+    # group fn, so ALL exchange modes present (and a pass-through fn
+    # returns) the same schema — a leak here would poison downstream
+    # exchanges that append their own bucket (round-5 ADVICE fix)
+    assert "bucket" not in tab.column_names
