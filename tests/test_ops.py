@@ -655,6 +655,36 @@ def test_knn_ivf_partial_probe_recall_on_clustered_data(rd):
     assert np.mean(recalls) >= 0.8, recalls
 
 
+def test_knn_ivf_recall_floor_matches_sweep_curve(rd):
+    """Pytest floor for the BASELINE.md ANN recall curve: the exact
+    generator scripts/ann_recall_sweep.py uses (256 Gaussian clusters,
+    sigma 0.18, seed 42) at 20k vectors must hold recall@10 >= 0.85 at
+    nprobe=16/n_cells=64 — the sweep's documented 0.90-at-0.43x-cost
+    operating point, minus small-scale noise margin."""
+    from lsh_ray.stages.similarity import knn_brute_force, knn_ivf
+    n, dim = 20_000, 64
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((256, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, 256, size=n)
+    pts = (centers[assign]
+           + 0.18 * rng.standard_normal((n, dim))).astype(np.float32)
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(pts.reshape(-1), type=pa.float32()), dim)}))
+    ids = np.arange(0, n, n // 25, dtype=np.int64)[:25]
+    q = pts[ids].astype(np.float64)
+    bf = knn_brute_force(emb, q, ids, k=10).to_pandas()
+    iv = knn_ivf(emb, q, ids, k=10, n_cells=64, nprobe=16).to_pandas()
+    recalls = []
+    for qid in ids:
+        truth = set(bf[bf.query_id == qid].neighbor_id)
+        got = set(iv[iv.query_id == qid].neighbor_id)
+        recalls.append(len(truth & got) / len(truth))
+    assert np.mean(recalls) >= 0.85, np.mean(recalls)
+
+
 def test_ivf_centroids_deterministic_and_unit_norm():
     from lsh_ray.stages.similarity import train_ivf_centroids
     rng = np.random.default_rng(9)
