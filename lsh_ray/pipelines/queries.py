@@ -1116,6 +1116,22 @@ def q_dup_ngram_stats(sf_dir: str):
     return dup_ngram_stats(_docs_text(sf_dir), n=5)
 
 
+def q_decontamination(sf_dir: str):
+    """Benchmark decontamination (GPT-3 appendix-C-style n-gram
+    overlap): a deterministic md5-bucket 7.8% of the documents stands
+    in for a held-out eval set; every remaining corpus doc reports how
+    many of its 5-gram occurrences appear anywhere in that benchmark.
+    Benchmark grams reduce to a distinct key set (one tasks-mode
+    exchange) and broadcast ONCE via ray.put (bucket_join above the
+    cap); the oracle recomputes the split exactly from
+    md5(CAST(doc_id AS VARCHAR))."""
+    from lsh_ray.stages.repetition import decontaminate
+    from lsh_ray.stages.sampling import hash_sample
+    docs = _docs_text(sf_dir)
+    return decontaminate(hash_sample(docs, "14", complement=True),
+                         hash_sample(docs, "14"), n=5)
+
+
 QUERIES = {
     "text_search": q_text_search,
     "text_search_ls": q_text_search_ls,
@@ -1159,6 +1175,7 @@ QUERIES = {
     "doc_hash_sample": q_doc_hash_sample,
     "doc_repetition": q_doc_repetition,
     "dup_ngram_stats": q_dup_ngram_stats,
+    "decontamination": q_decontamination,
     "near_dedup_keep": q_near_dedup_keep,
     "top_tokens": q_top_tokens,
     "doc_length_quantiles": q_doc_length_quantiles,
@@ -1696,4 +1713,29 @@ ORACLE_SQL = {
         "CAST(COALESCE(nd.n_dup, 0) AS BIGINT) AS n_dup_grams, "
         "ROUND(COALESCE(nd.n_dup, 0) * 1.0 / GREATEST(ng.n_grams, 1), 6) "
         "AS dup_gram_frac FROM ng LEFT JOIN nd USING (doc_id)"),
+    # benchmark decontamination: the md5-bucket < '14' docs are the
+    # held-out eval set; a corpus gram occurrence is 'dirty' iff its
+    # gram appears anywhere in the benchmark (same tokenizer + gram
+    # definition as dup_ngram_stats)
+    "decontamination": (
+        "WITH raw AS (SELECT doc_id, "
+        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '14' AS is_bench, "
+        "regexp_extract_all("
+        f"lower(COALESCE(text, '')), '{_TOKEN_RUN}') AS ts "
+        "FROM documents), "
+        "grams AS (SELECT doc_id, is_bench, unnest([array_to_string("
+        "list_slice(ts, i, i + 4), ' ') "
+        "FOR i IN generate_series(1, len(ts) - 4)]) AS gram "
+        "FROM raw WHERE len(ts) >= 5), "
+        "pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams "
+        "WHERE NOT is_bench GROUP BY doc_id, gram), "
+        "bg AS (SELECT DISTINCT gram FROM grams WHERE is_bench), "
+        "nd AS (SELECT doc_id, SUM(c) AS n_dirty FROM pg "
+        "JOIN bg USING (gram) GROUP BY doc_id), "
+        "ng AS (SELECT doc_id, GREATEST(len(ts) - 4, 0) AS n_grams "
+        "FROM raw WHERE NOT is_bench) "
+        "SELECT ng.doc_id, CAST(ng.n_grams AS BIGINT) AS n_grams, "
+        "CAST(COALESCE(nd.n_dirty, 0) AS BIGINT) AS n_dirty_grams, "
+        "ROUND(COALESCE(nd.n_dirty, 0) * 1.0 / GREATEST(ng.n_grams, 1), "
+        "6) AS dirty_gram_frac FROM ng LEFT JOIN nd USING (doc_id)"),
 }

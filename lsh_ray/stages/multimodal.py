@@ -423,10 +423,10 @@ class BinaryDecodeStage:
 
     Compression wrappers (gzip/zlib/xz/bz2) are stripped by magic bytes
     first (stdlib — ``_decompress_payload``); JPEG / PNG / BMP /
-    PCM-WAV / MPEG-1-Layer-I / BMPV payloads then decode for real via
-    the numpy codecs. The remaining boundary is MPEG Layer II/III
-    inside ``mpeg_audio`` (ISO tables not reproducible) — a heavier
-    codec library would load once per actor in ``__init__``.
+    PCM-WAV / MPEG-1-Layer-I / SMF-MIDI / BMPV payloads then decode for
+    real via the numpy codecs. The remaining boundary is MPEG Layer
+    II/III inside ``mpeg_audio`` (ISO tables not reproducible) — a
+    heavier codec library would load once per actor in ``__init__``.
     """
 
     FEATURE_DIM = 16
@@ -457,11 +457,16 @@ class BinaryDecodeStage:
                 # the precise missing standard table — see mpeg_audio)
                 from lsh_ray.stages.mpeg_audio import decode_mpeg1
                 return audio_features(*decode_mpeg1(payload))
+            if payload[:4] == b"MThd":
+                # Standard MIDI File: structured score parse (the
+                # reference's song loader, loader.py:85-126)
+                from lsh_ray.stages.midi import midi_features, parse_midi
+                return midi_features(*parse_midi(payload))
             raise NotImplementedError(
                 "unrecognized payload format; gzip/zlib/xz/bz2 wrappers "
                 "and JPEG / PNG / BMP / PCM WAV / MPEG-1 Layer I audio "
-                "/ BMPV payloads decode natively, or construct with "
-                "use_fake_decoder=True for the stand-in")
+                "/ SMF MIDI / BMPV payloads decode natively, or construct "
+                "with use_fake_decoder=True for the stand-in")
         # deterministic fake: md5-seeded byte statistics as "features"
         digest = hashlib.md5(payload).digest()
         base = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)

@@ -165,7 +165,132 @@ def ngram_counts(ds, n: int = 5):
         f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def dup_ngram_stats(ds, n: int = 5, round_to: int = 6):
+_BROADCAST_MAX_KEYS = 4_000_000  # ~32 MB of int64 via ray.put
+
+
+def _tag_rows_against_keys(rows, keys_ds,
+                           broadcast_max_keys: int = _BROADCAST_MAX_KEYS):
+    """Distinct (gram_h, doc_id, c) partials × a key Dataset
+    (gram_h, dup) -> the contribution stream (doc_id, n_grams=0, nd=c)
+    for rows whose gram is in the key set.
+
+    Small key sets broadcast ONCE via ``ray.put`` (sorted int64 array;
+    vectorized searchsorted membership per batch); above the cap the
+    membership becomes a ``bucket_join`` — the 10^12-doc path. Shared
+    by ``dup_ngram_stats`` (cross-doc dup keys) and ``decontaminate``
+    (benchmark gram keys).
+    """
+    import ray
+
+    if keys_ds.count() <= broadcast_max_keys:
+        keys_sorted = np.sort(np.concatenate(
+            [b["gram_h"].to_numpy(zero_copy_only=False)
+             for b in keys_ds.iter_batches(batch_format="pyarrow")]
+            or [np.empty(0, np.int64)]))
+        keys_ref = ray.put(keys_sorted)
+
+        def tag_broadcast(t: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            gh = t["gram_h"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ks, gh)
+            pos[pos == len(ks)] = max(len(ks) - 1, 0)
+            matched = (ks[pos] == gh) if len(ks) else np.zeros(
+                len(gh), dtype=bool)
+            # only flagged rows cross the final exchange (other rows
+            # contribute nothing; coverage comes from the zeros stream)
+            kept = t.filter(pa.array(matched))
+            return pa.table({"doc_id": kept["doc_id"],
+                             "n_grams": pa.array(
+                                 np.zeros(kept.num_rows, dtype=np.int64)),
+                             "nd": kept["c"]})
+
+        return rows.map_batches(tag_broadcast, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    tagged = bucket_join(rows, keys_ds, "gram_h", "gram_h", ["dup"],
+                         suffix="_r", how="left")
+
+    def tag_joined(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        kept = t.filter(pc.is_valid(t["dup_r"]))
+        return pa.table({"doc_id": kept["doc_id"],
+                         "n_grams": pa.array(
+                             np.zeros(kept.num_rows, dtype=np.int64)),
+                         "nd": kept["c"]})
+
+    return tagged.map_batches(tag_joined, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def _per_doc_gram_totals(ds, rows, contrib, count_name: str,
+                         frac_name: str, round_to: int):
+    """Union the per-doc gram-count stream (from the pinned partials —
+    no extra corpus scan), the zero rows (gram-less docs), and the
+    flagged-contribution stream, then reduce ONCE per doc via a
+    tasks-mode exchange (every stream is per-batch pre-reduced, so the
+    exchange ships doc-cardinality partials, not grams)."""
+    from lsh_ray.config import coalesce_blocks
+    from lsh_ray.stages.exchange import colocate_map
+
+    nblocks = coalesce_blocks()
+
+    def ng_partial(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(d, return_inverse=True)
+        ng = np.bincount(inv, weights=c).astype(np.int64)
+        return pa.table({"doc_id": pa.array(uniq),
+                         "n_grams": pa.array(ng),
+                         "nd": pa.array(np.zeros(len(uniq),
+                                                 dtype=np.int64))})
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        return pa.table({"doc_id": t["doc_id"], "n_grams": z, "nd": z})
+
+    gram_totals = rows.map_batches(ng_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    zeros = ds.select_columns(["doc_id"]).map_batches(
+        zero_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def doc_sum_block(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(d, return_inverse=True)
+        ng = np.bincount(
+            inv, weights=t["n_grams"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        nd = np.bincount(
+            inv, weights=t["nd"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table({"doc_id": pa.array(uniq),
+                         "ng": pa.array(ng), "n_dup": pa.array(nd)})
+
+    def doc_bucket(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("bucket", pa.array(
+            (d % np.uint64(nblocks)).astype(np.int32)))
+
+    per_doc = colocate_map(zeros.union(gram_totals).union(contrib),
+                           ["doc_id"], nblocks, doc_sum_block,
+                           sort_bucket_expr=doc_bucket)
+
+    def finish(t: pa.Table) -> pa.Table:
+        ng = t["ng"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ndv = t["n_dup"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_grams": pa.array(ng),
+            count_name: pa.array(ndv),
+            frac_name: pa.array(round_half_away(
+                ndv / np.maximum(ng, 1), round_to)),
+        })
+
+    return per_doc.map_batches(finish, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def dup_ngram_stats(ds, n: int = 5, round_to: int = 6,
+                    broadcast_max_keys: int = _BROADCAST_MAX_KEYS):
     """documents -> (doc_id, n_grams, n_dup_grams, dup_gram_frac).
 
     ``n_dup_grams`` counts this document's n-gram occurrences whose gram
@@ -179,8 +304,6 @@ def dup_ngram_stats(ds, n: int = 5, round_to: int = 6):
     above it — the 10^12-doc path) -> per-doc totals in ONE groupby over
     the union of the gram-count and dup-count streams.
     """
-    import ray
-
     from lsh_ray.config import coalesce_blocks
     from lsh_ray.stages.exchange import colocate_map
 
@@ -233,103 +356,67 @@ def dup_ngram_stats(ds, n: int = 5, round_to: int = 6):
     dup_keys = colocate_map(mm, ["gram_h"], nblocks, dup_block,
                             sort_bucket_expr=gram_bucket).materialize()
 
-    broadcast_max_keys = 4_000_000  # ~32 MB of int64 via ray.put
-    if dup_keys.count() <= broadcast_max_keys:
-        keys_sorted = np.sort(np.concatenate(
-            [b["gram_h"].to_numpy(zero_copy_only=False)
-             for b in dup_keys.iter_batches(batch_format="pyarrow")]
-            or [np.empty(0, np.int64)]))
-        keys_ref = ray.put(keys_sorted)
+    # dup keys flag the partials, per-doc totals reduce once — both
+    # shared with ``decontaminate`` (the totals come from the PINNED
+    # partials: no third read+tokenize pass over the corpus)
+    contrib = _tag_rows_against_keys(rows, dup_keys, broadcast_max_keys)
+    return _per_doc_gram_totals(ds, rows, contrib,
+                                "n_dup_grams", "dup_gram_frac", round_to)
 
-        def tag_broadcast(t: pa.Table) -> pa.Table:
-            ks = ray.get(keys_ref)
-            gh = t["gram_h"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(ks, gh)
-            pos[pos == len(ks)] = max(len(ks) - 1, 0)
-            matched = (ks[pos] == gh) if len(ks) else np.zeros(
-                len(gh), dtype=bool)
-            # only dup rows cross the final exchange (non-dup rows
-            # contribute nothing; coverage comes from the zeros stream)
-            kept = t.filter(pa.array(matched))
-            return pa.table({"doc_id": kept["doc_id"],
-                             "n_grams": pa.array(
-                                 np.zeros(kept.num_rows, dtype=np.int64)),
-                             "nd": kept["c"]})
 
-        contrib = rows.map_batches(tag_broadcast, batch_format="pyarrow",
-                                   zero_copy_batch=True)
-    else:
-        tagged = bucket_join(rows, dup_keys, "gram_h", "gram_h", ["dup"],
-                             suffix="_r", how="left")
+def decontaminate(corpus_ds, benchmark_ds, n: int = 5, round_to: int = 6,
+                  broadcast_max_keys: int = _BROADCAST_MAX_KEYS):
+    """corpus documents × benchmark documents ->
+    (doc_id, n_grams, n_dirty_grams, dirty_gram_frac) per CORPUS doc.
 
-        def tag_joined(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            kept = t.filter(pc.is_valid(t["dup_r"]))
-            return pa.table({"doc_id": kept["doc_id"],
-                             "n_grams": pa.array(
-                                 np.zeros(kept.num_rows, dtype=np.int64)),
-                             "nd": kept["c"]})
+    Benchmark decontamination — the training-data hygiene step that
+    flags corpus documents sharing token n-grams with a held-out
+    evaluation set, so they can be dropped before training (the
+    n-gram-overlap rule published with GPT-3 appendix C / PaLM:
+    13-grams at paper scale; ``n`` is a parameter here because the
+    right n tracks document length). ``n_dirty_grams`` counts this
+    document's n-gram OCCURRENCES whose gram appears anywhere in the
+    benchmark — same counting semantics, tokenizer and gram hashing as
+    ``dup_ngram_stats``, so the DuckDB oracle shares one token/gram
+    definition with the whole text family.
 
-        contrib = tagged.map_batches(tag_joined, batch_format="pyarrow",
-                                     zero_copy_batch=True)
+    Plan: the benchmark side — small by definition (eval suites are
+    10^4-10^6 grams vs 10^12 corpus docs) — reduces to a DISTINCT
+    gram-key set via per-batch uniques + one tasks-mode exchange;
+    corpus tagging and per-doc totals then reuse the dup_ngram
+    machinery (keys broadcast ONCE via ``ray.put`` under the cap,
+    ``bucket_join`` membership above it; totals from the pinned
+    distinct-(doc, gram) partials, one exchange of doc-cardinality
+    partial sums).
+    """
+    from lsh_ray.config import coalesce_blocks
+    from lsh_ray.stages.exchange import colocate_map
 
-    # per-doc gram totals come from the PINNED partials (sum of c per
-    # doc — each gram occurrence is in exactly one (doc, gram) row), so
-    # no third read+tokenize pass over the corpus; a doc_id-only
-    # column read supplies the gram-less docs as zero rows.
-    def ng_partial(t: pa.Table) -> pa.Table:
-        d = t["doc_id"].to_numpy(zero_copy_only=False)
-        c = t["c"].to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(d, return_inverse=True)
-        ng = np.bincount(inv, weights=c).astype(np.int64)
-        return pa.table({"doc_id": pa.array(uniq),
-                         "n_grams": pa.array(ng),
-                         "nd": pa.array(np.zeros(len(uniq),
-                                                 dtype=np.int64))})
+    rows = doc_gram_rows(corpus_ds, n).materialize()
+    nblocks = coalesce_blocks()
 
-    def zero_rows(t: pa.Table) -> pa.Table:
-        z = pa.array(np.zeros(t.num_rows, dtype=np.int64))
-        return pa.table({"doc_id": t["doc_id"], "n_grams": z, "nd": z})
+    def bench_partial(t: pa.Table) -> pa.Table:
+        gh = np.unique(t["gram_h"].to_numpy(zero_copy_only=False))
+        return pa.table({"gram_h": pa.array(gh)})
 
-    gram_totals = rows.map_batches(ng_partial, batch_format="pyarrow",
-                                   zero_copy_batch=True)
-    zeros = ds.select_columns(["doc_id"]).map_batches(
-        zero_rows, batch_format="pyarrow", zero_copy_batch=True)
+    def bench_distinct_block(t: pa.Table) -> pa.Table:
+        gh = np.unique(t["gram_h"].to_numpy(zero_copy_only=False))
+        # the marker column _tag_rows_against_keys's join path selects
+        return pa.table({"gram_h": pa.array(gh),
+                         "dup": pa.array(np.ones(len(gh), dtype=np.int8))})
 
-    # per-doc totals: same native-groupby -> tasks-exchange swap as the
-    # flag pass (the union streams are already per-batch pre-reduced,
-    # so the exchange ships doc-cardinality partials, not grams)
-    def doc_sum_block(t: pa.Table) -> pa.Table:
-        d = t["doc_id"].to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(d, return_inverse=True)
-        ng = np.bincount(
-            inv, weights=t["n_grams"].to_numpy(zero_copy_only=False)
-        ).astype(np.int64)
-        nd = np.bincount(
-            inv, weights=t["nd"].to_numpy(zero_copy_only=False)
-        ).astype(np.int64)
-        return pa.table({"doc_id": pa.array(uniq),
-                         "ng": pa.array(ng), "n_dup": pa.array(nd)})
-
-    def doc_bucket(t: pa.Table) -> pa.Table:
-        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    def gram_bucket(t: pa.Table) -> pa.Table:
+        gh = t["gram_h"].to_numpy(zero_copy_only=False).astype(np.uint64)
         return t.append_column("bucket", pa.array(
-            (d % np.uint64(nblocks)).astype(np.int32)))
+            (gh % np.uint64(nblocks)).astype(np.int32)))
 
-    per_doc = colocate_map(zeros.union(gram_totals).union(contrib),
-                           ["doc_id"], nblocks, doc_sum_block,
-                           sort_bucket_expr=doc_bucket)
+    bench = doc_gram_rows(benchmark_ds, n).map_batches(
+        bench_partial, batch_format="pyarrow", zero_copy_batch=True)
+    bench_keys = colocate_map(bench, ["gram_h"], nblocks,
+                              bench_distinct_block,
+                              sort_bucket_expr=gram_bucket).materialize()
 
-    def finish(t: pa.Table) -> pa.Table:
-        ng = t["ng"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ndv = t["n_dup"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({
-            "doc_id": t["doc_id"],
-            "n_grams": pa.array(ng),
-            "n_dup_grams": pa.array(ndv),
-            "dup_gram_frac": pa.array(round_half_away(
-                ndv / np.maximum(ng, 1), round_to)),
-        })
-
-    return per_doc.map_batches(finish, batch_format="pyarrow",
-                               zero_copy_batch=True)
+    contrib = _tag_rows_against_keys(rows, bench_keys, broadcast_max_keys)
+    return _per_doc_gram_totals(corpus_ds, rows, contrib,
+                                "n_dirty_grams", "dirty_gram_frac",
+                                round_to)

@@ -54,11 +54,14 @@ def assign_split(ds, key_col: str = "doc_id"):
         fn_kwargs={"key_col": key_col})
 
 
-def hash_sample(ds, rate_bucket_hex: str, key_col: str = "doc_id"):
+def hash_sample(ds, rate_bucket_hex: str, key_col: str = "doc_id",
+                complement: bool = False):
     """Keep rows whose md5 bucket < ``rate_bucket_hex`` (two hex chars).
 
     A deterministic subsample: '0d' keeps 13/256 ≈ 5.1%, '80' keeps
     exactly 50%. Same key ⇒ same decision on every run and every node.
+    ``complement=True`` keeps the OTHER side (bucket >= hex) — the two
+    calls partition the input exactly (held-out benchmark vs corpus).
     """
     if len(rate_bucket_hex) != 2:
         raise ValueError("rate_bucket_hex must be two hex chars "
@@ -66,7 +69,8 @@ def hash_sample(ds, rate_bucket_hex: str, key_col: str = "doc_id"):
 
     def _filter(batch: pa.Table) -> pa.Table:
         b = _key_buckets(batch[key_col].to_pylist())
-        return batch.filter(pa.array(b < rate_bucket_hex))
+        keep = b >= rate_bucket_hex if complement else b < rate_bucket_hex
+        return batch.filter(pa.array(keep))
 
     return ds.map_batches(_filter, batch_format="pyarrow")
 

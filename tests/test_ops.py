@@ -847,6 +847,60 @@ def test_dup_ngram_stats_cross_doc_only(rd):
     assert out.dup_gram_frac.tolist() == [0.5, 0.5, 0.0, 0.0]
 
 
+def test_decontaminate_known_values(rd):
+    from lsh_ray.stages.repetition import decontaminate
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array([100], type=pa.int64()),
+        "text": ["x y z w"],  # bench bigrams: (x y)(y z)(z w)
+    }))
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        # doc1: (x y)(y q) -> 1 dirty occurrence; doc2: (x y)(x y -> via
+        # 'x y x y': grams (x y)(y x)(x y)) -> 2 dirty of 3; doc3 clean;
+        # doc4 too short for any bigram.
+        "text": ["x y q", "x y x y", "r s", "solo"],
+    }))
+    out = decontaminate(corpus, bench, n=2).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert out.doc_id.tolist() == [1, 2, 3, 4]
+    assert out.n_grams.tolist() == [2, 3, 1, 0]
+    assert out.n_dirty_grams.tolist() == [1, 2, 0, 0]
+    assert out.dirty_gram_frac.tolist() == [0.5, 0.666667, 0.0, 0.0]
+
+
+def test_decontaminate_join_path_matches_broadcast(rd):
+    """broadcast_max_keys=0 forces the bucket_join membership plan
+    (the 10^12-doc path); results must equal the broadcast plan."""
+    import pyarrow.compute as pc
+
+    from lsh_ray.fixtures import generate_corpus
+    from lsh_ray.stages.repetition import decontaminate
+    from lsh_ray.stages.sampling import hash_sample
+    t = generate_corpus(200, seed=11)["documents"]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(t.num_rows), type=pa.int64()),
+        "text": pc.coalesce(t["text"], pa.scalar("")),
+    }))
+    corpus, bench = (hash_sample(docs, "20", complement=True),
+                     hash_sample(docs, "20"))
+    fast = decontaminate(corpus, bench, n=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    slow = decontaminate(corpus, bench, n=3, broadcast_max_keys=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert fast.equals(slow)
+    assert (fast.n_dirty_grams > 0).any()  # the fixture plants overlap
+
+
+def test_hash_sample_complement_partitions(rd):
+    from lsh_ray.stages.sampling import hash_sample
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(100), type=pa.int64())}))
+    a = hash_sample(ds, "40").to_pandas().doc_id
+    b = hash_sample(ds, "40", complement=True).to_pandas().doc_id
+    assert len(a) + len(b) == 100 and not set(a) & set(b)
+    assert len(a) > 0 and len(b) > 0
+
+
 def test_exact_quantiles_known_ranks(rd):
     from lsh_ray.stages.sampling import exact_quantiles
     ds = rd.from_arrow(pa.table({
