@@ -10,6 +10,9 @@ Usage:
     python -m lsh_ray.cli exact|simhash|ngram --input DIR --output DIR ...
     python -m lsh_ray.cli knn --input embeddings.parquet --output DIR
         [--k 10] [--queries 5]
+    python -m lsh_ray.cli curate --input DIR --output DIR
+        [--benchmark PARQUET] [--min-tokens 10] [--max-top-token-frac 0.5]
+        [--ngram-n 5] [--max-dirty-frac 0.0]
     python -m lsh_ray.cli gen-corpus --output DIR --docs 50000 [--seed 42]
 
 Owns its Ray session (guarded init), per the driver contract: library code
@@ -137,6 +140,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--queries", type=int, default=5,
                    help="use the first N vec_ids as query vectors")
+    _add_config_flags(p)
+
+    p = sub.add_parser("curate", help="end-to-end training-data curation:"
+                       " quality filter -> near-dup dedup -> keep-list"
+                       " -> optional benchmark decontamination")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--benchmark", default=None,
+                   help="held-out eval-set parquet: survivors sharing "
+                        "n-grams with it beyond --max-dirty-frac are "
+                        "dropped")
+    p.add_argument("--min-tokens", type=int, default=10)
+    p.add_argument("--max-top-token-frac", type=float, default=0.5)
+    p.add_argument("--ngram-n", type=int, default=5)
+    p.add_argument("--max-dirty-frac", type=float, default=0.0)
     _add_config_flags(p)
 
     p = sub.add_parser("gen-corpus", help="deterministic synthetic corpus")
@@ -268,6 +287,26 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"output": args.output,
                               "rows": out.count(),
                               "wall_s": round(time.time() - t0, 2)}))
+            return 0
+        if args.cmd == "curate":
+            import os
+
+            from lsh_ray.pipelines.curate import run_curate
+            bench = (read_documents_for_dedup(args.benchmark)
+                     if args.benchmark else None)
+            cres = run_curate(
+                docs, cfg, benchmark_ds=bench,
+                min_tokens=args.min_tokens,
+                max_top_token_frac=args.max_top_token_frac,
+                ngram_n=args.ngram_n, max_dirty_frac=args.max_dirty_frac,
+                checkpoint_dir=args.checkpoint)
+            cres.cleaned.write_parquet(args.output + "/cleaned")
+            metrics = dict(cres.metrics)
+            metrics["wall_s"] = round(time.time() - t0, 2)
+            os.makedirs(args.output, exist_ok=True)
+            with open(os.path.join(args.output, "metrics.json"), "w") as f:
+                json.dump(metrics, f, indent=1)
+            print(json.dumps({"output": args.output, **metrics}))
             return 0
         if getattr(args, "base", None):
             from lsh_ray.pipelines.incremental import run_dedup_incremental

@@ -141,3 +141,53 @@ def test_midi_features_shape_and_empty():
     f = midi_features(np.array([60.0, 72.0]), np.array([0.0, 1.0]),
                       np.array([0.5, np.nan]))
     assert f[0] == 2 and f[1] == 1.0 and f[7] == 0.5  # nan fraction
+
+
+def test_midi_to_lsh_banding_end_to_end(ray_session):
+    """The reference's core use (song indexing / query-by-humming,
+    loader.py + lsh.py): MIDI files -> MidiParseStage -> NLSH shingles
+    -> MinHash -> LSH band keys. A melody and its lightly-mutated
+    variant must collide in at least one band; unrelated melodies must
+    not."""
+    import ray.data
+
+    from lsh_ray.functions.windows_ref import sequence_shingles
+    from lsh_ray.stages.banding import band_keys_from_minhash
+    from lsh_ray.stages.minhash import make_perm_params, minhash_of_values
+
+    rng = np.random.default_rng(7)
+
+    def melody(pitches):
+        return [(i * 240, 240, int(p), 80, 0) for i, p in enumerate(pitches)]
+
+    base = rng.integers(45, 75, size=200)
+    variant = base.copy()
+    variant[::40] += 1  # 5 sparse pitch mutations
+    others = [rng.integers(45, 75, size=200) for _ in range(4)]
+    payloads = [encode_smf([melody(p)])
+                for p in [base, variant] + others]
+
+    batch = pa.table({
+        "doc_id": pa.array([f"m{i}" for i in range(len(payloads))]),
+        "payload": pa.array(payloads, type=pa.binary()),
+    })
+    parsed = ray.data.from_arrow(batch).map_batches(
+        MidiParseStage, concurrency=1, batch_format="pyarrow",
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert parsed.ok.all()
+
+    shingle_sets = [sequence_shingles(np.asarray(v), scheme="nlsh")
+                    for v in parsed["values"]]
+    vals = np.concatenate(shingle_sets)
+    offs = np.concatenate(
+        ([0], np.cumsum([len(s) for s in shingle_sets]))).astype(np.int64)
+    a, b = make_perm_params(128, 42)
+    mh = minhash_of_values(vals, offs, a, b)
+    bands = band_keys_from_minhash(mh, bands=32, rows=4)
+
+    def collide(i, j):
+        return bool(len(np.intersect1d(bands[i], bands[j])))
+
+    assert collide(0, 1)  # base vs variant
+    for j in range(2, 6):
+        assert not collide(0, j) and not collide(1, j)
