@@ -37,12 +37,20 @@ def _add_ck_us(t: pa.Table, key_col: str, ts_col: str,
     The pack's injectivity domain is RUNTIME-CHECKED per batch: a key
     outside [0, 2^31) (e.g. a uint64 hash used as the key column) would
     silently alias distinct (key, bucket) groups, corrupting every
-    window result downstream. The check is two vectorized compares —
-    negligible next to the timestamp cast above it."""
+    window result downstream. Key dtypes that provably cannot leave the
+    domain skip the scans (small unsigned: both; int32: the upper
+    bound; unsigned: the negative bound); int64/uint64 keys pay the two
+    vectorized compares — cheap next to the timestamp cast above."""
     ts_us = _ts_us(t[ts_col])
     bucket = (ts_us // 1_000_000) // bucket_s + _CK_BOFF
     raw = t[key_col].to_numpy(zero_copy_only=False)
-    if raw.size and (raw.min() < 0 or raw.max() >= (1 << 31)):
+    dt = raw.dtype
+    fits_high = (dt in (np.uint8, np.uint16, np.int8, np.int16)
+                 or dt == np.int32)
+    unsigned = dt.kind == "u"
+    if raw.size and not (fits_high and unsigned) and (
+            (not unsigned and raw.min() < 0)
+            or (not fits_high and raw.max() >= (1 << 31))):
         raise ValueError(
             f"window key column {key_col!r} has values outside "
             f"[0, 2^31) (min={raw.min()}, max={raw.max()}); the "

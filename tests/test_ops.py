@@ -1061,6 +1061,28 @@ def test_window_ck_pack_rejects_out_of_domain_keys(rd):
         event_lag(rd.from_arrow(bad)).materialize()
     assert "2^31" in str(ei.value) or "alias" in str(ei.value)
 
+    # negative int32 keys violate the lower bound and must also raise
+    neg = tbl.set_column(
+        tbl.column_names.index("user_id"), "user_id",
+        pa.array((tbl["user_id"].to_numpy(zero_copy_only=False)
+                  .astype(np.int32) * np.int32(-1) - np.int32(1)),
+                 type=pa.int32()))
+    with pytest.raises(Exception) as ei2:
+        event_lag(rd.from_arrow(neg)).materialize()
+    assert "2^31" in str(ei2.value) or "alias" in str(ei2.value)
+
+    # dtype-safe keys (uint16: scan skipped entirely) work and match
+    # the int64 result
+    small = tbl.set_column(
+        tbl.column_names.index("user_id"), "user_id",
+        pa.array(tbl["user_id"].to_numpy(zero_copy_only=False)
+                 .astype(np.uint16), type=pa.uint16()))
+    a = event_lag(rd.from_arrow(small)).to_pandas() \
+        .sort_values(["user_id", "ts"]).reset_index(drop=True)
+    b = event_lag(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values(["user_id", "ts"]).reset_index(drop=True)
+    assert a.drop(columns=["user_id"]).equals(b.drop(columns=["user_id"]))
+
 
 def test_window_family_hot_key_scale(rd):
     """One bot user owning 300k events across thousands of hour
