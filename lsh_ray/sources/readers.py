@@ -172,6 +172,38 @@ def read_text_documents(paths: str | list[str]):
     return ds.map_batches(to_docs, batch_format="pyarrow")
 
 
+def read_binary_documents(paths: str | list[str]):
+    """Binary payload files (images / audio / MIDI scores / any crawl
+    blob) -> (doc_id, payload, mime) rows — the ingestion the
+    multimodal family (``BinaryDecodeStage``, ``MidiParseStage``)
+    consumes. Reference analog: the song-directory walk feeding its
+    loaders (``loader.py:37-52``, MIDI_SONGS_PATH listing).
+
+    ``doc_id = "file://{path}"`` (content location, stable across
+    re-runs); ``mime`` is a cheap extension guess — decode stages
+    dispatch on MAGIC BYTES, never on this hint."""
+    ds = ray.data.read_binary_files(paths, include_paths=True)
+    mime_by_ext = {"jpg": "image/jpeg", "jpeg": "image/jpeg",
+                   "png": "image/png", "bmp": "image/bmp",
+                   "wav": "audio/wav", "mp1": "audio/mpeg",
+                   "mp3": "audio/mpeg", "mid": "audio/midi",
+                   "midi": "audio/midi"}
+
+    def to_docs(t: pa.Table) -> pa.Table:
+        paths_l = t["path"].to_pylist()
+        return pa.table({
+            "doc_id": pa.array([f"file://{p}" for p in paths_l],
+                               type=pa.string()),
+            "payload": t["bytes"],
+            "mime": pa.array(
+                [mime_by_ext.get(p.rsplit(".", 1)[-1].lower(),
+                                 "application/octet-stream")
+                 for p in paths_l], type=pa.string()),
+        })
+    return ds.map_batches(to_docs, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def read_json_documents(paths: str | list[str],
                         url_field: str = "url",
                         text_field: str = "text"):
@@ -215,6 +247,7 @@ _FORMAT_READERS = {
     "text": read_text_documents,
     "json": read_json_documents,
     "csv": read_csv_documents,
+    "binary": read_binary_documents,
 }
 
 
@@ -225,7 +258,9 @@ def read_any(path: str | list[str], format: str | None = None, **kwargs):
         p = path[0] if isinstance(path, list) else path
         ext = p.rsplit(".", 1)[-1].lower()
         format = {"pq": "parquet", "jsonl": "json", "txt": "text",
-                  "tsv": "csv"}.get(ext, ext)
+                  "tsv": "csv", **{e: "binary" for e in (
+                      "mid", "midi", "png", "jpg", "jpeg", "bmp",
+                      "wav", "mp1", "mp3", "bin")}}.get(ext, ext)
     try:
         reader = _FORMAT_READERS[format]
     except KeyError:

@@ -124,3 +124,37 @@ def test_read_documents_for_dedup_heterogeneous_schemas(rd, tmp_path):
     rows = ds.take_all()
     assert len(rows) == 2
     assert {"url", "text"} <= set(rows[0].keys())
+
+
+def test_read_binary_documents_from_disk(ray_session, tmp_path):
+    """Directory of binary payload files -> (doc_id, payload, mime)
+    rows, straight into the multimodal parse stages (the reference's
+    song-directory ingestion, loader.py:37-52)."""
+    from lsh_ray.sources.readers import read_any, read_binary_documents
+    from lsh_ray.stages.midi import MidiParseStage, encode_smf
+
+    d = tmp_path / "songs"
+    d.mkdir()
+    for i in range(3):
+        notes = [(j * 240, 240, 50 + ((i * 7 + j) % 20), 80, 0)
+                 for j in range(30)]
+        (d / f"song{i}.mid").write_bytes(encode_smf([notes]))
+    (d / "junk.bin").write_bytes(b"not midi at all")
+
+    ds = read_binary_documents(str(d))
+    out = ds.map_batches(MidiParseStage, concurrency=1,
+                         batch_format="pyarrow").to_pandas()
+    assert len(out) == 4
+    assert out.ok.sum() == 3 and (~out.ok).sum() == 1
+    parsed = out[out.ok]
+    assert all(did.startswith("file://") and did.endswith(".mid")
+               for did in parsed.doc_id)
+    assert (parsed.n_notes == 30).all()
+    # mime is an extension hint only; dispatch happened on magic bytes
+    mimes = dict(zip(out.doc_id, ds.to_pandas().set_index(
+        "doc_id").loc[out.doc_id, "mime"]))
+    assert sum(m == "audio/midi" for m in mimes.values()) == 3
+
+    # read_any extension dispatch routes .mid to the binary reader
+    ds2 = read_any(str(d / "song0.mid"))
+    assert ds2.count() == 1 and "payload" in ds2.schema().names
