@@ -152,3 +152,89 @@ def test_join_bucket_unique_right_matches_pandas(lk, rk, how):
                    None if pd.isna(b) else int(b))
                   for a, b in zip(exp_df.lv, exp_df.rv)), key=nkey)
     assert got == exp, (how, lk, rk)
+
+
+# SMF notes: (onset_tick, dur_tick|None, pitch, velocity, channel)
+_notes = st.lists(
+    st.tuples(st.integers(0, 10_000),
+              st.one_of(st.none(), st.integers(0, 5_000)),
+              st.integers(0, 127), st.integers(1, 127),
+              st.integers(0, 15)),
+    min_size=0, max_size=30)
+_tempi = st.lists(st.tuples(st.integers(0, 8_000),
+                            st.integers(10_000, 2_000_000)),
+                  min_size=0, max_size=3)
+
+
+@settings(max_examples=80, deadline=None)
+@given(_notes, _tempi, st.booleans(), st.booleans())
+def test_smf_roundtrip_property(notes, tempi, running, vel0):
+    """encode_smf -> parse_midi recovers every note: pitches in stream
+    order, onset at the tempo-map time of its tick, duration = off - on
+    (NaN when dur is None), for any legal note set, tempo map and
+    encoding style (running status / velocity-0 offs).
+
+    Notes sharing a (pitch, channel) are deduplicated first: the SMF
+    byte stream cannot attribute an off among simultaneous same-pitch
+    ons — pairing is FIFO by convention, pinned separately by
+    test_midi.test_overlapping_same_pitch_fifo_pairing."""
+    from lsh_ray.stages.midi import encode_smf, parse_midi
+    seen: set = set()
+    notes = [nt for nt in notes
+             if (nt[2], nt[4]) not in seen
+             and not seen.add((nt[2], nt[4]))]
+    payload = encode_smf([notes], division=480, tempos=sorted(tempi),
+                         running_status=running,
+                         off_via_velocity0=vel0)
+    p, o, d = parse_midi(payload)
+    assert len(p) == len(notes)
+    # expected stream order: note-ons sorted by onset tick (encoder
+    # sorts events by (tick, on-before-off); equal-tick note-ons keep
+    # list order because the sort is stable)
+    expect = sorted(range(len(notes)), key=lambda i: notes[i][0])
+    assert p.tolist() == [float(notes[i][2]) for i in expect]
+    assert (np.diff(o) >= -1e-12).all()
+    tick = 0.5 / 480  # constant-tempo seconds per tick
+    for j, i in enumerate(expect):
+        if notes[i][1] is None:
+            assert np.isnan(d[j])
+        else:
+            assert d[j] >= -1e-12
+            if not tempi:  # constant tempo: exact tick math
+                np.testing.assert_allclose(d[j], notes[i][1] * tick)
+                np.testing.assert_allclose(o[j], notes[i][0] * tick)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.lists(st.integers(0, 6), min_size=0, max_size=12),
+                min_size=1, max_size=8),
+       st.lists(st.lists(st.integers(0, 6), min_size=0, max_size=12),
+                min_size=1, max_size=4),
+       st.integers(2, 3))
+def test_decontaminate_gram_math_property(corpus_tokens, bench_tokens, n):
+    """Pure-python recompute of the decontamination counts: for random
+    tiny corpora, n_dirty_grams per doc == the number of its n-gram
+    OCCURRENCES whose gram appears anywhere in the benchmark."""
+    from lsh_ray.stages.repetition import _gram_tables
+
+    def grams(tokens):
+        return [" ".join(map(str, tokens[i:i + n]))
+                for i in range(len(tokens) - n + 1)]
+
+    bench_set = {g for ts in bench_tokens for g in grams(ts)}
+    texts = [" ".join(map(str, ts)) for ts in corpus_tokens]
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts)})
+    doc_ids, _, gram_h, parents = _gram_tables(batch, n)
+    # hash the benchmark gram strings with the same kernel
+    from lsh_ray.functions.hashing import hash_strings
+    bh = set(hash_strings(np.array(sorted(bench_set), dtype=object))
+             .tolist()) if bench_set else set()
+    got = np.zeros(len(texts), dtype=int)
+    for g, par in zip(gram_h.tolist(), parents.tolist()):
+        if g in bh:
+            got[par] += 1
+    expect = [sum(g in bench_set for g in grams(ts))
+              for ts in corpus_tokens]
+    assert got.tolist() == expect
