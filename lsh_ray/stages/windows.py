@@ -465,28 +465,32 @@ def event_seq(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
         ck, cnt = np.unique(t["ck"].to_numpy(zero_copy_only=False),
                             return_counts=True)
         return pa.table({"ck": pa.array(ck),
-                         "cnt": pa.array(cnt.astype(np.int64))})
+                         "cnt": pa.array(cnt.astype(np.int64)),
+                         "k": pa.array(ck // _SHIFT)})
 
-    counts = (ev.map_batches(count_partial, batch_format="pyarrow",
-                             zero_copy_batch=True)
-              .groupby("ck").aggregate(Sum("cnt", alias_name="n"))
-              .map_batches(lambda t: t.append_column(
-                  "k", pa.array(t["ck"].to_numpy(zero_copy_only=False)
-                                // _SHIFT)),
-                  batch_format="pyarrow", zero_copy_batch=True))
+    # per-batch partial counts go straight to the co-located boundary
+    # block: the cross-block Sum finishes there (the former standalone
+    # groupby("ck").aggregate(Sum) paid the native sort-groupby's
+    # sample/sort barrier; same fusion as event_lag's boundary pass)
+    counts = ev.map_batches(count_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
     def offsets_block(g: pa.Table) -> pa.Table:
         # all keys of one co-located block at once: sorting by ck is
         # key-contiguous with buckets ascending inside each key, so
         # per-key exclusive prefix sums are one cumsum minus each
-        # key's base
+        # key's base. Duplicate cks (one partial per source batch)
+        # Sum-collapse via a segment reduce first.
         if g.num_rows == 0:
             z = pa.array([], pa.int64())
             return pa.table({"ck": z, "offset": z})
         ck = g["ck"].to_numpy(zero_copy_only=False)
-        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = g["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(ck)
         ck_s, n_s = ck[order], n[order]
+        firsts = _seg_starts(ck_s)
+        n_s = np.add.reduceat(n_s, firsts)
+        ck_s = ck_s[firsts]
         starts = _seg_starts(ck_s // _SHIFT)
         cum = np.cumsum(n_s) - n_s
         lens = np.diff(np.concatenate((starts, [len(ck_s)])))
@@ -597,22 +601,21 @@ def event_lag(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
             keep = np.concatenate(([True], ck_s[1:] != ck_s[:-1]))
         else:
             keep = np.concatenate((ck_s[1:] != ck_s[:-1], [True]))
-        return pa.table({"ck": pa.array(ck_s[keep]),
-                         "last_us": pa.array(ts_s[keep])})
+        ck_k = ck_s[keep]
+        return pa.table({"ck": pa.array(ck_k),
+                         "last_us": pa.array(ts_s[keep]),
+                         "k": pa.array(ck_k // _CK_SHIFT)})
 
-    # grouped Max/Min FIRST: it reduces the blocks x buckets candidate
-    # rows to bucket cardinality BEFORE any per-key group forms, so a
-    # hot key spread over many blocks cannot concentrate one candidate
-    # row per (block, bucket) into a single map_groups task
-    from ray.data.aggregate import Min
-    agg = (Min if lead else Max)("last_us", alias_name="last_us")
-    lasts = (ev.map_batches(last_partial, batch_format="pyarrow",
-                            zero_copy_batch=True)
-             .groupby("ck").aggregate(agg)
-             .map_batches(lambda t: t.append_column(
-                 "k", pa.array(t["ck"].to_numpy(zero_copy_only=False)
-                               // _CK_SHIFT)),
-                 batch_format="pyarrow", zero_copy_batch=True))
+    # the cross-block Min/Max over per-batch partials finishes INSIDE
+    # the co-located boundary block below — the former standalone
+    # groupby("ck").aggregate(Min/Max) computed the same thing but paid
+    # the native sort-groupby's sample/sort barrier (the dup_ngram
+    # lesson: ~1-3 s of fixed floor per native groupby at sf0.1).
+    # Hot-key safety is unchanged: the colocated block receives
+    # per-(batch, bucket) partials — at most blocks x buckets rows per
+    # key, never O(events) — and reduces them vectorized.
+    lasts = ev.map_batches(last_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
     def prev_block(g: pa.Table) -> pa.Table:
         # all keys of one co-located block at once: ck-sorted rows are
@@ -626,9 +629,19 @@ def event_lag(events_ds, bucket_s: int = 3600, key_col: str = "user_id",
                              "has_prev": pa.array([], pa.bool_())})
         ck_c = g["ck"].to_numpy(zero_copy_only=False)
         last_c = g["last_us"].to_numpy(zero_copy_only=False)
-        o = np.argsort(ck_c)
+        o = np.lexsort((last_c, ck_c))
         ck = ck_c[o]
         last = last_c[o]
+        # finish the cross-block reduction: duplicate cks (one partial
+        # per source batch) collapse to their Min (lead) / Max (lag) —
+        # the first / last element of each ck run after the lexsort
+        if len(ck):
+            if lead:
+                keep = np.concatenate(([True], ck[1:] != ck[:-1]))
+            else:
+                keep = np.concatenate((ck[1:] != ck[:-1], [True]))
+            ck = ck[keep]
+            last = last[keep]
         starts = _seg_starts(ck // _CK_SHIFT)
         is_first = np.zeros(len(ck), dtype=bool)
         is_first[starts] = True
