@@ -907,8 +907,6 @@ def q_top_revenue_orders(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as _pc
 
-    from ray.data.aggregate import Sum
-
     from lsh_ray.stages.join import bucket_join
 
     cutoff = np.datetime64("1998-06-01T00:00:00").astype(
@@ -955,26 +953,46 @@ def q_top_revenue_orders(sf_dir: str):
                         "l_shipdate"]) \
         .map_batches(li_partial, batch_format="pyarrow",
                      zero_copy_batch=True)
+    # the join co-locates every l_orderkey in one bucket, so the grouped
+    # Sum AND the per-bucket top-10 finish inside post_fn — the former
+    # groupby + sort + limit chain paid two native all-to-all barriers
+    # on an order-cardinality table. o_orderdate is functionally
+    # dependent on the order key (first occurrence per key).
+    def post(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "od_o": pa.array([], pa.int64()),
+                             "revenue": pa.array([], pa.float64())})
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        od = t["od_o"].to_numpy(zero_copy_only=False)
+        rev = t["rev"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ok, return_inverse=True)
+        revs = np.bincount(inv, weights=rev)
+        first = np.empty(len(uniq), dtype=np.int64)
+        first[inv[::-1]] = np.arange(len(ok) - 1, -1, -1)
+        order = np.lexsort((uniq, -revs))[:10]
+        return pa.table({"l_orderkey": pa.array(uniq[order]),
+                         "od_o": pa.array(od[first][order]),
+                         "revenue": pa.array(revs[order])})
+
     j = bucket_join(li, qual, "l_orderkey", "o_orderkey",
-                    ["od"], suffix="_o")
-    # o_orderdate is functionally dependent on the order key; grouping
-    # by the pair keeps it through the aggregate with no second join
-    top = (j.groupby(["l_orderkey", "od_o"])
-           .aggregate(Sum("rev", alias_name="revenue"))
-           .sort(["revenue", "l_orderkey"], descending=[True, False])
-           .limit(10))
+                    ["od"], suffix="_o", post_fn=post)
 
-    def finish(t: pa.Table) -> pa.Table:
-        from lsh_ray.functions.num import round_half_away
-        rev = t["revenue"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "o_orderkey": t["l_orderkey"],
-            "o_orderdate": t["od_o"].cast(pa.timestamp("us")),
-            "revenue": pa.array(round_half_away(rev, 2)),
-        })
-
-    return top.map_batches(finish, batch_format="pyarrow",
-                           zero_copy_batch=True)
+    # BOUNDED driver merge: <= 10 candidate rows per bucket survive
+    # post_fn, so the global top-10 is a tiny in-driver sort (the
+    # documented bounded-reducer pattern), not a distributed sort
+    from lsh_ray.functions.num import round_half_away
+    df = j.to_pandas()
+    df = df.sort_values(["revenue", "l_orderkey"],
+                        ascending=[False, True]).head(10)
+    return pa.table({
+        "o_orderkey": pa.array(df["l_orderkey"].to_numpy(),
+                               type=pa.int64()),
+        "o_orderdate": pa.array(df["od_o"].to_numpy(),
+                                type=pa.int64()).cast(pa.timestamp("us")),
+        "revenue": pa.array(round_half_away(
+            df["revenue"].to_numpy(), 2)),
+    })
 
 
 def q_user_event_pivot(sf_dir: str):
