@@ -138,24 +138,57 @@ def scored_token_rows(ds, round_to: int = 6):
     # N = docs with >= 1 token (same token definition as the explosion —
     # NOT "trim(text) <> ''", which diverges on e.g. tab-only docs)
     n_docs = ds.map_batches(count_tokenful, batch_format="pyarrow").sum("n")
-    dfs = token_df(rows)
-    joined = bucket_join(rows, dfs, "token", "token", ["df"],
-                         suffix="_r", num_buckets=64)
 
-    def score(t: pa.Table) -> pa.Table:
+    # ONE co-location by token replaces the former token_df native
+    # groupby + bucket_join on the same key (two all-to-all barriers):
+    # rows are distinct (doc, token), so each token's df is its run
+    # length inside the co-located block. Hot tokens ("the") gather
+    # n_docs rows in one block — vectorized run arithmetic, no per-group
+    # dispatch. (token_df stays as its own operator for q:token_df.)
+    from lsh_ray.config import coalesce_blocks
+    from lsh_ray.stages.exchange import colocate_map
+    nblocks = min(coalesce_blocks(), 64)
+
+    def score_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()),
+                "tf_count": pa.array([], pa.int64()),
+                "doc_len": pa.array([], pa.int64()),
+                "tfidf": pa.array([], pa.float64())})
+        import pyarrow.compute as pc
+        order = pc.sort_indices(t.select(["token"]),
+                                sort_keys=[("token", "ascending")])
+        t = t.take(order)
+        tok = t["token"]
+        n = t.num_rows
+        neq = pc.not_equal(tok.slice(1), tok.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False) if n > 1 else np.empty(0, bool)
+        firsts = np.flatnonzero(np.concatenate(([True], neq)))
+        lens = np.diff(np.concatenate((firsts, [n])))
+        df = np.repeat(lens, lens).astype(np.float64)
         tf = (t["tf_count"].to_numpy(zero_copy_only=False)
               / t["doc_len"].to_numpy(zero_copy_only=False))
-        idf = np.log2(n_docs / t["df_r"].to_numpy(zero_copy_only=False))
+        idf = np.log2(n_docs / df)
         return pa.table({
             "doc_id": t["doc_id"],
-            "token": t["token"],
+            "token": tok,
             "tf_count": t["tf_count"],
             "doc_len": t["doc_len"],
             "tfidf": pa.array(round_half_away(tf * idf, round_to),
                               type=pa.float64()),
         })
-    return joined.map_batches(score, batch_format="pyarrow",
-                              zero_copy_batch=True)
+
+    def tok_bucket(t: pa.Table) -> pa.Table:
+        from lsh_ray.functions.hashing import hash_strings
+        hv = hash_strings(t["token"].to_numpy(zero_copy_only=False)) \
+            % np.uint64(nblocks)
+        return t.append_column("bucket",
+                               pa.array(hv.astype(np.int32)))
+
+    return colocate_map(rows, ["token"], nblocks, score_block,
+                        sort_bucket_expr=tok_bucket)
 
 
 def tfidf(ds, config: PipelineConfig | None = None, round_to: int = 6):
