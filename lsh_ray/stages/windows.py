@@ -114,6 +114,48 @@ def add_window_bucket(ds, window_s: int = 3600, ts_col: str = "ts"):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _merge_uw_partials(partials):
+    """(user_id, window_start, n, vmax) per-batch partials -> final
+    (user_id, window_start, n_events, max_value) via ONE tasks-mode
+    co-location (Sum/Max finish vectorized inside the block — the
+    former native groupby over the partials paid the sort-groupby's
+    sample/sort barrier; same fusion as the boundary passes)."""
+    from lsh_ray.config import coalesce_blocks
+    from lsh_ray.stages.exchange import _key_hash_u64, colocate_map
+    nblocks = min(coalesce_blocks(), 64)
+
+    def merge_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"user_id": z, "window_start": z,
+                             "n_events": z,
+                             "max_value": pa.array([], pa.float64())})
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["window_start"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["vmax"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, u))
+        u, w, n, v = u[order], w[order], n[order], v[order]
+        new = np.concatenate(([True],
+                              (u[1:] != u[:-1]) | (w[1:] != w[:-1])))
+        firsts = np.flatnonzero(new)
+        return pa.table({
+            "user_id": pa.array(u[firsts]),
+            "window_start": pa.array(w[firsts]),
+            "n_events": pa.array(np.add.reduceat(n, firsts)),
+            "max_value": pa.array(np.maximum.reduceat(v, firsts)),
+        })
+
+    def uw_bucket(t: pa.Table) -> pa.Table:
+        h = _key_hash_u64(t, ["user_id", "window_start"]) \
+            % np.uint64(nblocks)
+        return t.append_column("bucket",
+                               pa.array(h.astype(np.int32)))
+
+    return colocate_map(partials, ["user_id", "window_start"], nblocks,
+                        merge_block, sort_bucket_expr=uw_bucket)
+
+
 def tumbling_window_counts(events_ds, window_s: int = 3600):
     """events -> (user_id, window_start, n_events, max_value).
 
@@ -134,11 +176,9 @@ def tumbling_window_counts(events_ds, window_s: int = 3600):
             "vmax": g["value_max"],
         })
 
-    return (with_bucket.map_batches(partial, batch_format="pyarrow",
-                                    zero_copy_batch=True)
-            .groupby(["user_id", "window_start"])
-            .aggregate(Sum("n", alias_name="n_events"),
-                       Max("vmax", alias_name="max_value")))
+    return _merge_uw_partials(
+        with_bucket.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True))
 
 
 def hopping_window_counts(events_ds, window_s: int = 3600,
@@ -187,12 +227,10 @@ def hopping_window_counts(events_ds, window_s: int = 3600,
             "vmax": pa.array(np.maximum.reduceat(vv, firsts)),
         })
 
-    return (events_ds.select_columns(["user_id", "ts", "value"])
-            .map_batches(partial, batch_format="pyarrow",
-                         zero_copy_batch=True)
-            .groupby(["user_id", "window_start"])
-            .aggregate(Sum("n", alias_name="n_events"),
-                       Max("vmax", alias_name="max_value")))
+    return _merge_uw_partials(
+        events_ds.select_columns(["user_id", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True))
 
 
 def _sessions_in_partition(u: np.ndarray, tb: np.ndarray, ts: np.ndarray,
