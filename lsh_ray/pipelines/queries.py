@@ -511,24 +511,24 @@ def q_lineitem_agg(sf_dir: str):
             "n": g["count_all"].cast(pa.int64()),
         })
 
-    out = (li.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True)
-           .groupby(["l_returnflag", "l_linestatus"])
-           .aggregate(Sum("q", alias_name="sum_qty"),
-                      Sum("p", alias_name="sum_price"),
-                      Sum("n", alias_name="n_rows")))
-
-    def round_batch(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "l_returnflag": t["l_returnflag"],
-            "l_linestatus": t["l_linestatus"],
-            "sum_qty": pa.array(round_half_away(
-                t["sum_qty"].to_numpy(zero_copy_only=False), 2)),
-            "sum_price": pa.array(round_half_away(
-                t["sum_price"].to_numpy(zero_copy_only=False), 2)),
-            "n_rows": t["n_rows"],
-        })
-    return out.map_batches(round_batch, batch_format="pyarrow")
+    # BOUNDED driver reduce: the key space is 6 combinations, so the
+    # partial stream is <= 6 rows per block — a native groupby here
+    # paid a full sort-shuffle barrier to merge a few hundred rows
+    parts = li.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    g = parts.groupby(["l_returnflag", "l_linestatus"],
+                      as_index=False).agg(
+        sum_qty=("q", "sum"), sum_price=("p", "sum"),
+        n_rows=("n", "sum"))
+    return pa.table({
+        "l_returnflag": pa.array(g["l_returnflag"], type=pa.string()),
+        "l_linestatus": pa.array(g["l_linestatus"], type=pa.string()),
+        "sum_qty": pa.array(round_half_away(
+            g["sum_qty"].to_numpy(), 2)),
+        "sum_price": pa.array(round_half_away(
+            g["sum_price"].to_numpy(), 2)),
+        "n_rows": pa.array(g["n_rows"].to_numpy(), type=pa.int64()),
+    })
 
 
 def q_customer_order_counts(sf_dir: str):
