@@ -46,11 +46,51 @@ def add_text_md5(ds, text_col: str = "text"):
 
 
 def exact_dup_groups(ds):
-    """documents -> (text_hash, n_docs, rep_doc_id) per distinct text."""
-    hashed = add_text_md5(ds.select_columns(["doc_id", "text"]))
-    return (hashed.groupby("text_hash")
-            .aggregate(Count(alias_name="n_docs"),
-                       Min("doc_id", alias_name="rep_doc_id")))
+    """documents -> (text_hash, n_docs, rep_doc_id) per distinct text.
+
+    One tasks-mode co-location by the content hash; Count/Min finish as
+    a vectorized run reduce inside the block (the former native groupby
+    paid the sort-groupby's sample/sort barrier for the same exchange
+    volume — content hashes are mostly unique, so there is nothing for
+    a combiner to pre-reduce)."""
+    from lsh_ray.config import coalesce_blocks
+    from lsh_ray.stages.exchange import _key_hash_u64, colocate_map
+
+    hashed = add_text_md5(ds.select_columns(["doc_id", "text"])) \
+        .select_columns(["doc_id", "text_hash"])
+    nblocks = min(coalesce_blocks(), 64)
+
+    def group_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "text_hash": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "rep_doc_id": pa.array(
+                    [], t.schema.field("doc_id").type)})
+        import pyarrow.compute as pc
+        order = pc.sort_indices(
+            t, sort_keys=[("text_hash", "ascending"),
+                          ("doc_id", "ascending")])
+        t = t.take(order)
+        th = t["text_hash"]
+        n = t.num_rows
+        neq = pc.not_equal(th.slice(1), th.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False) if n > 1 else np.empty(0, bool)
+        firsts = np.flatnonzero(np.concatenate(([True], neq)))
+        lens = np.diff(np.concatenate((firsts, [n])))
+        idx = pa.array(firsts, type=pa.int64())
+        return pa.table({
+            "text_hash": th.take(idx),
+            "n_docs": pa.array(lens.astype(np.int64)),
+            "rep_doc_id": t["doc_id"].take(idx),  # min = first after sort
+        })
+
+    def th_bucket(t: pa.Table) -> pa.Table:
+        h = _key_hash_u64(t, ["text_hash"]) % np.uint64(nblocks)
+        return t.append_column("bucket", pa.array(h.astype(np.int32)))
+
+    return colocate_map(hashed, ["text_hash"], nblocks, group_block,
+                        sort_bucket_expr=th_bucket)
 
 
 def exact_dedup(ds):
