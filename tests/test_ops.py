@@ -1169,3 +1169,44 @@ def test_bucket_join_left_with_empty_right(rd):
     assert len(out) == 50
     assert out.w_r.isna().all()
     assert out.v.tolist() == [i * 2 for i in range(50)]
+
+
+@pytest.mark.parametrize("mode", ["tasks", "sort", "hash"])
+def test_fused_reductions_mode_parity(rd, mode, monkeypatch):
+    """The round-5 barrier fusions (tfidf df-in-block, window merge,
+    exact-dup run reduce) must produce identical results under all
+    three exchange modes — the r4 sort-mode bucket leak is the failure
+    class this pins."""
+    monkeypatch.setenv("LSH_RAY_EXCHANGE", mode)
+    from lsh_ray.stages.dedup import exact_dup_groups
+    from lsh_ray.stages.tfidf import tfidf
+    from lsh_ray.stages.windows import tumbling_window_counts
+
+    docs = pa.table({
+        "doc_id": pa.array(range(6), type=pa.int64()),
+        "text": ["a b a", "b c", "a b a", "", "c c c", "d a"],
+    })
+    tf = tfidf(rd.from_arrow(docs)).to_pandas() \
+        .sort_values(["doc_id", "token"]).reset_index(drop=True)
+    assert len(tf) == 9  # distinct (doc, token) over token-ful docs
+    # df('a') = 3 docs of N=5 token-ful
+    row = tf[(tf.doc_id == 0) & (tf.token == "a")].iloc[0]
+    assert row.tfidf == round((2 / 3) * np.log2(5 / 3), 6)
+
+    g = exact_dup_groups(rd.from_arrow(docs)).to_pandas() \
+        .sort_values("text_hash").reset_index(drop=True)
+    assert len(g) == 5
+    assert g[g.n_docs == 2].rep_doc_id.tolist() == [0]
+
+    ev = _window_events(n=500, seed=8)
+    w = tumbling_window_counts(rd.from_arrow(ev)).to_pandas()
+    assert w.n_events.sum() == 500
+    pdf = ev.to_pandas()
+    pdf["ws"] = (pdf.ts.astype("int64") // 10**6) // 3600 * 3600
+    exp = pdf.groupby(["user_id", "ws"]).agg(
+        n=("value", "size"), m=("value", "max")).reset_index()
+    got = w.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    exp = exp.sort_values(["user_id", "ws"]).reset_index(drop=True)
+    assert got.n_events.tolist() == exp.n.tolist()
+    np.testing.assert_allclose(got.max_value.to_numpy(),
+                               exp.m.to_numpy())
