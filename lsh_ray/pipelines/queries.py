@@ -448,13 +448,56 @@ def q_events_asof(sf_dir: str):
     the distributed as-of join (``stages/asof.py``), DuckDB's native
     ASOF JOIN as the oracle. The view side is aggregated to one row per
     (user, ts) so the as-of winner is deterministic on both engines."""
-    from ray.data.aggregate import Max
+    import pyarrow as pa
 
+    from lsh_ray.config import coalesce_blocks
     from lsh_ray.stages.asof import asof_join
+    from lsh_ray.stages.exchange import colocate_map
+
     clicks = _events_typed(sf_dir, "click", ["event_id", "user_id", "ts"])
-    views = _events_typed(sf_dir, "view", ["user_id", "ts", "value"]) \
-        .groupby(["user_id", "ts"]).aggregate(
-            Max("value", alias_name="view_value"))
+
+    # (user, ts) -> Max(value) as per-batch partials + one user-keyed
+    # co-location (the former native groupby paid the sort-groupby
+    # barrier; the run reduce finishes vectorized in the block)
+    nblocks = min(coalesce_blocks(), 64)
+
+    def _vreduce(t: pa.Table, val_col: str, out_ts: bool) -> pa.Table:
+        ts_t = pa.timestamp("us")
+        if t.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "ts": pa.array([], ts_t if out_ts else pa.int64()),
+                "view_value": pa.array([], pa.float64())})
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = (t["ts"].cast(ts_t).cast(pa.int64())
+              .to_numpy(zero_copy_only=False)
+              if t.schema.field("ts").type != pa.int64()
+              else t["ts"].to_numpy(zero_copy_only=False))
+        v = t[val_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u, ts, v = u[order], ts[order], v[order]
+        new = np.concatenate(([True],
+                              (u[1:] != u[:-1]) | (ts[1:] != ts[:-1])))
+        firsts = np.flatnonzero(new)
+        ts_out = pa.array(ts[firsts])
+        if out_ts:
+            ts_out = ts_out.cast(ts_t)
+        return pa.table({"user_id": pa.array(u[firsts]),
+                         "ts": ts_out,
+                         "view_value": pa.array(
+                             np.maximum.reduceat(v, firsts))})
+
+    def u_bucket(t: pa.Table) -> pa.Table:
+        h = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("bucket", pa.array(
+            (h % np.uint64(nblocks)).astype(np.int32)))
+
+    vparts = _events_typed(sf_dir, "view", ["user_id", "ts", "value"]) \
+        .map_batches(lambda t: _vreduce(t, "value", False),
+                     batch_format="pyarrow", zero_copy_batch=True)
+    views = colocate_map(vparts, ["user_id"], nblocks,
+                         lambda t: _vreduce(t, "view_value", True),
+                         sort_bucket_expr=u_bucket)
     out = asof_join(clicks, views, "user_id", "user_id", "ts", "ts",
                     ["ts", "view_value"], suffix="_r", num_buckets=64,
                     num_blocks=8)
