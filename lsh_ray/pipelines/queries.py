@@ -302,6 +302,19 @@ def q_ngram_jaccard_dups(sf_dir: str):
         small, n=3, threshold=0.7, exact=True)
 
 
+def q_line_dedup(sf_dir: str):
+    """Global first-occurrence line-level exact dedup (the RefinedWeb /
+    MassiveText tier between exact-document and n-gram), reassembling
+    each doc from its surviving lines. The synthetic corpus has no
+    newline structure, so the "line" view is the deterministic
+    12-word segmentation of the whitespace stream — the oracle applies
+    the identical derivation (same documented-augmentation precedent as
+    q_embedding_near_dups). Non-vacuous: ~30% of lines dedup away and
+    some docs are absorbed entirely at every checked SF."""
+    from lsh_ray.stages.dedup import line_dedup
+    return line_dedup(_docs_text(sf_dir), words_per_line=12)
+
+
 def q_embedding_near_dups(sf_dir: str):
     """SRP-banded near-dup pairs over the embeddings table AUGMENTED with
     deterministic planted duplicates (vec_id+1e6, embedding*2 for
@@ -1204,6 +1217,7 @@ QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "simhash_near_dups": q_simhash_near_dups,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
+    "line_dedup": q_line_dedup,
     "embedding_near_dups": q_embedding_near_dups,
     "token_counts": q_token_counts,
     "token_counts_bpe": q_token_counts_bpe,
@@ -1565,6 +1579,26 @@ ORACLE_SQL = {
         "WITH " + _shingle_ctes(3) + " "
         "SELECT LEAST(ua, ub) AS url_a, GREATEST(ua, ub) AS url_b, "
         "jac AS jaccard FROM pairs WHERE jac >= 0.7"),
+    "line_dedup": (
+        # the identical deterministic 12-word line view (zipped unnests
+        # give the word ordinal), keep-first by (doc_id, idx), docs
+        # reassembled from surviving lines
+        "WITH words AS ("
+        "  SELECT doc_id, unnest(string_split(text, ' ')) AS w, "
+        "         unnest(generate_series(1, len(string_split(text, ' ')))) AS wi"
+        "  FROM documents"
+        "), lines AS ("
+        "  SELECT doc_id, (wi - 1) // 12 AS idx, "
+        "         string_agg(w, ' ' ORDER BY wi) AS line"
+        "  FROM words GROUP BY doc_id, (wi - 1) // 12"
+        "), kept AS ("
+        "  SELECT doc_id, idx, line FROM lines "
+        "  QUALIFY row_number() OVER (PARTITION BY line "
+        "                             ORDER BY doc_id, idx) = 1"
+        ") "
+        "SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text, "
+        "       CAST(count(*) AS BIGINT) AS n_kept "
+        "FROM kept GROUP BY doc_id"),
     "dedup_clusters": (
         "WITH RECURSIVE " + _CC_CTES + " "
         "SELECT u AS url, MIN(v) AS cluster_url FROM allr GROUP BY u"),

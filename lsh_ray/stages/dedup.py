@@ -385,3 +385,144 @@ def embedding_near_dup_pairs(embeddings_ds, dim: int,
 
     return joined.map_batches(verify, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+# ------------------------------------------------------- line-level dedup --
+
+def segment_lines(ds, words_per_line: int = 12, text_col: str = "text",
+                  key_col: str = "doc_id"):
+    """documents -> (doc_id, idx, line): the deterministic line view.
+
+    Real web corpora carry newline structure; the synthetic TESTDATA
+    documents do not, so the "line" is defined as consecutive
+    ``words_per_line``-word segments of the whitespace token stream —
+    a deterministic derivation the DuckDB oracle reproduces exactly
+    (same precedent as q_embedding_near_dups' documented augmentation).
+    Fully vectorized: one ``split_pattern`` pass, then the line
+    list-array REINDEXES the word values buffer (lines tile each doc's
+    word range, so the new list offsets are a strided arange over the
+    old ones) and one ``binary_join`` kernel materializes line strings.
+    """
+    import pyarrow.compute as pc
+
+    W = int(words_per_line)
+
+    def f(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({
+                key_col: pa.array([], t.schema.field(key_col).type),
+                "idx": pa.array([], pa.int64()),
+                "line": pa.array([], pa.string())})
+        words = pc.split_pattern(t[text_col], " ").combine_chunks()
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_words = np.diff(offs)           # >= 1: split of "" is [""]
+        n_lines = -(-n_words // W)        # ceil
+        total = int(n_lines.sum())
+        doc_rep = np.repeat(np.arange(n, dtype=np.int64), n_lines)
+        line_starts = np.concatenate(([0], np.cumsum(n_lines)))[:-1]
+        idx = (np.arange(total, dtype=np.int64)
+               - np.repeat(line_starts, n_lines))
+        # each line spans [start, next line's start); a doc's LAST line
+        # implicitly ends at the next doc's first word offset — exactly
+        # offs[i+1] — so one strided offsets array covers every line
+        new_offs = np.concatenate((offs[doc_rep] + W * idx, offs[-1:]))
+        lines = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(new_offs, type=pa.int32()), words.values),
+            " ")
+        return pa.table({
+            key_col: t[key_col].take(pa.array(doc_rep)),
+            "idx": pa.array(idx),
+            "line": lines,
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def line_dedup(ds, words_per_line: int = 12):
+    """Global first-occurrence line-level exact dedup — the RefinedWeb /
+    MassiveText dedup tier between exact-document and n-gram: every
+    distinct line survives only at its first occurrence (ordered by
+    (doc_id, idx)) and each document is reassembled from its surviving
+    lines. -> (doc_id, text, n_kept).
+
+    Scale shape: two tasks-mode exchanges. #1 co-locates occurrence
+    rows by the LINE STRING (exact grouping, no hash-collision caveat
+    — the same ship-the-string precedent as the tfidf token exchange)
+    and keeps the min-(doc_id, idx) occurrence per line; #2 co-locates
+    the surviving ~unique lines by doc_id and reassembles each doc with
+    one ``binary_join``. Line text crosses exchange #1 once and the
+    kept subset crosses #2 once; at petabyte scale ship a 128-bit line
+    hash through #1 instead and join the kept (doc_id, idx) flags back
+    to a doc-keyed line view (halves #2's byte volume at the cost of a
+    second segmentation pass). Documents whose every line first
+    occurred elsewhere drop out entirely (both engines agree).
+    """
+    import pyarrow.compute as pc
+
+    from lsh_ray.config import coalesce_blocks
+    from lsh_ray.stages.exchange import _key_hash_u64, colocate_map
+
+    occ = segment_lines(ds.select_columns(["doc_id", "text"]),
+                        words_per_line)
+    nblocks = min(coalesce_blocks(), 64)
+
+    def keep_first(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "idx": pa.array([], pa.int64()),
+                             "line": pa.array([], pa.string())})
+        order = pc.sort_indices(
+            t, sort_keys=[("line", "ascending"), ("doc_id", "ascending"),
+                          ("idx", "ascending")])
+        t = t.take(order)
+        ln = t["line"]
+        n = t.num_rows
+        neq = (pc.not_equal(ln.slice(1), ln.slice(0, n - 1))
+               .to_numpy(zero_copy_only=False) if n > 1
+               else np.empty(0, bool))
+        firsts = pa.array(np.flatnonzero(np.concatenate(([True], neq))),
+                          type=pa.int64())
+        return pa.table({"doc_id": t["doc_id"].take(firsts),
+                         "idx": t["idx"].take(firsts),
+                         "line": ln.take(firsts)})
+
+    def line_bucket(t: pa.Table) -> pa.Table:
+        h = _key_hash_u64(t, ["line"]) % np.uint64(nblocks)
+        return t.append_column("bucket", pa.array(h.astype(np.int32)))
+
+    kept = colocate_map(occ, ["line"], nblocks, keep_first,
+                        sort_bucket_expr=line_bucket)
+
+    def reassemble(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string()),
+                             "n_kept": pa.array([], pa.int64())})
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        idx = t["idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((idx, doc))
+        doc = doc[order]
+        lines = t["line"].take(pa.array(order, type=pa.int64()))
+        firsts = np.flatnonzero(
+            np.concatenate(([True], doc[1:] != doc[:-1])))
+        bounds = np.concatenate((firsts, [len(doc)]))
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(bounds, type=pa.int32()),
+                lines.combine_chunks()),
+            "\n")
+        return pa.table({
+            "doc_id": pa.array(doc[firsts]),
+            "text": joined,
+            "n_kept": pa.array(np.diff(bounds).astype(np.int64)),
+        })
+
+    def doc_bucket(t: pa.Table) -> pa.Table:
+        h = (t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+             % np.uint64(nblocks))
+        return t.append_column("bucket", pa.array(h.astype(np.int32)))
+
+    return colocate_map(kept, ["doc_id"], nblocks, reassemble,
+                        sort_bucket_expr=doc_bucket)

@@ -1210,3 +1210,62 @@ def test_fused_reductions_mode_parity(rd, mode, monkeypatch):
     assert got.n_events.tolist() == exp.n.tolist()
     np.testing.assert_allclose(got.max_value.to_numpy(),
                                exp.m.to_numpy())
+
+
+def _line_dedup_ref(docs, w):
+    """Pure-python keep-first line dedup over (doc_id, text) pairs."""
+    seen, out = set(), {}
+    for doc_id, text in sorted(docs):
+        words = text.split(" ")
+        kept = []
+        for j in range(0, len(words), w):
+            line = " ".join(words[j:j + w])
+            if line not in seen:
+                seen.add(line)
+                kept.append(line)
+        if kept:
+            out[doc_id] = ("\n".join(kept), len(kept))
+    return out
+
+
+@pytest.mark.parametrize("mode", ["tasks", "sort"])
+def test_line_dedup_matches_reference(rd, mode, monkeypatch):
+    from lsh_ray.stages.dedup import line_dedup
+    monkeypatch.setenv("LSH_RAY_EXCHANGE", mode)
+    w = 3
+    docs = [
+        # doc 1: a tail line shorter than w; an in-doc repeated line
+        (1, "a b c a b c d e"),
+        # doc 2: exact copy of doc 1 -> fully absorbed (drops out)
+        (2, "a b c a b c d e"),
+        # doc 3: shares doc 1's first line, adds its own
+        (3, "a b c x y z"),
+        # doc 4: shares doc 3's tail line only
+        (4, "x y z q"),
+        # doc 5: all-new single short line
+        (5, "solo"),
+    ]
+    exp = _line_dedup_ref(docs, w)
+    assert 2 not in exp  # the planted full absorption
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string())}))
+    out = line_dedup(ds, words_per_line=w).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert sorted(out.doc_id) == sorted(exp)
+    for row in out.itertuples():
+        assert (row.text, row.n_kept) == exp[row.doc_id]
+
+
+def test_segment_lines_tiles_word_stream(rd):
+    from lsh_ray.stages.dedup import segment_lines
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([7, 8], pa.int64()),
+        "text": pa.array(["one two three four five", ""], pa.string())}))
+    out = segment_lines(ds, words_per_line=2).to_pandas() \
+        .sort_values(["doc_id", "idx"]).reset_index(drop=True)
+    assert list(out.doc_id) == [7, 7, 7, 8]
+    assert list(out.idx) == [0, 1, 2, 0]
+    # the tail line keeps the remainder; splitting "" yields one
+    # empty-string word -> one empty line (matches string_split)
+    assert list(out.line) == ["one two", "three four", "five", ""]
