@@ -116,7 +116,8 @@ def run_bench() -> dict:
         "tfidf", "knn_topk", "events_hourly", "lineitem_agg",
         "exact_dup_groups", "sessions", "ngram_jaccard_dups",
         "events_asof", "dup_ngram_stats", "event_gaps",
-        "event_moving_avg", "top_revenue_orders", "decontamination"]
+        "event_moving_avg", "top_revenue_orders", "decontamination",
+        "line_dedup"]
     for name in q_names:
         t0 = time.time()
         ds = QUERIES[name](sf_dir)
