@@ -156,6 +156,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-top-token-frac", type=float, default=0.5)
     p.add_argument("--ngram-n", type=int, default=5)
     p.add_argument("--max-dirty-frac", type=float, default=0.0)
+    p.add_argument("--line-dedup-words", type=int, default=None,
+                   help="enable line-level exact dedup between the "
+                        "doc keep-list and decontamination: survivors "
+                        "are rebuilt from lines (this many words each) "
+                        "that first occur in them")
     _add_config_flags(p)
 
     p = sub.add_parser("gen-corpus", help="deterministic synthetic corpus")
@@ -299,6 +304,7 @@ def main(argv: list[str] | None = None) -> int:
                 min_tokens=args.min_tokens,
                 max_top_token_frac=args.max_top_token_frac,
                 ngram_n=args.ngram_n, max_dirty_frac=args.max_dirty_frac,
+                line_dedup_words=args.line_dedup_words,
                 checkpoint_dir=args.checkpoint)
             cres.cleaned.write_parquet(args.output + "/cleaned")
             metrics = dict(cres.metrics)

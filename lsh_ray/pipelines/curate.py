@@ -69,14 +69,22 @@ def run_curate(docs_ds, config: PipelineConfig = DEFAULT_CONFIG,
                benchmark_ds=None, min_tokens: int = 10,
                max_top_token_frac: float = 0.5, ngram_n: int = 5,
                max_dirty_frac: float = 0.0,
+               line_dedup_words: int | None = None,
                checkpoint_dir: str | None = None) -> CurateResult:
     """Raw documents -> cleaned corpus, with per-stage survivor counts.
 
     ``benchmark_ds`` (same schema) enables the decontamination stage:
     survivors whose n-gram overlap fraction with the benchmark exceeds
     ``max_dirty_frac`` (default 0.0 — ANY shared n-gram) are dropped.
-    ``checkpoint_dir`` is forwarded to the inner dedup pipeline
-    (signatures/pairs/clusters manifests — resume semantics unchanged).
+    ``line_dedup_words`` enables line-level exact dedup between the
+    doc-level keep-list and decontamination (RefinedWeb-style): each
+    survivor's text is rebuilt from the lines that first occur in it
+    (``stages/dedup.py:line_dedup``; "first" = min (doc_id, idx) over
+    the deterministic url-hash ids, so the winner is stable across
+    runs), an ``n_lines_kept`` column is added, and docs whose every
+    line first occurred elsewhere are dropped. ``checkpoint_dir`` is
+    forwarded to the inner dedup pipeline (signatures/pairs/clusters
+    manifests — resume semantics unchanged).
     """
     from lsh_ray.pipelines.dedup_pipeline import run_dedup
     from lsh_ray.stages.cluster import kept_after_dedup
@@ -109,11 +117,42 @@ def run_curate(docs_ds, config: PipelineConfig = DEFAULT_CONFIG,
     cleaned = cleaned.map_batches(drop_marker, batch_format="pyarrow",
                                   zero_copy_batch=True)
 
+    if line_dedup_words:
+        from lsh_ray.stages.dedup import line_dedup
+
+        cleaned = cleaned.materialize()  # count + line view share the scan
+        metrics["n_dedup_kept"] = cleaned.count()
+        survivors = line_dedup(cleaned, words_per_line=line_dedup_words)
+
+        def drop_text(t: pa.Table) -> pa.Table:
+            return t.drop_columns(["text"])
+
+        # swap in the reassembled text (inner join: fully-absorbed docs
+        # drop out); bucketed on the same doc_id key family as the
+        # keep-list apply above
+        cleaned = bucket_join(
+            cleaned.map_batches(drop_text, batch_format="pyarrow",
+                                zero_copy_batch=True),
+            survivors, "doc_id", "doc_id", ["text", "n_kept"],
+            suffix="_ld", how="inner")
+
+        def finish_ld(t: pa.Table) -> pa.Table:
+            ren = {"text_ld": "text", "n_kept_ld": "n_lines_kept"}
+            return t.rename_columns(
+                [ren.get(c, c) for c in t.column_names])
+
+        # pinned: counted here and consumed again by the decontam pass
+        # or the final write
+        cleaned = cleaned.map_batches(finish_ld, batch_format="pyarrow",
+                                      zero_copy_batch=True).materialize()
+        metrics["n_line_dedup_kept"] = cleaned.count()
+
     if benchmark_ds is not None:
         from lsh_ray.stages.repetition import decontaminate
 
-        cleaned = cleaned.materialize()  # decontam + drop share the scan
-        metrics["n_dedup_kept"] = cleaned.count()
+        if not line_dedup_words:
+            cleaned = cleaned.materialize()  # decontam + drop share it
+            metrics["n_dedup_kept"] = cleaned.count()
         stats = decontaminate(cleaned, normalize(benchmark_ds, config),
                               n=ngram_n)
 
@@ -126,10 +165,13 @@ def run_curate(docs_ds, config: PipelineConfig = DEFAULT_CONFIG,
                                   zero_copy_batch=True)
         cleaned = anti_join(cleaned, dirty, "doc_id", "doc_id")
         metrics["n_cleaned"] = cleaned.count()
+        before_decontam = metrics.get("n_line_dedup_kept",
+                                      metrics["n_dedup_kept"])
         metrics["n_contaminated_dropped"] = (
-            metrics["n_dedup_kept"] - metrics["n_cleaned"])
+            before_decontam - metrics["n_cleaned"])
     else:
-        metrics["n_cleaned"] = metrics["n_dedup_kept"] = cleaned.count()
+        metrics["n_cleaned"] = cleaned.count()
+        metrics.setdefault("n_dedup_kept", metrics["n_cleaned"])
         metrics["n_contaminated_dropped"] = 0
 
     return CurateResult(cleaned=cleaned, dedup=res, metrics=metrics)

@@ -470,9 +470,12 @@ def line_dedup(ds, words_per_line: int = 12):
 
     def keep_first(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "idx": pa.array([], pa.int64()),
-                             "line": pa.array([], pa.string())})
+            # preserve the input's doc_id type (int64 from parquet,
+            # uint64 for normalized url-hash ids in the curate path)
+            return pa.table({
+                "doc_id": pa.array([], t.schema.field("doc_id").type),
+                "idx": pa.array([], pa.int64()),
+                "line": pa.array([], pa.string())})
         order = pc.sort_indices(
             t, sort_keys=[("line", "ascending"), ("doc_id", "ascending"),
                           ("idx", "ascending")])
@@ -497,9 +500,10 @@ def line_dedup(ds, words_per_line: int = 12):
 
     def reassemble(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "text": pa.array([], pa.string()),
-                             "n_kept": pa.array([], pa.int64())})
+            return pa.table({
+                "doc_id": pa.array([], t.schema.field("doc_id").type),
+                "text": pa.array([], pa.string()),
+                "n_kept": pa.array([], pa.int64())})
         doc = t["doc_id"].to_numpy(zero_copy_only=False)
         idx = t["idx"].to_numpy(zero_copy_only=False)
         order = np.lexsort((idx, doc))

@@ -111,3 +111,42 @@ def test_cli_curate_smoke(ray_session, tmp_path):
     n_rows = sum(pq.read_table(f).num_rows
                  for f in glob.glob(str(out / "cleaned" / "*")))
     assert n_rows == line["n_cleaned"]
+
+
+def test_run_curate_line_dedup_stage(ray_session, corpus_t):
+    import ray.data
+
+    from lsh_ray.pipelines.curate import run_curate
+
+    cfg = PipelineConfig()
+    W = 12
+    res = run_curate(ray.data.from_arrow(corpus_t), cfg, min_tokens=40,
+                     max_top_token_frac=0.5, line_dedup_words=W)
+    m = res.metrics
+    assert 0 < m["n_line_dedup_kept"] <= m["n_dedup_kept"]
+    assert m["n_cleaned"] == m["n_line_dedup_kept"]
+    out = res.cleaned.to_pandas()
+    assert len(out) == m["n_cleaned"]
+    assert "n_lines_kept" in out.columns
+
+    # global line uniqueness: no W-word segment occurs twice anywhere
+    # in the cleaned corpus, and per-doc counts match the rebuilt text
+    seen = set()
+    for text, n_kept in zip(out["text"], out["n_lines_kept"]):
+        lines = text.split("\n")
+        assert len(lines) == n_kept >= 1
+        for ln in lines:
+            assert ln not in seen
+            seen.add(ln)
+
+    # kept lines are verbatim W-word windows of the pre-line-dedup text
+    # (reassembly never fabricates content): re-derive each survivor's
+    # expected line view from the same corpus through the same curate
+    # stages sans line dedup, then check containment
+    base = run_curate(ray.data.from_arrow(corpus_t), cfg, min_tokens=40,
+                      max_top_token_frac=0.5).cleaned.to_pandas()
+    orig = dict(zip(base["doc_id"], base["text"]))
+    for doc_id, text in zip(out["doc_id"], out["text"]):
+        words = orig[doc_id].split(" ")
+        full = {" ".join(words[j:j + W]) for j in range(0, len(words), W)}
+        assert set(text.split("\n")) <= full
