@@ -315,6 +315,50 @@ def q_line_dedup(sf_dir: str):
     return line_dedup(_docs_text(sf_dir), words_per_line=12)
 
 
+def q_pii_redact(sf_dir: str):
+    """Dolma/CCNet-style PII scrubbing: redact emails / IPv4s / phone
+    numbers to sentinel tokens, counting matches per category. The
+    synthetic corpus carries no organic PII, so the docs are AUGMENTED
+    with deterministic doc_id-derived PII suffixes (same
+    documented-augmentation precedent as q_embedding_near_dups); the
+    oracle applies the identical suffix derivation, then both engines
+    run the IDENTICAL RE2 patterns independently (Arrow C++ kernels vs
+    DuckDB regexp_replace/extract_all). Non-vacuous: 1 in 5 docs gains
+    an email, 1 in 7 an IP, 1 in 11 a phone at every SF."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from lsh_ray.stages.text_stats import pii_redact
+
+    def augment(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        email = np.where(did % 5 == 0,
+                         np.char.add(np.char.add(
+                             " contact user", did.astype("U20")),
+                             "@example.com soon"), "")
+        ip = np.where(did % 7 == 0,
+                      np.char.add(np.char.add(np.char.add(np.char.add(
+                          np.char.add(np.char.add(np.char.add(np.char.add(
+                              " from ", (did % 256).astype("U3")), "."),
+                              (did * 7 % 256).astype("U3")), "."),
+                              (did * 13 % 256).astype("U3")), "."),
+                              (did % 100).astype("U3")), " today"), "")
+        phone = np.where(did % 11 == 0,
+                         np.char.add(np.char.add(
+                             " call +1-555-",
+                             np.char.zfill((did % 10000).astype("U4"), 4)),
+                             " now"), "")
+        sfx = np.char.add(np.char.add(email, ip), phone)
+        txt = pc.binary_join_element_wise(
+            t["text"], pa.array(sfx.tolist(), type=pa.string()), "")
+        return pa.table({"doc_id": t["doc_id"], "text": txt})
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pii_redact(ds.map_batches(augment, batch_format="pyarrow",
+                                     zero_copy_batch=True))
+
+
 def q_embedding_near_dups(sf_dir: str):
     """SRP-banded near-dup pairs over the embeddings table AUGMENTED with
     deterministic planted duplicates (vec_id+1e6, embedding*2 for
@@ -1218,6 +1262,7 @@ QUERIES = {
     "simhash_near_dups": q_simhash_near_dups,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "line_dedup": q_line_dedup,
+    "pii_redact": q_pii_redact,
     "embedding_near_dups": q_embedding_near_dups,
     "token_counts": q_token_counts,
     "token_counts_bpe": q_token_counts_bpe,
@@ -1379,6 +1424,36 @@ def _lang_id_sql() -> str:
         "WHEN GREATEST(h_de, h_en, h_pt) = 0 THEN 'unknown' "
         "WHEN h_de >= h_en AND h_de >= h_pt THEN 'de' "
         "WHEN h_en >= h_pt THEN 'en' ELSE 'pt' END AS lang_pred FROM s")
+
+def _pii_oracle() -> str:
+    """DuckDB twin of q_pii_redact: identical doc_id-derived augmentation,
+    then the SAME RE2 patterns (shared spec constants; independent
+    engines) applied in the same sequential order, counts before each
+    replacement."""
+    from lsh_ray.stages.text_stats import PII_PATTERNS
+    (_, e, _), (_, i, _), (_, p, _) = PII_PATTERNS
+    return (
+        "WITH aug AS (SELECT doc_id, text"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || "
+        "CAST(doc_id AS VARCHAR) || '@example.com soon' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' from ' || "
+        "CAST(doc_id % 256 AS VARCHAR) || '.' || "
+        "CAST((doc_id * 7) % 256 AS VARCHAR) || '.' || "
+        "CAST((doc_id * 13) % 256 AS VARCHAR) || '.' || "
+        "CAST(doc_id % 100 AS VARCHAR) || ' today' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' "
+        "ELSE '' END AS text FROM documents), "
+        f"s1 AS (SELECT doc_id, len(regexp_extract_all(text, '{e}')) "
+        f"AS n_emails, regexp_replace(text, '{e}', '<EMAIL>', 'g') "
+        "AS text FROM aug), "
+        f"s2 AS (SELECT doc_id, n_emails, "
+        f"len(regexp_extract_all(text, '{i}')) AS n_ips, "
+        f"regexp_replace(text, '{i}', '<IP>', 'g') AS text FROM s1) "
+        f"SELECT doc_id, regexp_replace(text, '{p}', '<PHONE>', 'g') "
+        f"AS text, n_emails, n_ips, "
+        f"len(regexp_extract_all(text, '{p}')) AS n_phones FROM s2")
+
 
 ORACLE_SQL = {
     "exact_dup_groups": (
@@ -1599,6 +1674,7 @@ ORACLE_SQL = {
         "SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text, "
         "       CAST(count(*) AS BIGINT) AS n_kept "
         "FROM kept GROUP BY doc_id"),
+    "pii_redact": _pii_oracle(),
     "dedup_clusters": (
         "WITH RECURSIVE " + _CC_CTES + " "
         "SELECT u AS url, MIN(v) AS cluster_url FROM allr GROUP BY u"),

@@ -202,3 +202,45 @@ def fingerprints(ds):
     """documents -> (doc_id, md5_fp, rolling_fp)."""
     return ds.select_columns(["doc_id", "text"]).map_batches(
         fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------- PII ----
+# Dolma / CCNet-style PII scrubbing: regex redaction of emails, IPv4
+# addresses and phone numbers to sentinel tokens. The patterns are
+# deliberately RE2-only (no lookarounds, explicit ASCII classes) so the
+# Arrow C++ kernels here and the DuckDB oracle run the IDENTICAL regex
+# semantics; counts are taken BEFORE replacement on the same pattern.
+# (Reference analog: the skip-on-fail structured-extract stage,
+# /root/reference/loader.py:85-126 — per-doc content surgery in a bulk
+# pass; redaction is the web-corpus transposition.)
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("n_emails", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("n_ips", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("n_phones", r"\+\d{1,2}-\d{3}-\d{4}", "<PHONE>"),
+)
+
+
+def pii_redact_batch(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    import pyarrow.compute as pc
+    txt = batch[text_col]
+    cols: dict[str, object] = {id_col: batch[id_col]}
+    counts = {}
+    for name, pattern, repl in PII_PATTERNS:
+        counts[name] = pc.cast(
+            pc.count_substring_regex(txt, pattern=pattern), pa.int64())
+        txt = pc.replace_substring_regex(txt, pattern=pattern,
+                                         replacement=repl)
+    cols[text_col] = txt
+    cols.update(counts)
+    return pa.table(cols)
+
+
+def pii_redact(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """documents -> (doc_id, text-with-sentinels, n_emails, n_ips,
+    n_phones). One Arrow RE2 pass per pattern, no Python per row;
+    idempotent (sentinels match none of the patterns)."""
+    return ds.select_columns([id_col, text_col]).map_batches(
+        pii_redact_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"text_col": text_col, "id_col": id_col})

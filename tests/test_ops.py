@@ -1269,3 +1269,55 @@ def test_segment_lines_tiles_word_stream(rd):
     # the tail line keeps the remainder; splitting "" yields one
     # empty-string word -> one empty line (matches string_split)
     assert list(out.line) == ["one two", "three four", "five", ""]
+
+
+def test_pii_redact_batch_edges():
+    from lsh_ray.stages.text_stats import pii_redact_batch
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array([
+            "a@b.co leads the line",           # match at string start
+            "tail match 1.2.3.4",              # match at string end
+            "x@y.org then z@w.io and 10.0.0.1 and +1-555-0100",
+            "",                                 # empty text
+            "no pii at all here",
+            "not-an-ip 1234.5.6.7 but 255.255.255.255 is",
+        ], pa.string()),
+    })
+    out = pii_redact_batch(t)
+    assert out["text"].to_pylist() == [
+        "<EMAIL> leads the line",
+        "tail match <IP>",
+        "<EMAIL> then <EMAIL> and <IP> and <PHONE>",
+        "",
+        "no pii at all here",
+        # "1234.5.6.7" is NOT redacted: every 1-3-digit prefix of the
+        # first octet either fails \b (mid-digit-run start) or leaves a
+        # digit before the dot — the word-boundary anchors reject
+        # over-long octet runs entirely
+        "not-an-ip 1234.5.6.7 but <IP> is",
+    ]
+    assert out["n_emails"].to_pylist() == [1, 0, 2, 0, 0, 0]
+    assert out["n_ips"].to_pylist() == [0, 1, 1, 0, 0, 1]
+    assert out["n_phones"].to_pylist() == [0, 0, 1, 0, 0, 0]
+    # idempotent: sentinels match none of the patterns
+    again = pii_redact_batch(pa.table({
+        "doc_id": out["doc_id"], "text": out["text"]}))
+    assert again["text"].to_pylist() == out["text"].to_pylist()
+    assert pa.compute.sum(again["n_emails"]).as_py() == 0
+    assert pa.compute.sum(again["n_ips"]).as_py() == 0
+    assert pa.compute.sum(again["n_phones"]).as_py() == 0
+
+
+def test_pii_redact_dataset_schema(rd):
+    from lsh_ray.stages.text_stats import pii_redact
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([7, 8], pa.int64()),
+        "text": pa.array(["mail a@b.co", "clean"], pa.string()),
+        "lang": pa.array(["en", "en"], pa.string()),
+    }))
+    out = pii_redact(ds).to_pandas().sort_values("doc_id")
+    assert list(out.columns) == [
+        "doc_id", "text", "n_emails", "n_ips", "n_phones"]
+    assert out.text.tolist() == ["mail <EMAIL>", "clean"]
+    assert out.n_emails.dtype == "int64"
