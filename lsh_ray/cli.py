@@ -161,6 +161,11 @@ def main(argv: list[str] | None = None) -> int:
                         "doc keep-list and decontamination: survivors "
                         "are rebuilt from lines (this many words each) "
                         "that first occur in them")
+    p.add_argument("--redact-pii", action="store_true",
+                   help="final scrubbing scan: replace emails/IPv4s/"
+                        "phone numbers in surviving text with sentinel "
+                        "tokens; per-doc count columns + corpus totals "
+                        "in the metrics")
     _add_config_flags(p)
 
     p = sub.add_parser("gen-corpus", help="deterministic synthetic corpus")
@@ -305,6 +310,7 @@ def main(argv: list[str] | None = None) -> int:
                 max_top_token_frac=args.max_top_token_frac,
                 ngram_n=args.ngram_n, max_dirty_frac=args.max_dirty_frac,
                 line_dedup_words=args.line_dedup_words,
+                redact_pii=args.redact_pii,
                 checkpoint_dir=args.checkpoint)
             cres.cleaned.write_parquet(args.output + "/cleaned")
             metrics = dict(cres.metrics)

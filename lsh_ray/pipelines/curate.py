@@ -70,6 +70,7 @@ def run_curate(docs_ds, config: PipelineConfig = DEFAULT_CONFIG,
                max_top_token_frac: float = 0.5, ngram_n: int = 5,
                max_dirty_frac: float = 0.0,
                line_dedup_words: int | None = None,
+               redact_pii: bool = False,
                checkpoint_dir: str | None = None) -> CurateResult:
     """Raw documents -> cleaned corpus, with per-stage survivor counts.
 
@@ -82,9 +83,13 @@ def run_curate(docs_ds, config: PipelineConfig = DEFAULT_CONFIG,
     (``stages/dedup.py:line_dedup``; "first" = min (doc_id, idx) over
     the deterministic url-hash ids, so the winner is stable across
     runs), an ``n_lines_kept`` column is added, and docs whose every
-    line first occurred elsewhere are dropped. ``checkpoint_dir`` is
-    forwarded to the inner dedup pipeline (signatures/pairs/clusters
-    manifests — resume semantics unchanged).
+    line first occurred elsewhere are dropped. ``redact_pii`` appends a
+    final shuffle-free scrubbing scan (``stages/text_stats.pii_redact``):
+    emails / IPv4s / phone numbers in the surviving text are replaced by
+    sentinel tokens, per-doc count columns are added, and the corpus
+    totals join the stage metrics. ``checkpoint_dir`` is forwarded to
+    the inner dedup pipeline (signatures/pairs/clusters manifests —
+    resume semantics unchanged).
     """
     from lsh_ray.pipelines.dedup_pipeline import run_dedup
     from lsh_ray.stages.cluster import kept_after_dedup
@@ -173,5 +178,18 @@ def run_curate(docs_ds, config: PipelineConfig = DEFAULT_CONFIG,
         metrics["n_cleaned"] = cleaned.count()
         metrics.setdefault("n_dedup_kept", metrics["n_cleaned"])
         metrics["n_contaminated_dropped"] = 0
+
+    if redact_pii:
+        from lsh_ray.stages.text_stats import PII_PATTERNS, pii_redact_batch
+
+        # per-row local — no shuffle; pinned because the totals below
+        # and the caller's write both walk it
+        cleaned = cleaned.map_batches(
+            pii_redact_batch, batch_format="pyarrow",
+            zero_copy_batch=True).materialize()
+        count_cols = [name for name, _, _ in PII_PATTERNS]
+        totals = cleaned.sum(count_cols)
+        for name in count_cols:
+            metrics[f"pii_{name}"] = int(totals[f"sum({name})"])
 
     return CurateResult(cleaned=cleaned, dedup=res, metrics=metrics)

@@ -221,20 +221,24 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 )
 
 
-def pii_redact_batch(batch: pa.Table, text_col: str = "text",
-                     id_col: str = "doc_id") -> pa.Table:
+def pii_redact_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Schema-preserving: replaces ``text_col`` in place and appends the
+    per-category count columns (counts taken before each replacement,
+    sequentially in PII_PATTERNS order)."""
     import pyarrow.compute as pc
     txt = batch[text_col]
-    cols: dict[str, object] = {id_col: batch[id_col]}
-    counts = {}
+    counts = []
     for name, pattern, repl in PII_PATTERNS:
-        counts[name] = pc.cast(
-            pc.count_substring_regex(txt, pattern=pattern), pa.int64())
+        counts.append((name, pc.cast(
+            pc.count_substring_regex(txt, pattern=pattern), pa.int64())))
         txt = pc.replace_substring_regex(txt, pattern=pattern,
                                          replacement=repl)
-    cols[text_col] = txt
-    cols.update(counts)
-    return pa.table(cols)
+    out = batch.set_column(batch.column_names.index(text_col), text_col,
+                           txt.combine_chunks() if isinstance(
+                               txt, pa.ChunkedArray) else txt)
+    for name, arr in counts:
+        out = out.append_column(name, arr)
+    return out
 
 
 def pii_redact(ds, text_col: str = "text", id_col: str = "doc_id"):
@@ -243,4 +247,4 @@ def pii_redact(ds, text_col: str = "text", id_col: str = "doc_id"):
     idempotent (sentinels match none of the patterns)."""
     return ds.select_columns([id_col, text_col]).map_batches(
         pii_redact_batch, batch_format="pyarrow", zero_copy_batch=True,
-        fn_kwargs={"text_col": text_col, "id_col": id_col})
+        fn_kwargs={"text_col": text_col})

@@ -150,3 +150,37 @@ def test_run_curate_line_dedup_stage(ray_session, corpus_t):
         words = orig[doc_id].split(" ")
         full = {" ".join(words[j:j + W]) for j in range(0, len(words), W)}
         assert set(text.split("\n")) <= full
+
+
+def test_run_curate_redact_pii_stage(ray_session, corpus_t):
+    import ray.data
+
+    from lsh_ray.pipelines.curate import run_curate
+    from lsh_ray.stages.text_stats import PII_PATTERNS
+
+    # plant PII into the first 40 docs' text so the stage is non-vacuous
+    txt = corpus_t["text"].to_pylist()
+    for i in range(40):
+        txt[i] += " reach me at u%d@mail.org or 10.0.%d.9" % (i, i % 256)
+    planted = corpus_t.set_column(
+        corpus_t.column_names.index("text"), "text",
+        pa.array(txt, pa.string()))
+
+    cfg = PipelineConfig()
+    res = run_curate(ray.data.from_arrow(planted), cfg, min_tokens=40,
+                     max_top_token_frac=0.5, redact_pii=True)
+    m = res.metrics
+    out = res.cleaned.to_pandas()
+    assert len(out) == m["n_cleaned"]
+    for name, _, _ in PII_PATTERNS:
+        assert name in out.columns
+        assert m[f"pii_{name}"] == int(out[name].sum())
+    # some planted docs survive curation, so totals are non-vacuous
+    assert m["pii_n_emails"] > 0 and m["pii_n_ips"] > 0
+    assert m["pii_n_phones"] == 0
+    # every surviving text is scrubbed: the patterns match nothing
+    joined = "\n".join(out["text"])
+    import re
+    for _, pattern, _ in PII_PATTERNS:
+        assert re.search(pattern, joined, flags=re.ASCII) is None
+    assert "<EMAIL>" in joined and "<IP>" in joined
