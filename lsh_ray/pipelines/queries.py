@@ -359,6 +359,15 @@ def q_pii_redact(sf_dir: str):
                                      zero_copy_batch=True))
 
 
+def q_unigram_logprob(sf_dir: str):
+    """CCNet/KenLM-style LM quality signal: per-doc mean token
+    log-probability under the corpus's own unigram MLE. Byte-exact
+    float parity via integer micro-logprobs (see
+    ``stages/text_stats.unigram_logprob``)."""
+    from lsh_ray.stages.text_stats import unigram_logprob
+    return unigram_logprob(_docs_text(sf_dir))
+
+
 def q_embedding_near_dups(sf_dir: str):
     """SRP-banded near-dup pairs over the embeddings table AUGMENTED with
     deterministic planted duplicates (vec_id+1e6, embedding*2 for
@@ -1263,6 +1272,7 @@ QUERIES = {
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "line_dedup": q_line_dedup,
     "pii_redact": q_pii_redact,
+    "unigram_logprob": q_unigram_logprob,
     "embedding_near_dups": q_embedding_near_dups,
     "token_counts": q_token_counts,
     "token_counts_bpe": q_token_counts_bpe,
@@ -1675,6 +1685,22 @@ ORACLE_SQL = {
         "       CAST(count(*) AS BIGINT) AS n_kept "
         "FROM kept GROUP BY doc_id"),
     "pii_redact": _pii_oracle(),
+    # integer micro-logprob design: per-token ln(c/N) is rounded to
+    # int64 micro-units BEFORE the per-doc sum, so the sums are exact
+    # integer arithmetic on both engines (no float summation-order
+    # divergence); one identically-parenthesized float division chain
+    # at the end. Tokenless docs drop out (join semantics both sides).
+    "unigram_logprob": (
+        "WITH toks AS " + _TOKS + ", "
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_tok FROM toks), "
+        "c AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token), "
+        "mlp AS (SELECT token, CAST(ROUND(ln(CAST(c AS DOUBLE) / "
+        "n.n_tok) * 1000000, 0) AS BIGINT) AS mlp "
+        "FROM c CROSS JOIN n) "
+        "SELECT toks.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+        "ROUND((CAST(SUM(mlp.mlp) AS DOUBLE) / 1000000.0) / COUNT(*), 6) "
+        "AS avg_logprob FROM toks JOIN mlp USING (token) "
+        "GROUP BY toks.doc_id"),
     "dedup_clusters": (
         "WITH RECURSIVE " + _CC_CTES + " "
         "SELECT u AS url, MIN(v) AS cluster_url FROM allr GROUP BY u"),

@@ -248,3 +248,115 @@ def pii_redact(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.select_columns([id_col, text_col]).map_batches(
         pii_redact_batch, batch_format="pyarrow", zero_copy_batch=True,
         fn_kwargs={"text_col": text_col})
+
+
+# ------------------------------------------------- unigram LM score ----
+def unigram_logprob(ds, round_to: int = 6):
+    """documents -> (doc_id, n_tokens, avg_logprob): per-doc mean token
+    log-probability under the corpus's OWN unigram MLE — the CCNet /
+    KenLM quality-filter signal transposed to a self-trained unigram LM
+    (no external model in this container). Low scores flag boilerplate
+    and token-salad docs; high scores flag repetitive common-token text.
+
+    Float-exact oracle parity via integer micro-logprobs: each token's
+    ln(c/N) is rounded half-away to int64 MICRO-units first, so the
+    per-doc sums are exact integer arithmetic (order-free — immune to
+    float summation-order divergence between engines); only the final
+    (sum/1e6)/n_tokens division is floating point, one identically-
+    parenthesized op chain on both sides.
+
+    Scale shape (100 TB): one token co-location (corpus counts = run
+    sums inside the block, no broadcast vocabulary), then one doc_id
+    co-location for the per-doc sums — two exchanges total, both over
+    8-byte-payload rows, hot tokens vectorized as runs (the tfidf
+    scored_token_rows shape). Docs with zero tokens drop out (no
+    defined mean), matching the SQL oracle's join semantics.
+    """
+    import pyarrow.compute as pc
+
+    from lsh_ray.config import coalesce_blocks
+    from lsh_ray.stages.exchange import colocate_map
+    from lsh_ray.stages.tfidf import doc_token_rows
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(pc.coalesce(t["text"], ""),
+                                     TOKEN_RUN_PATTERN)
+        return pa.table({"n": pa.array(
+            [int(pc.sum(n).as_py() or 0)], pa.int64())})
+
+    n_total = ds.map_batches(count_tokens, batch_format="pyarrow",
+                             zero_copy_batch=True).sum("n")
+    if not n_total:
+        return ds.map_batches(
+            lambda t: pa.table({"doc_id": pa.array([], pa.int64()),
+                                "n_tokens": pa.array([], pa.int64()),
+                                "avg_logprob": pa.array([], pa.float64())}),
+            batch_format="pyarrow")
+
+    rows = doc_token_rows(ds)
+    nblocks = min(coalesce_blocks(), 64)
+
+    def mlp_block(t: pa.Table) -> pa.Table:
+        # one co-located block: every row of a token is here, so the
+        # token's corpus count is its run sum of tf_count
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "part_mlp": pa.array([], pa.int64()),
+                             "tf_count": pa.array([], pa.int64())})
+        order = pc.sort_indices(t.select(["token"]),
+                                sort_keys=[("token", "ascending")])
+        t = t.take(order)
+        tok = t["token"]
+        n = t.num_rows
+        neq = pc.not_equal(tok.slice(1), tok.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False) if n > 1 else np.empty(0, bool)
+        firsts = np.flatnonzero(np.concatenate(([True], neq)))
+        lens = np.diff(np.concatenate((firsts, [n])))
+        tf = t["tf_count"].to_numpy(zero_copy_only=False)
+        c = np.add.reduceat(tf, firsts).astype(np.float64)
+        mlp = round_half_away(
+            np.log(c / float(n_total)) * 1e6, 0).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "part_mlp": pa.array(tf * np.repeat(mlp, lens)),
+            "tf_count": t["tf_count"],
+        })
+
+    def tok_bucket(t: pa.Table) -> pa.Table:
+        hv = hash_strings(t["token"].to_numpy(zero_copy_only=False)) \
+            % np.uint64(nblocks)
+        return t.append_column("bucket", pa.array(hv.astype(np.int32)))
+
+    parts = colocate_map(rows, ["token"], nblocks, mlp_block,
+                         sort_bucket_expr=tok_bucket)
+
+    def doc_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "avg_logprob": pa.array([], pa.float64())})
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids_s = ids[order]
+        firsts = np.flatnonzero(
+            np.concatenate(([True], ids_s[1:] != ids_s[:-1])))
+        sum_mlp = np.add.reduceat(
+            t["part_mlp"].to_numpy(zero_copy_only=False)[order], firsts)
+        n_tok = np.add.reduceat(
+            t["tf_count"].to_numpy(zero_copy_only=False)[order], firsts)
+        avg = round_half_away(
+            (sum_mlp.astype(np.float64) / 1e6) / n_tok.astype(np.float64),
+            round_to)
+        return pa.table({
+            "doc_id": pa.array(ids_s[firsts]),
+            "n_tokens": pa.array(n_tok.astype(np.int64)),
+            "avg_logprob": pa.array(avg, type=pa.float64()),
+        })
+
+    def doc_bucket(t: pa.Table) -> pa.Table:
+        hv = t["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.uint64) % np.uint64(nblocks)
+        return t.append_column("bucket", pa.array(hv.astype(np.int32)))
+
+    return colocate_map(parts, ["doc_id"], nblocks, doc_block,
+                        sort_bucket_expr=doc_bucket)

@@ -1321,3 +1321,61 @@ def test_pii_redact_dataset_schema(rd):
         "doc_id", "text", "n_emails", "n_ips", "n_phones"]
     assert out.text.tolist() == ["mail <EMAIL>", "clean"]
     assert out.n_emails.dtype == "int64"
+
+
+def test_unigram_logprob_matches_reference(rd):
+    import math
+
+    from lsh_ray.stages.text_stats import unigram_logprob
+
+    docs = [(1, "a a b"), (2, "b c"), (3, "   "), (4, "A")]
+    # lowercased corpus tokens: a a b b c a -> counts a:3 b:2 c:1, N=6
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string())}))
+    out = unigram_logprob(ds).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    # doc 3 is whitespace-only -> no row
+    assert out.doc_id.tolist() == [1, 2, 4]
+    assert out.n_tokens.tolist() == [3, 2, 1]
+
+    def mlp(c, n=6):
+        x = math.log(c / n) * 1e6
+        return math.copysign(math.floor(abs(x) + 0.5), x)
+
+    def ref(counts):
+        s = sum(mlp(c) for c in counts)
+        v = (s / 1e6) / len(counts)
+        return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+
+    assert out.avg_logprob.tolist() == [
+        ref([3, 3, 2]), ref([2, 1]), ref([3])]
+    # sanity: the all-common-token doc scores highest, the rare-token
+    # doc lowest
+    assert out.avg_logprob[0] > out.avg_logprob[1]
+
+
+@pytest.mark.parametrize("mode", ["tasks", "sort", "hash"])
+def test_unigram_logprob_mode_parity(rd, mode, monkeypatch):
+    """Both exchanges (token co-location, doc_id co-location) must
+    agree across the three exchange modes."""
+    monkeypatch.setenv("LSH_RAY_EXCHANGE", mode)
+    import pyarrow.compute as pc
+
+    from lsh_ray.fixtures import generate_corpus
+    from lsh_ray.stages.text_stats import unigram_logprob
+
+    t = generate_corpus(120, seed=5)["documents"]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(t.num_rows), type=pa.int64()),
+        "text": pc.coalesce(t["text"], pa.scalar("")),
+    }))
+    out = unigram_logprob(docs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(out) > 100
+    assert (out.avg_logprob < 0).all()
+    if mode == "tasks":
+        test_unigram_logprob_mode_parity._ref = out
+    else:
+        ref = test_unigram_logprob_mode_parity._ref
+        assert out.equals(ref)
