@@ -1259,6 +1259,64 @@ def q_decontamination(sf_dir: str):
                          hash_sample(docs, "14"), n=5)
 
 
+def _synth_pages(sf_dir: str):
+    """Deterministic crawl-page view of the documents table: groups of
+    five doc_ids share one logical page, each spelled differently
+    (scheme variant, www. prefix, tracking params, fragment + trailing
+    slash) with a pseudo-shuffled capture timestamp — the input_hint's
+    (url, warc_ts) columns synthesized from doc_id exactly as the
+    q_html_extract/q_pii_redact precedent, mirrored 1:1 in SQL by
+    _PAGES_CTES."""
+    import numpy as np
+    import pyarrow as pa
+
+    _TS0_US = 1767225600000000  # 2026-01-01T00:00:00Z in microseconds
+
+    def build(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = did // 5
+        v = did % 5
+        rest = np.char.add(np.char.add(np.char.add(np.char.add(
+            "example", (base % 13).astype("U3")), ".com/page/"),
+            base.astype("U20")), "/item")
+        prefix = np.where(v == 1, "http://",
+                          np.where(v == 2, "https://www.", "https://"))
+        tail = np.where(
+            v == 3, np.char.add("?utm_source=feed&utm_medium=rss&gclid=g",
+                                did.astype("U20")),
+            np.where(v == 4, np.char.add("/#frag-", did.astype("U20")), ""))
+        url = np.char.add(np.char.add(prefix.astype("U12"), rest), tail)
+        ts_us = _TS0_US + ((did * 2654435761) % 86400) * 1_000_000
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "url": pa.array(url.tolist(), type=pa.string()),
+            "warc_ts": pa.array(ts_us, type=pa.timestamp("us")),
+            "n_chars": t["n_chars"]})
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    return ds.map_batches(build, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_url_dedup(sf_dir: str):
+    """URL-level crawl dedup: canonicalize each capture's URL (fixed
+    RE2 rewrite chain, shared step list with the oracle —
+    ``stages/urls.CANONICAL_STEPS``) and keep the EARLIEST capture per
+    canonical URL (warc_ts, doc_id order). The keep-first exchange is
+    the exact_dup_groups plan keyed by canonical_url."""
+    from lsh_ray.stages.urls import url_dedup
+    return url_dedup(_synth_pages(sf_dir))
+
+
+def q_host_stats(sf_dir: str):
+    """Per-host crawl inventory over canonical URLs: captures, distinct
+    pages, total chars. One canonical-URL co-location reduces to page
+    rows; hosts finish with per-batch Arrow partials + a tiny native
+    groupby (hosts ≪ pages)."""
+    from lsh_ray.stages.urls import host_stats
+    return host_stats(_synth_pages(sf_dir))
+
+
 QUERIES = {
     "text_search": q_text_search,
     "text_search_ls": q_text_search_ls,
@@ -1306,6 +1364,8 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "dup_ngram_stats": q_dup_ngram_stats,
     "decontamination": q_decontamination,
+    "url_dedup": q_url_dedup,
+    "host_stats": q_host_stats,
     "near_dedup_keep": q_near_dedup_keep,
     "top_tokens": q_top_tokens,
     "doc_length_quantiles": q_doc_length_quantiles,
@@ -1936,3 +1996,47 @@ ORACLE_SQL = {
         "ROUND(COALESCE(nd.n_dirty, 0) * 1.0 / GREATEST(ng.n_grams, 1), "
         "6) AS dirty_gram_frac FROM ng LEFT JOIN nd USING (doc_id)"),
 }
+
+
+def _pages_ctes() -> str:
+    """SQL twin of _synth_pages + canonicalization: the same doc_id ->
+    (url, warc_ts) derivation, then the regexp_replace chain generated
+    from the SAME step list the Ray kernel runs
+    (stages/urls.canonical_sql_expr) — byte-identical by construction."""
+    from lsh_ray.stages.urls import canonical_sql_expr
+    return (
+        "pages AS (SELECT doc_id, n_chars, "
+        "TIMESTAMP '2026-01-01' + ((doc_id * 2654435761) % 86400) "
+        "* INTERVAL 1 SECOND AS warc_ts, "
+        "'example' || CAST((doc_id // 5) % 13 AS VARCHAR) || "
+        "'.com/page/' || CAST(doc_id // 5 AS VARCHAR) || '/item' AS rest, "
+        "doc_id % 5 AS v FROM documents), "
+        "raw AS (SELECT doc_id, n_chars, warc_ts, "
+        "CASE v WHEN 1 THEN 'http://' WHEN 2 THEN 'https://www.' "
+        "ELSE 'https://' END || rest || "
+        "CASE v WHEN 3 THEN '?utm_source=feed&utm_medium=rss&gclid=g' "
+        "|| CAST(doc_id AS VARCHAR) "
+        "WHEN 4 THEN '/#frag-' || CAST(doc_id AS VARCHAR) "
+        "ELSE '' END AS url FROM pages), "
+        "canon AS (SELECT doc_id, n_chars, warc_ts, "
+        f"{canonical_sql_expr('url')} AS canonical_url FROM raw)")
+
+
+ORACLE_SQL["url_dedup"] = (
+    "WITH " + _pages_ctes() + " "
+    "SELECT canonical_url, doc_id, warc_ts, n_variants FROM ("
+    "SELECT canonical_url, doc_id, warc_ts, "
+    "row_number() OVER (PARTITION BY canonical_url "
+    "ORDER BY warc_ts, doc_id) AS rn, "
+    "COUNT(*) OVER (PARTITION BY canonical_url) AS n_variants "
+    "FROM canon) WHERE rn = 1")
+
+ORACLE_SQL["host_stats"] = (
+    "WITH " + _pages_ctes() + ", "
+    "pagerows AS (SELECT "
+    "regexp_replace(canonical_url, '^https://([^/]+).*$', '\\1', 'g') "
+    "AS host, canonical_url, COUNT(*) AS n_captures, "
+    "SUM(n_chars) AS n_chars FROM canon GROUP BY 1, 2) "
+    "SELECT host, CAST(SUM(n_captures) AS BIGINT) AS n_captures, "
+    "CAST(COUNT(*) AS BIGINT) AS n_pages, "
+    "CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM pagerows GROUP BY host")
