@@ -117,7 +117,7 @@ def run_bench() -> dict:
         "exact_dup_groups", "sessions", "ngram_jaccard_dups",
         "events_asof", "dup_ngram_stats", "event_gaps",
         "event_moving_avg", "top_revenue_orders", "decontamination",
-        "line_dedup", "pii_redact"]
+        "line_dedup", "pii_redact", "url_dedup"]
     for name in q_names:
         t0 = time.time()
         ds = QUERIES[name](sf_dir)
