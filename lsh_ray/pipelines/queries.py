@@ -368,17 +368,15 @@ def q_unigram_logprob(sf_dir: str):
     return unigram_logprob(_docs_text(sf_dir))
 
 
-def q_embedding_near_dups(sf_dir: str):
-    """SRP-banded near-dup pairs over the embeddings table AUGMENTED with
-    deterministic planted duplicates (vec_id+1e6, embedding*2 for
-    vec_id<50 — scaling preserves direction exactly, so cosine == 1 and
-    the SRP signatures are bit-identical). Oracle-checked: the planted
-    pairs make the query provably non-vacuous (the raw table's max
-    pairwise cosine is ~0.5, below any near-dup gate)."""
+def _aug_embeddings(sf_dir: str):
+    """Embeddings table AUGMENTED with deterministic planted duplicates
+    (vec_id+1e6, embedding*2 for vec_id<50 — scaling by a power of two
+    preserves direction bit-exactly, so cosine == 1 and SRP signatures
+    are identical). Shared by the embedding-dedup queries; the oracles
+    reproduce the augmentation in SQL."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from lsh_ray.stages.dedup import embedding_near_dup_pairs
     emb = _read(f"{sf_dir}/embeddings.parquet",
                 columns=["vec_id", "embedding"])
 
@@ -391,8 +389,17 @@ def q_embedding_near_dups(sf_dir: str):
         return pa.table({"vec_id": pc.add(sub["vec_id"], 1_000_000),
                          "embedding": scaled})
 
-    aug = emb.union(emb.map_batches(planted, batch_format="pyarrow",
-                                    zero_copy_batch=True))
+    return emb.union(emb.map_batches(planted, batch_format="pyarrow",
+                                     zero_copy_batch=True))
+
+
+def q_embedding_near_dups(sf_dir: str):
+    """SRP-banded near-dup pairs over the planted-duplicate embeddings
+    view (_aug_embeddings). Oracle-checked: the planted pairs make the
+    query provably non-vacuous (the raw table's max pairwise cosine is
+    ~0.5, below any near-dup gate)."""
+    from lsh_ray.stages.dedup import embedding_near_dup_pairs
+    aug = _aug_embeddings(sf_dir)
     import dataclasses
 
     # the embeddings table is tiny at test SFs; a narrow shuffle width
@@ -1298,6 +1305,22 @@ def _synth_pages(sf_dir: str):
                           zero_copy_batch=True)
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup over the planted-duplicate
+    embeddings view: seed-centroid cosine clustering, then the
+    order-free within-cluster keep-first rule (dropped iff a lower-id
+    cluster-mate has cosine >= 0.9). The 50 planted copies are the
+    provable drops (cosine exactly 1 to their originals); organic max
+    pairwise cosine is ~0.5, far from the gate, so no float boundary
+    risk. See stages/dedup.semantic_dedup."""
+    import dataclasses
+
+    from lsh_ray.stages.dedup import semantic_dedup
+    small = dataclasses.replace(CFG, shuffle_coalesce_blocks=8)
+    return semantic_dedup(_aug_embeddings(sf_dir), dim=64, config=small,
+                          n_centroids=8, tau=0.9)
+
+
 def q_url_dedup(sf_dir: str):
     """URL-level crawl dedup: canonicalize each capture's URL (fixed
     RE2 rewrite chain, shared step list with the oracle —
@@ -1366,6 +1389,7 @@ QUERIES = {
     "decontamination": q_decontamination,
     "url_dedup": q_url_dedup,
     "host_stats": q_host_stats,
+    "semantic_dedup": q_semantic_dedup,
     "near_dedup_keep": q_near_dedup_keep,
     "top_tokens": q_top_tokens,
     "doc_length_quantiles": q_doc_length_quantiles,
@@ -2021,6 +2045,35 @@ def _pages_ctes() -> str:
         "canon AS (SELECT doc_id, n_chars, warc_ts, "
         f"{canonical_sql_expr('url')} AS canonical_url FROM raw)")
 
+
+# SemDeDup twin: the same planted augmentation, seed centroids =
+# vec_id < 8, assignment by (cosine DESC, k ASC) row_number (= numpy
+# argmax-first-max), then the order-free keep rule. keep uses the
+# UNROUNDED max (as the Ray kernel does); only the reported
+# max_lower_cos is rounded. All cosines in float64 on both engines.
+ORACLE_SQL["semantic_dedup"] = (
+    "WITH aug AS ("
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings "
+    "UNION ALL "
+    "SELECT vec_id + 1000000 AS vec_id, "
+    "list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2) AS e "
+    "FROM embeddings WHERE vec_id < 50), "
+    "cent AS (SELECT vec_id AS k, e AS c FROM aug WHERE vec_id < 8), "
+    "assign AS (SELECT vec_id, e, k AS cluster FROM ("
+    "SELECT a.vec_id, a.e, cent.k, row_number() OVER ("
+    "PARTITION BY a.vec_id ORDER BY "
+    "list_cosine_similarity(a.e, cent.c) DESC, cent.k) AS rn "
+    "FROM aug a CROSS JOIN cent) WHERE rn = 1), "
+    "lm AS (SELECT a.vec_id, "
+    "MAX(list_cosine_similarity(a.e, b.e)) AS mc "
+    "FROM assign a JOIN assign b "
+    "ON a.cluster = b.cluster AND b.vec_id < a.vec_id "
+    "GROUP BY a.vec_id) "
+    "SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster, "
+    "CAST(CASE WHEN COALESCE(lm.mc, -1) >= 0.9 THEN 0 ELSE 1 END "
+    "AS BIGINT) AS keep, "
+    "ROUND(COALESCE(lm.mc, -1), 6) AS max_lower_cos "
+    "FROM assign a LEFT JOIN lm USING (vec_id)")
 
 ORACLE_SQL["url_dedup"] = (
     "WITH " + _pages_ctes() + " "

@@ -387,6 +387,114 @@ def embedding_near_dup_pairs(embeddings_ds, dim: int,
                               zero_copy_batch=True)
 
 
+# ---------------------------------------------------- semantic (SemDeDup) --
+
+def semantic_dedup(embeddings_ds, dim: int, config: PipelineConfig,
+                   n_centroids: int = 8, tau: float = 0.9,
+                   round_to: int = 6):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then within each
+    cluster drop every vector that has a LOWER-vec_id neighbor with
+    cosine >= ``tau``.
+
+    - Centroids are the vectors of the first ``n_centroids`` vec_ids —
+      a deterministic seed choice so the DuckDB oracle can reproduce
+      the assignment; production swaps in k-means/IVF-trained centroids
+      (``stages/similarity.py`` has the trainer) without changing the
+      plan. They are a bounded driver pull broadcast ONCE via
+      ``ray.put``; assignment is one float64 matmul per batch.
+    - The keep rule is the order-free form of the paper's greedy sweep:
+      dropped iff SOME lower-id same-cluster vector is within tau —
+      deterministic under any scan order and exactly SQL-expressible.
+    - Within-cluster work is O(m^2) on cluster size m: at production
+      scale ``n_centroids`` grows ~sqrt(N) (the paper's regime) so m
+      stays bounded; the per-cluster co-location is the same tasks-mode
+      exchange the other dedup tiers use.
+
+    -> (vec_id, cluster, keep, max_lower_cos) for every input vector;
+    ``max_lower_cos`` is -1 when no lower-id cluster-mate exists.
+    """
+    import ray
+
+    from lsh_ray.config import coalesce_blocks
+    from lsh_ray.stages.exchange import colocate_map
+
+    def is_seed(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.less(t["vec_id"], n_centroids))
+
+    seed_rows = embeddings_ds.map_batches(
+        is_seed, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    seed_rows.sort(key=lambda r: r["vec_id"])  # bounded: n_centroids rows
+    C = np.asarray([r["embedding"] for r in seed_rows], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    c_ref = ray.put(Cn)
+
+    def assign(t: pa.Table) -> pa.Table:
+        Cn_ = ray.get(c_ref)
+        n = t.num_rows
+        if n == 0:
+            return t.append_column("cluster", pa.array([], pa.int64()))
+        E = t["embedding"].combine_chunks().values.to_numpy(
+            zero_copy_only=False).reshape(n, -1).astype(np.float64)
+        En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True),
+                            1e-300)
+        # argmax takes the FIRST max — ties resolve to min centroid id,
+        # matching the oracle's (cos DESC, k ASC) row_number order
+        cl = np.argmax(En @ Cn_.T, axis=1).astype(np.int64)
+        return t.append_column("cluster", pa.array(cl))
+
+    assigned = embeddings_ds.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True)
+    nb = min(coalesce_blocks(config), 64)
+
+    def block(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from lsh_ray.functions.num import round_half_away
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "keep": pa.array([], pa.int64()),
+                             "max_lower_cos": pa.array([], pa.float64())})
+        order = pc.sort_indices(t, sort_keys=[("cluster", "ascending"),
+                                              ("vec_id", "ascending")])
+        t = t.take(order)
+        n = t.num_rows
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        E = t["embedding"].combine_chunks().values.to_numpy(
+            zero_copy_only=False).reshape(n, -1).astype(np.float64)
+        En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True),
+                            1e-300)
+        max_lower = np.full(n, -1.0)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(cl)) + 1, [n]))
+        for s, e in zip(starts[:-1], starts[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            V = En[s:e]
+            G = np.where(np.tril(np.ones((m, m), dtype=bool), -1),
+                         V @ V.T, -np.inf)
+            ml = G.max(axis=1)
+            max_lower[s:e] = np.where(np.isfinite(ml), ml, -1.0)
+        keep = (max_lower < tau).astype(np.int64)
+        return pa.table({
+            "vec_id": t["vec_id"].cast(pa.int64()),
+            "cluster": t["cluster"],
+            "keep": pa.array(keep),
+            "max_lower_cos": pa.array(round_half_away(max_lower, round_to),
+                                      type=pa.float64())})
+
+    def cl_bucket(t: pa.Table) -> pa.Table:
+        b = (t["cluster"].to_numpy(zero_copy_only=False)
+             % nb).astype(np.int32)
+        return t.append_column("bucket", pa.array(b))
+
+    return colocate_map(assigned, ["cluster"], nb, block,
+                        sort_bucket_expr=cl_bucket)
+
+
 # ------------------------------------------------------- line-level dedup --
 
 def segment_lines(ds, words_per_line: int = 12, text_col: str = "text",
