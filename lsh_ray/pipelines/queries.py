@@ -1321,6 +1321,16 @@ def q_semantic_dedup(sf_dir: str):
                           n_centroids=8, tau=0.9)
 
 
+def q_stratified_sample(sf_dir: str):
+    """Per-language quota sample (training-data mixing primitive):
+    the 10 docs with the smallest (md5(doc_id), doc_id) per lang.
+    Two-phase: per-batch local top-k partials, per-stratum finish —
+    the corpus never reaches the exchange."""
+    from lsh_ray.stages.sampling import stratified_sample
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return stratified_sample(ds, stratum_col="lang", k=10)
+
+
 def q_url_dedup(sf_dir: str):
     """URL-level crawl dedup: canonicalize each capture's URL (fixed
     RE2 rewrite chain, shared step list with the oracle —
@@ -1390,6 +1400,7 @@ QUERIES = {
     "url_dedup": q_url_dedup,
     "host_stats": q_host_stats,
     "semantic_dedup": q_semantic_dedup,
+    "stratified_sample": q_stratified_sample,
     "near_dedup_keep": q_near_dedup_keep,
     "top_tokens": q_top_tokens,
     "doc_length_quantiles": q_doc_length_quantiles,
@@ -2045,6 +2056,12 @@ def _pages_ctes() -> str:
         "canon AS (SELECT doc_id, n_chars, warc_ts, "
         f"{canonical_sql_expr('url')} AS canonical_url FROM raw)")
 
+
+ORACLE_SQL["stratified_sample"] = (
+    "SELECT lang, doc_id, CAST(rn - 1 AS BIGINT) AS sample_rank FROM ("
+    "SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+    "FROM documents) WHERE rn <= 10")
 
 # SemDeDup twin: the same planted augmentation, seed centroids =
 # vec_id < 8, assignment by (cosine DESC, k ASC) row_number (= numpy

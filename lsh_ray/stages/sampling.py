@@ -75,6 +75,69 @@ def hash_sample(ds, rate_bucket_hex: str, key_col: str = "doc_id",
     return ds.map_batches(_filter, batch_format="pyarrow")
 
 
+def stratified_sample(ds, stratum_col: str = "lang", k: int = 5,
+                      key_col: str = "doc_id"):
+    """Deterministic per-stratum quota sample: the ``k`` rows with the
+    smallest (md5(key), key) within each stratum — the training-data
+    mixing primitive (fixed per-language/per-domain quotas) in a form
+    every node reproduces bit-identically.
+
+    Two-phase plan: each batch keeps at most k rows per stratum (local
+    hash-order top-k, vectorized run arithmetic after one sort), so at
+    most k x strata x blocks rows reach the final per-stratum
+    co-location — never the corpus. Output: (stratum, key,
+    sample_rank) with rank 0..k-1 in hash order.
+    """
+    import pyarrow.compute as pc
+
+    def _topk(t: pa.Table, ranked: bool) -> pa.Table:
+        if t.num_rows == 0:
+            out = {stratum_col: t[stratum_col], key_col: t[key_col],
+                   "h": pa.array([], pa.string())}
+            if ranked:
+                out["sample_rank"] = pa.array([], pa.int64())
+                del out["h"]
+            return pa.table(out)
+        if "h" not in t.column_names:
+            h = [hashlib.md5(str(x).encode()).hexdigest()
+                 for x in t[key_col].to_pylist()]
+            t = t.append_column("h", pa.array(h, type=pa.string()))
+        order = pc.sort_indices(
+            t, sort_keys=[(stratum_col, "ascending"), ("h", "ascending"),
+                          (key_col, "ascending")])
+        t = t.take(order)
+        s = t.column(stratum_col).combine_chunks()
+        n = t.num_rows
+        neq = (pc.not_equal(s.slice(1), s.slice(0, n - 1))
+               .to_numpy(zero_copy_only=False)
+               if n > 1 else np.empty(0, bool))
+        starts = np.flatnonzero(np.concatenate(([True], neq)))
+        lens = np.diff(np.concatenate((starts, [n])))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        t = t.filter(pa.array(rank < k))
+        if not ranked:
+            return t
+        return pa.table({stratum_col: t[stratum_col],
+                         key_col: t[key_col],
+                         "sample_rank": pa.array(rank[rank < k])})
+
+    from lsh_ray.config import coalesce_blocks
+    from lsh_ray.stages.exchange import _key_hash_u64, colocate_map
+
+    part = ds.select_columns([key_col, stratum_col]).map_batches(
+        lambda t: _topk(t, ranked=False), batch_format="pyarrow",
+        zero_copy_batch=True)
+    nb = min(coalesce_blocks(), 16)  # strata are few; partials tiny
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hb = _key_hash_u64(t, [stratum_col]) % np.uint64(nb)
+        return t.append_column("bucket", pa.array(hb.astype(np.int32)))
+
+    return colocate_map(part, [stratum_col], nb,
+                        lambda t: _topk(t, ranked=True),
+                        sort_bucket_expr=bucket)
+
+
 def exact_quantiles(ds, col: str, permille=(250, 500, 750, 900, 990),
                     max_cardinality: int = 1_000_000):
     """Exact discrete quantiles of an integer column via a distributed

@@ -901,6 +901,47 @@ def test_hash_sample_complement_partitions(rd):
     assert len(a) > 0 and len(b) > 0
 
 
+def test_stratified_sample_quota_and_hash_order(rd):
+    import hashlib
+    from lsh_ray.stages.sampling import stratified_sample
+    n = 500
+    strata = ["s%d" % (i % 4) for i in range(n)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "lang": pa.array(strata)}))
+    out = stratified_sample(ds, stratum_col="lang", k=7).to_pandas()
+    assert len(out) == 4 * 7
+    assert set(out.groupby("lang").size()) == {7}
+    assert sorted(out.columns) == ["doc_id", "lang", "sample_rank"]
+    # reference: k smallest (md5(id), id) per stratum, rank = position
+    import pandas as pd
+    ref = pd.DataFrame({"doc_id": range(n), "lang": strata})
+    ref["h"] = ref.doc_id.map(
+        lambda x: hashlib.md5(str(x).encode()).hexdigest())
+    ref = ref.sort_values(["lang", "h", "doc_id"])
+    ref["sample_rank"] = ref.groupby("lang").cumcount()
+    ref = ref[ref.sample_rank < 7][["lang", "doc_id", "sample_rank"]]
+    got = out.sort_values(["lang", "sample_rank"]).reset_index(drop=True)
+    ref = ref.sort_values(["lang", "sample_rank"]).reset_index(drop=True)
+    assert got[["lang", "doc_id", "sample_rank"]].equals(
+        ref[["lang", "doc_id", "sample_rank"]].astype(got.dtypes.to_dict()))
+    # deterministic across runs
+    again = stratified_sample(ds, stratum_col="lang", k=7).to_pandas() \
+        .sort_values(["lang", "sample_rank"]).reset_index(drop=True)
+    assert again[got.columns.tolist()].equals(got)
+
+
+def test_stratified_sample_small_stratum_keeps_all(rd):
+    from lsh_ray.stages.sampling import stratified_sample
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(30), type=pa.int64()),
+        "lang": pa.array(["rare"] * 3 + ["big"] * 27)}))
+    out = stratified_sample(ds, stratum_col="lang", k=10).to_pandas()
+    assert (out[out.lang == "rare"].sample_rank.sort_values().tolist()
+            == [0, 1, 2])
+    assert len(out[out.lang == "big"]) == 10
+
+
 def test_exact_quantiles_known_ranks(rd):
     from lsh_ray.stages.sampling import exact_quantiles
     ds = rd.from_arrow(pa.table({
