@@ -1,4 +1,4 @@
-"""Native MPEG-1 audio (Layer I) decode — pure numpy + stdlib.
+"""Native MPEG-1 audio (Layer I + II) decode — pure numpy + stdlib.
 
 Closes the last declared codec boundary in ``BinaryDecodeStage``
 (reference analog: the audio loader at ``/root/reference/loader.py:69-77``
@@ -13,11 +13,19 @@ Scope and honesty about the boundary:
   parse, bit allocation, scalefactors, sample dequantization and the
   ISO-structured polyphase synthesis filterbank. Mono, stereo and dual
   -channel modes; intensity (joint) stereo raises.
-- **Layer II** needs the ISO 11172-3 Table B.2a-d allocation tables and
-  **Layer III** needs the Huffman code tables + IMDCT — both are pages
-  of tabulated standard data with no closed form, so they raise a
-  precise ``ValueError`` naming the missing piece rather than shipping
-  an unverifiable transcription.
+- **Layer II** (``.mp2``) decodes natively: Table B.2a-d allocation
+  (selected per ISO's sampling-frequency x bitrate-per-channel rule),
+  scfsi scalefactor sharing, grouped (3/5/9-step) and ungrouped sample
+  codes, and the unified midrise dequantizer — Table B.4's per-class
+  ``C``/``D`` constants reduce algebraically to the closed form
+  ``s'' = (2c + 1 - steps) / steps`` (verify: steps=7, C=8/7, D=1/4,
+  s'''=c/4-1 gives C*(s'''+D) = (2c-6)/7), so no constant table is
+  transcribed. Mono / stereo / dual-channel; joint (intensity) stereo
+  raises.
+- **Layer III** needs the ISO Huffman code tables + IMDCT — pages of
+  tabulated standard data with no closed form — so it raises a precise
+  ``ValueError`` naming the missing piece rather than shipping an
+  unverifiable transcription.
 - The ISO tables 3-B.2 (analysis window C) and 3-B.3 (synthesis window
   D) are likewise tabulated data. This module uses a COMPUTED near-PR
   prototype of the identical structure (512-tap windowed sinc, cutoff
@@ -237,11 +245,147 @@ def _decode_frame_l1(bits: np.ndarray, pos: int, h: dict,
     return out, pos + 12 * stride
 
 
+# ------------------------------------------------------ Layer II tables ---
+
+# ISO 11172-3 Tables B.2a-d: per-subband (nbal, steps-per-allocation-index).
+# Allocation code 0 means "no samples"; code a >= 1 selects steps[a - 1].
+_L2_ROW_A1 = (4, (3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+                  8191, 16383, 32767, 65535))
+_L2_ROW_A2 = (4, (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047,
+                  4095, 8191, 65535))
+_L2_ROW_A3 = (3, (3, 5, 7, 9, 15, 31, 65535))
+_L2_ROW_A4 = (2, (3, 5, 65535))
+_L2_ROW_C1 = (4, (3, 5, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+                  8191, 16383, 32767, 65535))
+_L2_ROW_C2 = (3, (3, 5, 9, 15, 31, 63, 127))
+
+_L2_TABLES = {
+    "B.2a": [_L2_ROW_A1] * 3 + [_L2_ROW_A2] * 8 + [_L2_ROW_A3] * 12
+            + [_L2_ROW_A4] * 4,                          # sblimit 27
+    "B.2b": [_L2_ROW_A1] * 3 + [_L2_ROW_A2] * 8 + [_L2_ROW_A3] * 12
+            + [_L2_ROW_A4] * 7,                          # sblimit 30
+    "B.2c": [_L2_ROW_C1] * 2 + [_L2_ROW_C2] * 6,         # sblimit 8
+    "B.2d": [_L2_ROW_C1] * 2 + [_L2_ROW_C2] * 10,        # sblimit 12
+}
+
+
+def _l2_table_name(sample_rate: int, bitrate: int, n_ch: int) -> str:
+    """ISO's Table B.2 selection rule (sampling frequency x bitrate per
+    channel): <= 48 kbit/s/ch uses the low-rate tables (B.2d at 32 kHz,
+    else B.2c); 56-80 uses B.2a everywhere; >= 96 uses B.2a at 48 kHz
+    and B.2b at 44.1 / 32 kHz."""
+    per_ch = bitrate // n_ch
+    if per_ch <= 48_000:
+        return "B.2d" if sample_rate == 32000 else "B.2c"
+    if per_ch <= 80_000:
+        return "B.2a"
+    return "B.2a" if sample_rate == 48000 else "B.2b"
+
+
+def _l2_cw_bits(steps: int) -> int:
+    """Codeword bits per granule for one (subband, channel): grouped
+    classes (3/5/9 steps) pack three samples into one base-``steps``
+    code; ungrouped classes carry three nb-bit codes."""
+    if steps == 3:
+        return 5
+    if steps == 5:
+        return 7
+    if steps == 9:
+        return 10
+    return 3 * ((steps + 1).bit_length() - 1)
+
+
+def _decode_frame_l2(bits: np.ndarray, pos: int, h: dict,
+                     ) -> np.ndarray:
+    """One Layer II frame's payload bits -> (36*32, n_ch) subband
+    samples (hop-major, matching ``_decode_frame_l1``'s layout)."""
+    n_ch = 1 if h["mode"] == 3 else 2
+    if h["mode"] == 1:
+        raise ValueError(
+            "MPEG-1 Layer II intensity (joint) stereo not supported "
+            "(modes: mono / stereo / dual-channel)")
+    rows = _L2_TABLES[_l2_table_name(h["sample_rate"], h["bitrate"],
+                                     n_ch)]
+    sblimit = len(rows)
+    one = np.zeros(1, dtype=np.int64)   # scalar read helper
+    steps_of = np.zeros((n_ch, 32), dtype=np.int64)
+    for sb in range(sblimit):
+        nbal, steps_list = rows[sb]
+        for ch in range(n_ch):
+            a = int(_read_bits_vec(bits, one + pos, nbal)[0])
+            pos += nbal
+            if a > len(steps_list):
+                raise ValueError(
+                    f"Layer II allocation {a} out of range for subband "
+                    f"{sb} (table row has {len(steps_list)} classes)")
+            if a:
+                steps_of[ch, sb] = steps_list[a - 1]
+    scfsi = np.zeros((n_ch, 32), dtype=np.int64)
+    for sb in range(sblimit):
+        for ch in range(n_ch):
+            if steps_of[ch, sb]:
+                scfsi[ch, sb] = int(_read_bits_vec(bits, one + pos, 2)[0])
+                pos += 2
+    # scalefactors: one per 12-hop part (3 parts); scfsi selects how
+    # many are transmitted and how they spread across parts
+    sf = np.zeros((n_ch, 32, 3))
+    for sb in range(sblimit):
+        for ch in range(n_ch):
+            if not steps_of[ch, sb]:
+                continue
+            n_tx = (3, 2, 1, 2)[scfsi[ch, sb]]
+            vals = []
+            for _ in range(n_tx):
+                i = int(_read_bits_vec(bits, one + pos, 6)[0])
+                pos += 6
+                if i == 63:
+                    raise ValueError("forbidden scalefactor index 63")
+                vals.append(_SCALEFACTORS[i])
+            code = scfsi[ch, sb]
+            if code == 0:
+                parts = vals
+            elif code == 1:
+                parts = [vals[0], vals[0], vals[1]]
+            elif code == 2:
+                parts = [vals[0]] * 3
+            else:
+                parts = [vals[0], vals[1], vals[1]]
+            sf[ch, sb] = parts
+    # samples: 12 granules x 3 hops; constant per-granule bit stride
+    offs: dict[tuple[int, int], int] = {}
+    gbits = 0
+    for sb in range(sblimit):
+        for ch in range(n_ch):
+            s = int(steps_of[ch, sb])
+            if s:
+                offs[(sb, ch)] = gbits
+                gbits += _l2_cw_bits(s)
+    groups = np.arange(12) * gbits
+    out = np.zeros((36, 32, n_ch))
+    for (sb, ch), off in offs.items():
+        s = int(steps_of[ch, sb])
+        w = _l2_cw_bits(s)
+        if s in (3, 5, 9):
+            v = _read_bits_vec(bits, pos + off + groups, w)
+            c = np.stack([v % s, (v // s) % s, (v // (s * s)) % s],
+                         axis=1)                          # (12, 3)
+        else:
+            nb = w // 3
+            c = np.stack([_read_bits_vec(bits, pos + off + k * nb
+                                         + groups, nb)
+                          for k in range(3)], axis=1)     # (12, 3)
+        s2 = (2 * c + 1 - s) / float(s)
+        out[:, sb, ch] = (s2 * np.repeat(sf[ch, sb], 4)[:, None]) \
+            .reshape(-1)
+    return out.reshape(36 * 32, n_ch)
+
+
 def decode_mpeg1(payload: bytes) -> tuple[np.ndarray, int]:
     """MPEG-1 audio bytes -> (mono float64 samples in [-1, 1],
-    sample_rate). Layer I decodes natively; Layer II/III raise with the
-    precise missing piece (see module docstring). Multi-channel is
-    averaged to mono (same contract as ``decode_wav``)."""
+    sample_rate). Layers I and II decode natively; Layer III raises
+    with the precise missing piece (see module docstring).
+    Multi-channel is averaged to mono (same contract as
+    ``decode_wav``)."""
     start = _skip_id3v2(payload)
     pos = start
     frames = []
@@ -253,15 +397,10 @@ def decode_mpeg1(payload: bytes) -> tuple[np.ndarray, int]:
                 break                  # trailing junk / ID3v1 after audio
             raise ValueError("no MPEG audio sync word found")
         h = parse_frame_header(word)
-        if h["layer"] == 2:
-            raise ValueError(
-                "MPEG-1 Layer II decode requires the ISO 11172-3 Table "
-                "B.2a-d allocation tables (tabulated standard data not "
-                "reproducible here); Layer I decodes natively")
         if h["layer"] == 3:
             raise ValueError(
                 "MPEG-1 Layer III (MP3) decode requires the ISO Huffman "
-                "code tables + IMDCT; Layer I decodes natively")
+                "code tables + IMDCT; Layers I and II decode natively")
         if sample_rate is None:
             sample_rate = h["sample_rate"]
         elif h["sample_rate"] != sample_rate:
@@ -273,7 +412,10 @@ def decode_mpeg1(payload: bytes) -> tuple[np.ndarray, int]:
         bits = np.unpackbits(np.frombuffer(frame, dtype=np.uint8)) \
             .astype(np.int64)
         bit0 = 32 + (16 if h["protection"] == 0 else 0)
-        sub, _ = _decode_frame_l1(bits, bit0, h)
+        if h["layer"] == 1:
+            sub, _ = _decode_frame_l1(bits, bit0, h)
+        else:
+            sub = _decode_frame_l2(bits, bit0, h)
         frames.append(sub)
         pos += nbytes
     if not frames:
@@ -287,6 +429,109 @@ def decode_mpeg1(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 # -------------------------------------------------------------- encode ---
+
+def _put_bits(bits: list[int], v: int, w: int) -> None:
+    for j in range(w - 1, -1, -1):
+        bits.append((v >> j) & 1)
+
+
+def encode_mpeg1_layer2(samples: np.ndarray, sample_rate: int = 44100,
+                        bitrate_kbps: int = 192, max_steps: int = 15,
+                        stereo: bool = False) -> bytes:
+    """Float samples in [-1, 1] -> MPEG-1 Layer II bitstream (the test
+    -fixture encoder, same role as ``encode_mpeg1_layer1``): per
+    subband the largest Table B.2 quantization class with
+    ``steps <= max_steps`` is allocated, per-part scalefactors are the
+    smallest covering max|s|, and scfsi is chosen adaptively (2 when
+    all three parts share a scalefactor, 1/3 when adjacent pairs do,
+    else 0) so every decoder sharing path is exercised by real
+    signals. ``stereo=True`` duplicates the signal on both channels."""
+    if sample_rate not in _SAMPLE_RATES:
+        raise ValueError(f"sample_rate must be one of {_SAMPLE_RATES}")
+    try:
+        bidx = _BITRATES[2].index(bitrate_kbps)
+    except ValueError:
+        raise ValueError(
+            f"bitrate_kbps must be one of {_BITRATES[2][1:]}") from None
+    n_ch = 2 if stereo else 1
+    mode = 0 if stereo else 3
+    sidx = _SAMPLE_RATES.index(sample_rate)
+    rows = _L2_TABLES[_l2_table_name(sample_rate, bitrate_kbps * 1000,
+                                     n_ch)]
+    sblimit = len(rows)
+    # per-subband allocation: largest class with steps <= max_steps
+    # (every row starts at 3 steps, so index 1 always exists)
+    alloc_idx = []
+    for sb in range(sblimit):
+        _nbal, steps_list = rows[sb]
+        k = max(i for i, s in enumerate(steps_list) if s <= max_steps
+                or i == 0) + 1
+        alloc_idx.append(k)
+    n_frames = -(-len(samples) // 1152)
+    sig = np.concatenate([np.asarray(samples, dtype=np.float64),
+                          np.zeros(n_frames * 1152 - len(samples))])
+    sub = _analysis(sig)                              # (hops, 32)
+    frame_bytes = 144 * bitrate_kbps * 1000 // sample_rate
+    header = (0xFFF << 20 | 1 << 19 | 2 << 17 | 1 << 16 | bidx << 12
+              | sidx << 10 | mode << 6)
+    out = bytearray()
+    for f in range(n_frames):
+        s = sub[f * 36: f * 36 + 36]                  # (36, 32)
+        bits: list[int] = []
+        for sb in range(sblimit):
+            for _ch in range(n_ch):
+                _put_bits(bits, alloc_idx[sb], rows[sb][0])
+        # per-part scalefactor indices (smallest sf covering max|s|)
+        sf_idx = np.zeros((32, 3), dtype=np.int64)
+        for sb in range(sblimit):
+            for p in range(3):
+                m = np.abs(s[p * 12: p * 12 + 12, sb]).max()
+                i = int(np.searchsorted(-_SCALEFACTORS, -m))
+                i = min(max(i - 1, 0), 62) if m > 0 else 62
+                while _SCALEFACTORS[i] < m and i > 0:
+                    i -= 1
+                sf_idx[sb, p] = i
+        scfsi = np.zeros(32, dtype=np.int64)
+        for sb in range(sblimit):
+            a, b, c = sf_idx[sb]
+            scfsi[sb] = (2 if a == b == c else 1 if a == b
+                         else 3 if b == c else 0)
+        for sb in range(sblimit):
+            for _ch in range(n_ch):
+                _put_bits(bits, int(scfsi[sb]), 2)
+        for sb in range(sblimit):
+            tx = {0: [0, 1, 2], 1: [0, 2], 2: [0], 3: [0, 1]}[
+                int(scfsi[sb])]
+            for _ch in range(n_ch):
+                for p in tx:
+                    _put_bits(bits, int(sf_idx[sb, p]), 6)
+        for g in range(12):
+            for sb in range(sblimit):
+                steps = rows[sb][1][alloc_idx[sb] - 1]
+                sf = _SCALEFACTORS[sf_idx[sb, g // 4]]
+                c3 = []
+                for j in range(3):
+                    s2 = s[g * 3 + j, sb] / sf
+                    c = int(round((s2 * steps + steps - 1) / 2.0))
+                    c3.append(min(max(c, 0), steps - 1))
+                w = _l2_cw_bits(steps)
+                for _ch in range(n_ch):
+                    if steps in (3, 5, 9):
+                        _put_bits(bits, c3[0] + steps * c3[1]
+                                  + steps * steps * c3[2], w)
+                    else:
+                        for c in c3:
+                            _put_bits(bits, c, w // 3)
+        total_bits = frame_bytes * 8 - 32
+        if len(bits) > total_bits:
+            raise ValueError(
+                f"frame overflow: {len(bits)} payload bits > "
+                f"{total_bits} (raise bitrate_kbps or lower max_steps)")
+        bits.extend([0] * (total_bits - len(bits)))
+        out += struct.pack(">I", header)
+        out += np.packbits(np.array(bits, dtype=np.uint8)).tobytes()
+    return bytes(out)
+
 
 def encode_mpeg1_layer1(samples: np.ndarray, sample_rate: int = 44100,
                         bitrate_kbps: int = 448, nbits: int = 9,

@@ -453,8 +453,8 @@ class BinaryDecodeStage:
             if payload[:3] == b"ID3" or (
                     len(payload) >= 2 and payload[0] == 0xFF
                     and payload[1] & 0xE0 == 0xE0):
-                # MPEG audio (Layer I native; II/III raise inside with
-                # the precise missing standard table — see mpeg_audio)
+                # MPEG audio (Layers I + II native; III raises inside
+                # with the precise missing standard table — mpeg_audio)
                 from lsh_ray.stages.mpeg_audio import decode_mpeg1
                 return audio_features(*decode_mpeg1(payload))
             if payload[:4] == b"MThd":
@@ -464,7 +464,7 @@ class BinaryDecodeStage:
                 return midi_features(*parse_midi(payload))
             raise NotImplementedError(
                 "unrecognized payload format; gzip/zlib/xz/bz2 wrappers "
-                "and JPEG / PNG / BMP / PCM WAV / MPEG-1 Layer I audio "
+                "and JPEG / PNG / BMP / PCM WAV / MPEG-1 Layer I+II audio "
                 "/ SMF MIDI / BMPV payloads decode natively, or construct "
                 "with use_fake_decoder=True for the stand-in")
         # deterministic fake: md5-seeded byte statistics as "features"

@@ -14,6 +14,7 @@ import pytest
 
 from lsh_ray.stages.mpeg_audio import (FILTERBANK_DELAY, decode_mpeg1,
                                        encode_mpeg1_layer1,
+                                       encode_mpeg1_layer2,
                                        parse_frame_header)
 
 
@@ -82,13 +83,94 @@ def test_header_parse_fields():
     assert h["sample_rate"] == 44100 and h["mode"] == 3
 
 
-def test_layer_2_and_3_raise_with_named_boundary():
-    # rewrite the layer bits of a real frame header: 0b10 = II, 0b01 = III
+def test_layer_3_raises_with_named_boundary():
+    # rewrite the layer bits of a real frame header: 0b01 = III
     data = bytearray(encode_mpeg1_layer1(_tone(n=500)))
-    for code, name in ((0b10, "Table B.2"), (0b01, "Huffman")):
-        data[1] = (data[1] & ~0b110) | (code << 1)
-        with pytest.raises(ValueError, match=name):
-            decode_mpeg1(bytes(data))
+    data[1] = (data[1] & ~0b110) | (0b01 << 1)
+    with pytest.raises(ValueError, match="Huffman"):
+        decode_mpeg1(bytes(data))
+
+
+# ------------------------------------------------------------ Layer II ----
+
+def test_l2_roundtrip_tone_mono():
+    sig = _tone(n=22050)
+    dec, sr = decode_mpeg1(encode_mpeg1_layer2(sig))
+    assert sr == 44100
+    assert len(dec) >= len(sig)
+    assert _snr_db(sig, dec) > 18.0
+
+
+def test_l2_quantizer_depth_improves_snr():
+    sig = _tone(n=11520)
+    coarse = _snr_db(sig, decode_mpeg1(
+        encode_mpeg1_layer2(sig, max_steps=3, bitrate_kbps=96))[0])
+    fine = _snr_db(sig, decode_mpeg1(
+        encode_mpeg1_layer2(sig, max_steps=511, bitrate_kbps=384))[0])
+    assert fine > 45.0 and fine > coarse + 15.0
+
+
+def test_l2_stereo_layout():
+    sig = _tone(n=8192)
+    dec, sr = decode_mpeg1(encode_mpeg1_layer2(sig, stereo=True,
+                                               bitrate_kbps=384))
+    assert sr == 44100 and _snr_db(sig, dec) > 18.0
+
+
+@pytest.mark.parametrize("sr,kbps,max_steps", [
+    (44100, 192, 15),    # Table B.2b (>= 96 kbit/s/ch at 44.1 kHz)
+    (48000, 192, 15),    # Table B.2a (48 kHz)
+    (32000, 192, 15),    # Table B.2b (32 kHz high-rate)
+    (44100, 48, 9),      # Table B.2c (low-rate, grouped 9-step class)
+    (32000, 48, 5),      # Table B.2d (32 kHz low-rate, grouped)
+])
+def test_l2_all_allocation_tables_roundtrip(sr, kbps, max_steps):
+    sig = _tone(n=5760, sr=sr)
+    dec, got = decode_mpeg1(encode_mpeg1_layer2(
+        sig, sample_rate=sr, bitrate_kbps=kbps, max_steps=max_steps))
+    assert got == sr
+    assert _snr_db(sig, dec) > 10.0
+
+
+def test_l2_scfsi_sharing_paths_roundtrip():
+    """An amplitude ramp makes the three scalefactor parts differ, so
+    the adaptive encoder emits scfsi 0/1/3 alongside 2; the decoded
+    signal must still track the original."""
+    sr = 44100
+    t = np.arange(11520)
+    sig = np.linspace(0.05, 0.9, len(t)) * np.sin(2 * np.pi * 440 * t / sr)
+    from lsh_ray.stages.mpeg_audio import _read_bits_vec
+    data = encode_mpeg1_layer2(sig, bitrate_kbps=384, max_steps=63)
+    dec, _ = decode_mpeg1(data)
+    assert _snr_db(sig, dec) > 25.0
+    # at least two distinct scfsi codes must appear in the first frame
+    # (B.2b mono: allocation = 94 bits after the 32-bit header)
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8)[:700]) \
+        .astype(np.int64)
+    pos = 32 + 3 * 4 + 8 * 4 + 12 * 3 + 7 * 2
+    codes = {int(_read_bits_vec(bits, np.array([pos + 2 * i]), 2)[0])
+             for i in range(30)}
+    assert len(codes) >= 2
+
+
+def test_l2_sblimit_respected():
+    """Low-rate Table B.2c streams carry only 8 subbands; content above
+    the sblimit must decode to (filterbank-shaped) near-silence even
+    though the source had energy there."""
+    sr = 44100
+    t = np.arange(5760)
+    hi = 0.5 * np.sin(2 * np.pi * 15000 * t / sr)     # subband ~21
+    dec, _ = decode_mpeg1(encode_mpeg1_layer2(
+        hi, sample_rate=sr, bitrate_kbps=48, max_steps=9))
+    assert np.abs(dec).max() < 0.05
+
+
+def test_l2_header_and_frame_size():
+    data = encode_mpeg1_layer2(_tone(n=1152), bitrate_kbps=192)
+    (word,) = struct.unpack_from(">I", data, 0)
+    h = parse_frame_header(word)
+    assert h["layer"] == 2 and h["bitrate"] == 192_000
+    assert len(data) == 144 * 192_000 // 44100
 
 
 def test_malformed_payloads_raise():
