@@ -37,6 +37,11 @@ def _add_config_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--limit", type=int, default=None,
                    help="corpus truncation (reference --num_audios analog)")
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--address", default="local",
+                   help="Ray cluster address: 'local' starts a "
+                        "single-node session; 'auto' attaches to the "
+                        "running cluster (the ray-job-submit driver "
+                        "path, see scripts/submit_job.sh)")
 
 
 def _config(args):
@@ -52,10 +57,13 @@ def _init_ray(args) -> None:
 
     import ray
     if not ray.is_initialized():
-        kwargs = {"address": "local", "include_dashboard": False,
-                  "logging_level": "ERROR"}
-        if args.num_cpus:
-            kwargs["num_cpus"] = args.num_cpus
+        address = getattr(args, "address", "local")
+        kwargs = {"address": address, "logging_level": "ERROR"}
+        if address == "local":
+            # single-node session: size it ourselves
+            kwargs["include_dashboard"] = False
+            if args.num_cpus:
+                kwargs["num_cpus"] = args.num_cpus
         ray.init(**kwargs)
     for name in ("ray.data._internal.execution.streaming_executor_state",
                  "ray.data._internal.arrow_ops.transform_pyarrow"):
