@@ -11,8 +11,10 @@ Scope and honesty about the boundary:
 - **MPEG-1 Layer I** frames (``.mp1``, and the Layer I frames that some
   ``.mp3``-named files actually carry) decode natively: full header
   parse, bit allocation, scalefactors, sample dequantization and the
-  ISO-structured polyphase synthesis filterbank. Mono, stereo and dual
-  -channel modes; intensity (joint) stereo raises.
+  ISO-structured polyphase synthesis filterbank. All four channel
+  modes: mono, stereo, dual-channel, and joint (intensity) stereo —
+  shared allocation + sample codes above the ``(mode_extension+1)*4``
+  bound with per-channel scalefactors.
 - **Layer II** (``.mp2``) decodes natively: Table B.2a-d allocation
   (selected per ISO's sampling-frequency x bitrate-per-channel rule),
   scfsi scalefactor sharing, grouped (3/5/9-step) and ungrouped sample
@@ -20,8 +22,9 @@ Scope and honesty about the boundary:
   ``C``/``D`` constants reduce algebraically to the closed form
   ``s'' = (2c + 1 - steps) / steps`` (verify: steps=7, C=8/7, D=1/4,
   s'''=c/4-1 gives C*(s'''+D) = (2c-6)/7), so no constant table is
-  transcribed. Mono / stereo / dual-channel; joint (intensity) stereo
-  raises.
+  transcribed. All four channel modes including joint (intensity)
+  stereo (shared allocation + sample codes above the bound,
+  per-channel scfsi/scalefactors).
 - **Layer III** needs the ISO Huffman code tables + IMDCT — pages of
   tabulated standard data with no closed form — so it raises a precise
   ``ValueError`` naming the missing piece rather than shipping an
@@ -200,24 +203,35 @@ def _read_bits_vec(bits: np.ndarray, starts: np.ndarray,
     return acc
 
 
+def _joint_bound(h: dict, sblimit: int) -> int:
+    """First subband of the shared (intensity) region: all subbands for
+    non-joint modes; ``(mode_extension + 1) * 4`` for joint stereo
+    (ISO 2.4.2.3), clamped to the table's sblimit."""
+    if h["mode"] != 1:
+        return sblimit
+    return min((h["mode_extension"] + 1) * 4, sblimit)
+
+
 def _decode_frame_l1(bits: np.ndarray, pos: int, h: dict,
                      ) -> tuple[np.ndarray, int]:
     """One Layer I frame's payload bits -> (12*32, n_ch) subband
     samples. ``bits`` is the frame's unpacked bit array; ``pos`` is the
-    first bit after header+CRC."""
+    first bit after header+CRC. Joint (intensity) stereo shares one
+    allocation + one sample code per subband above the bound, with
+    per-channel scalefactors."""
     n_ch = 1 if h["mode"] == 3 else 2
-    if h["mode"] == 1:
-        raise ValueError(
-            "MPEG-1 Layer I intensity (joint) stereo not supported "
-            "(modes: mono / stereo / dual-channel)")
+    bound = _joint_bound(h, 32)
     alloc = np.zeros((n_ch, 32), dtype=np.int64)
     for sb in range(32):
-        for ch in range(n_ch):
+        vals = []
+        for _ in range(n_ch if sb < bound else 1):
             a = _read_bits_vec(bits, np.array([pos]), 4)[0]
             pos += 4
             if a == 15:
                 raise ValueError("forbidden Layer I allocation 15")
-            alloc[ch, sb] = 0 if a == 0 else a + 1     # nb bits (2..15)
+            vals.append(0 if a == 0 else a + 1)        # nb bits (2..15)
+        for ch in range(n_ch):
+            alloc[ch, sb] = vals[ch if sb < bound else 0]
     sf = np.zeros((n_ch, 32))
     for sb in range(32):
         for ch in range(n_ch):
@@ -227,20 +241,23 @@ def _decode_frame_l1(bits: np.ndarray, pos: int, h: dict,
                 if i == 63:
                     raise ValueError("forbidden scalefactor index 63")
                 sf[ch, sb] = _SCALEFACTORS[i]
-    # samples: 12 groups x (sb-major, channel-minor) with constant
-    # per-group stride -> vectorized gather of all 12 codes per (sb,ch)
-    stride = int(alloc.sum(axis=0).sum())
+    # samples: 12 groups x (sb-major, channel-minor; one shared slot
+    # above the joint bound) with constant per-group stride ->
+    # vectorized gather of all 12 codes per slot
+    stride = int(alloc[:, :bound].sum()) + int(alloc[0, bound:].sum())
     out = np.zeros((12 * 32, n_ch))
     off = 0
     groups = np.arange(12) * stride
     for sb in range(32):
-        for ch in range(n_ch):
-            nb = int(alloc[ch, sb])
+        chans = range(n_ch) if sb < bound else (None,)
+        for ch in chans:
+            nb = int(alloc[0 if ch is None else ch, sb])
             if nb == 0:
                 continue
             codes = _read_bits_vec(bits, pos + off + groups, nb)
             s2 = (2 * codes + 1 - (1 << nb)) / float((1 << nb) - 1)
-            out[sb::32, ch] = sf[ch, sb] * s2
+            for c in range(n_ch) if ch is None else (ch,):
+                out[sb::32, c] = sf[c, sb] * s2
             off += nb
     return out, pos + 12 * stride
 
@@ -298,28 +315,29 @@ def _l2_cw_bits(steps: int) -> int:
 def _decode_frame_l2(bits: np.ndarray, pos: int, h: dict,
                      ) -> np.ndarray:
     """One Layer II frame's payload bits -> (36*32, n_ch) subband
-    samples (hop-major, matching ``_decode_frame_l1``'s layout)."""
+    samples (hop-major, matching ``_decode_frame_l1``'s layout). Joint
+    (intensity) stereo shares one allocation + one sample code per
+    subband above the bound, with per-channel scfsi/scalefactors."""
     n_ch = 1 if h["mode"] == 3 else 2
-    if h["mode"] == 1:
-        raise ValueError(
-            "MPEG-1 Layer II intensity (joint) stereo not supported "
-            "(modes: mono / stereo / dual-channel)")
     rows = _L2_TABLES[_l2_table_name(h["sample_rate"], h["bitrate"],
                                      n_ch)]
     sblimit = len(rows)
+    bound = _joint_bound(h, sblimit)
     one = np.zeros(1, dtype=np.int64)   # scalar read helper
     steps_of = np.zeros((n_ch, 32), dtype=np.int64)
     for sb in range(sblimit):
         nbal, steps_list = rows[sb]
-        for ch in range(n_ch):
+        vals = []
+        for _ in range(n_ch if sb < bound else 1):
             a = int(_read_bits_vec(bits, one + pos, nbal)[0])
             pos += nbal
             if a > len(steps_list):
                 raise ValueError(
                     f"Layer II allocation {a} out of range for subband "
                     f"{sb} (table row has {len(steps_list)} classes)")
-            if a:
-                steps_of[ch, sb] = steps_list[a - 1]
+            vals.append(steps_list[a - 1] if a else 0)
+        for ch in range(n_ch):
+            steps_of[ch, sb] = vals[ch if sb < bound else 0]
     scfsi = np.zeros((n_ch, 32), dtype=np.int64)
     for sb in range(sblimit):
         for ch in range(n_ch):
@@ -352,18 +370,20 @@ def _decode_frame_l2(bits: np.ndarray, pos: int, h: dict,
                 parts = [vals[0], vals[1], vals[1]]
             sf[ch, sb] = parts
     # samples: 12 granules x 3 hops; constant per-granule bit stride
-    offs: dict[tuple[int, int], int] = {}
+    # (one shared slot per subband above the joint bound)
+    slots: list[tuple[int, tuple[int, ...], int]] = []  # sb, chans, off
     gbits = 0
     for sb in range(sblimit):
-        for ch in range(n_ch):
-            s = int(steps_of[ch, sb])
+        for chans in ([(ch,) for ch in range(n_ch)] if sb < bound
+                      else [tuple(range(n_ch))]):
+            s = int(steps_of[chans[0], sb])
             if s:
-                offs[(sb, ch)] = gbits
+                slots.append((sb, chans, gbits))
                 gbits += _l2_cw_bits(s)
     groups = np.arange(12) * gbits
     out = np.zeros((36, 32, n_ch))
-    for (sb, ch), off in offs.items():
-        s = int(steps_of[ch, sb])
+    for sb, chans, off in slots:
+        s = int(steps_of[chans[0], sb])
         w = _l2_cw_bits(s)
         if s in (3, 5, 9):
             v = _read_bits_vec(bits, pos + off + groups, w)
@@ -375,8 +395,9 @@ def _decode_frame_l2(bits: np.ndarray, pos: int, h: dict,
                                          + groups, nb)
                           for k in range(3)], axis=1)     # (12, 3)
         s2 = (2 * c + 1 - s) / float(s)
-        out[:, sb, ch] = (s2 * np.repeat(sf[ch, sb], 4)[:, None]) \
-            .reshape(-1)
+        for ch in chans:
+            out[:, sb, ch] = (s2 * np.repeat(sf[ch, sb], 4)[:, None]) \
+                .reshape(-1)
     return out.reshape(36 * 32, n_ch)
 
 
@@ -437,7 +458,8 @@ def _put_bits(bits: list[int], v: int, w: int) -> None:
 
 def encode_mpeg1_layer2(samples: np.ndarray, sample_rate: int = 44100,
                         bitrate_kbps: int = 192, max_steps: int = 15,
-                        stereo: bool = False) -> bytes:
+                        stereo: bool = False,
+                        joint: bool = False) -> bytes:
     """Float samples in [-1, 1] -> MPEG-1 Layer II bitstream (the test
     -fixture encoder, same role as ``encode_mpeg1_layer1``): per
     subband the largest Table B.2 quantization class with
@@ -453,12 +475,16 @@ def encode_mpeg1_layer2(samples: np.ndarray, sample_rate: int = 44100,
     except ValueError:
         raise ValueError(
             f"bitrate_kbps must be one of {_BITRATES[2][1:]}") from None
+    if joint and not stereo:
+        raise ValueError("joint=True requires stereo=True")
     n_ch = 2 if stereo else 1
-    mode = 0 if stereo else 3
+    mode = 1 if joint else 0 if stereo else 3
+    mode_ext = 2                       # joint bound = (2 + 1) * 4 = 12
     sidx = _SAMPLE_RATES.index(sample_rate)
     rows = _L2_TABLES[_l2_table_name(sample_rate, bitrate_kbps * 1000,
                                      n_ch)]
     sblimit = len(rows)
+    bound = min(12, sblimit) if joint else sblimit
     # per-subband allocation: largest class with steps <= max_steps
     # (every row starts at 3 steps, so index 1 always exists)
     alloc_idx = []
@@ -473,13 +499,14 @@ def encode_mpeg1_layer2(samples: np.ndarray, sample_rate: int = 44100,
     sub = _analysis(sig)                              # (hops, 32)
     frame_bytes = 144 * bitrate_kbps * 1000 // sample_rate
     header = (0xFFF << 20 | 1 << 19 | 2 << 17 | 1 << 16 | bidx << 12
-              | sidx << 10 | mode << 6)
+              | sidx << 10 | mode << 6
+              | (mode_ext << 4 if joint else 0))
     out = bytearray()
     for f in range(n_frames):
         s = sub[f * 36: f * 36 + 36]                  # (36, 32)
         bits: list[int] = []
         for sb in range(sblimit):
-            for _ch in range(n_ch):
+            for _ch in range(n_ch if sb < bound else 1):
                 _put_bits(bits, alloc_idx[sb], rows[sb][0])
         # per-part scalefactor indices (smallest sf covering max|s|)
         sf_idx = np.zeros((32, 3), dtype=np.int64)
@@ -515,7 +542,7 @@ def encode_mpeg1_layer2(samples: np.ndarray, sample_rate: int = 44100,
                     c = int(round((s2 * steps + steps - 1) / 2.0))
                     c3.append(min(max(c, 0), steps - 1))
                 w = _l2_cw_bits(steps)
-                for _ch in range(n_ch):
+                for _ch in range(n_ch if sb < bound else 1):
                     if steps in (3, 5, 9):
                         _put_bits(bits, c3[0] + steps * c3[1]
                                   + steps * steps * c3[2], w)
@@ -535,7 +562,8 @@ def encode_mpeg1_layer2(samples: np.ndarray, sample_rate: int = 44100,
 
 def encode_mpeg1_layer1(samples: np.ndarray, sample_rate: int = 44100,
                         bitrate_kbps: int = 448, nbits: int = 9,
-                        stereo: bool = False) -> bytes:
+                        stereo: bool = False,
+                        joint: bool = False) -> bytes:
     """Float samples in [-1, 1] -> MPEG-1 Layer I bitstream (the test
     -fixture encoder, same role as ``encode_jpeg``): ISO analysis
     filterbank, smallest-covering scalefactor per (channel, subband),
@@ -551,8 +579,11 @@ def encode_mpeg1_layer1(samples: np.ndarray, sample_rate: int = 44100,
     except ValueError:
         raise ValueError(
             f"bitrate_kbps must be one of {_BITRATES[1][1:]}") from None
+    if joint and not stereo:
+        raise ValueError("joint=True requires stereo=True")
     n_ch = 2 if stereo else 1
-    mode = 0 if stereo else 3
+    mode = 1 if joint else 0 if stereo else 3
+    bound = 12 if joint else 32        # mode_extension 2 -> bound 12
     sidx = _SAMPLE_RATES.index(sample_rate)
     n_frames = -(-len(samples) // 384)
     sig = np.concatenate([np.asarray(samples, dtype=np.float64),
@@ -560,7 +591,7 @@ def encode_mpeg1_layer1(samples: np.ndarray, sample_rate: int = 44100,
     sub = _analysis(sig)                              # (hops, 32)
     frame_bytes = 4 * (12 * bitrate_kbps * 1000 // sample_rate)
     header = (0xFFF << 20 | 1 << 19 | 3 << 17 | 1 << 16 | bidx << 12
-              | sidx << 10 | mode << 6)
+              | sidx << 10 | mode << 6 | (2 << 4 if joint else 0))
     alloc_code = nbits - 1
     out = bytearray()
     for f in range(n_frames):
@@ -571,8 +602,8 @@ def encode_mpeg1_layer1(samples: np.ndarray, sample_rate: int = 44100,
             for j in range(w - 1, -1, -1):
                 bits.append((v >> j) & 1)
 
-        for _sb in range(32):
-            for _ch in range(n_ch):
+        for sb in range(32):
+            for _ch in range(n_ch if sb < bound else 1):
                 put(alloc_code, 4)
         sf_idx = np.zeros(32, dtype=np.int64)
         for sb in range(32):
@@ -591,7 +622,7 @@ def encode_mpeg1_layer1(samples: np.ndarray, sample_rate: int = 44100,
                 s2 = s[g, sb] / _SCALEFACTORS[sf_idx[sb]]
                 c = int(round((s2 * full + full) / 2.0))
                 c = min(max(c, 0), full)
-                for _ch in range(n_ch):
+                for _ch in range(n_ch if sb < bound else 1):
                     put(c, nbits)
         payload_bits = len(bits)
         total_bits = frame_bytes * 8 - 32

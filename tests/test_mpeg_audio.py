@@ -165,6 +165,43 @@ def test_l2_sblimit_respected():
     assert np.abs(dec).max() < 0.05
 
 
+def test_l1_joint_stereo_roundtrip():
+    """Joint (intensity) stereo: shared allocation + sample codes above
+    the bound, per-channel scalefactors — the broadcast channel mode."""
+    sig = _tone(n=8192)
+    data = encode_mpeg1_layer1(sig, stereo=True, joint=True, nbits=6)
+    (word,) = struct.unpack_from(">I", data, 0)
+    h = parse_frame_header(word)
+    assert h["mode"] == 1 and h["mode_extension"] == 2
+    dec, sr = decode_mpeg1(data)
+    assert sr == 44100 and _snr_db(sig, dec) > 25.0
+    # shared codes above the bound: the joint payload fits the frame
+    # at a quantizer depth where full stereo overflows it
+    with pytest.raises(ValueError, match="overflow"):
+        encode_mpeg1_layer1(sig, stereo=True, nbits=6)
+
+
+def test_l2_joint_stereo_roundtrip():
+    sig = _tone(n=11520)
+    data = encode_mpeg1_layer2(sig, stereo=True, joint=True,
+                               bitrate_kbps=320, max_steps=15)
+    (word,) = struct.unpack_from(">I", data, 0)
+    h = parse_frame_header(word)
+    assert h["mode"] == 1 and h["layer"] == 2
+    dec, sr = decode_mpeg1(data)
+    assert sr == 44100 and _snr_db(sig, dec) > 18.0
+
+
+def test_l2_stereo_equals_mono_on_duplicated_channels():
+    """A stereo stream carrying the same signal on both channels must
+    decode (mono-averaged) to exactly the mono stream's output."""
+    sig = _tone(n=5760)
+    a, _ = decode_mpeg1(encode_mpeg1_layer2(sig, bitrate_kbps=192))
+    b, _ = decode_mpeg1(encode_mpeg1_layer2(sig, stereo=True,
+                                            bitrate_kbps=384))
+    assert np.allclose(a, b[: len(a)], atol=1e-12)
+
+
 def test_l2_header_and_frame_size():
     data = encode_mpeg1_layer2(_tone(n=1152), bitrate_kbps=192)
     (word,) = struct.unpack_from(">I", data, 0)
