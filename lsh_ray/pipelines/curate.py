@@ -168,7 +168,11 @@ def run_curate(docs_ds, config: PipelineConfig = DEFAULT_CONFIG,
 
         dirty = stats.map_batches(dirty_only, batch_format="pyarrow",
                                   zero_copy_batch=True)
-        cleaned = anti_join(cleaned, dirty, "doc_id", "doc_id")
+        # pinned: the count below AND the next consumer (PII stage or
+        # the caller's write) both walk it — without this the whole
+        # anti-join/decontaminate DAG executes twice
+        cleaned = anti_join(cleaned, dirty, "doc_id", "doc_id") \
+            .materialize()
         metrics["n_cleaned"] = cleaned.count()
         before_decontam = metrics.get("n_line_dedup_kept",
                                       metrics["n_dedup_kept"])

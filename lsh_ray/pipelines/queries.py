@@ -2104,7 +2104,7 @@ ORACLE_SQL["url_dedup"] = (
 ORACLE_SQL["host_stats"] = (
     "WITH " + _pages_ctes() + ", "
     "pagerows AS (SELECT "
-    "regexp_replace(canonical_url, '^https://([^/]+).*$', '\\1', 'g') "
+    "regexp_replace(canonical_url, '^https://([^/?]+).*$', '\\1', 'g') "
     "AS host, canonical_url, COUNT(*) AS n_captures, "
     "SUM(n_chars) AS n_chars FROM canon GROUP BY 1, 2) "
     "SELECT host, CAST(SUM(n_captures) AS BIGINT) AS n_captures, "

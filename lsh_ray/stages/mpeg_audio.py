@@ -433,10 +433,18 @@ def decode_mpeg1(payload: bytes) -> tuple[np.ndarray, int]:
         bits = np.unpackbits(np.frombuffer(frame, dtype=np.uint8)) \
             .astype(np.int64)
         bit0 = 32 + (16 if h["protection"] == 0 else 0)
-        if h["layer"] == 1:
-            sub, _ = _decode_frame_l1(bits, bit0, h)
-        else:
-            sub = _decode_frame_l2(bits, bit0, h)
+        try:
+            if h["layer"] == 1:
+                sub, _ = _decode_frame_l1(bits, bit0, h)
+            else:
+                sub = _decode_frame_l2(bits, bit0, h)
+        except IndexError:
+            # corrupt payload whose declared allocation consumes more
+            # bits than the frame carries — keep the module's ValueError
+            # contract (skip-on-fail wrappers catch ValueError)
+            raise ValueError(
+                "corrupt MPEG frame: declared bit allocation exceeds "
+                "the frame payload") from None
         frames.append(sub)
         pos += nbytes
     if not frames:

@@ -92,12 +92,16 @@ def stratified_sample(ds, stratum_col: str = "lang", k: int = 5,
 
     def _topk(t: pa.Table, ranked: bool) -> pa.Table:
         if t.num_rows == 0:
-            out = {stratum_col: t[stratum_col], key_col: t[key_col],
-                   "h": pa.array([], pa.string())}
             if ranked:
-                out["sample_rank"] = pa.array([], pa.int64())
-                del out["h"]
-            return pa.table(out)
+                return pa.table({stratum_col: t[stratum_col],
+                                 key_col: t[key_col],
+                                 "sample_rank": pa.array([], pa.int64())})
+            # match the non-empty path's column order exactly
+            # ((key, stratum) select order + appended 'h') — mixed
+            # block schemas break the sort-mode exchange's concat
+            return pa.table({key_col: t[key_col],
+                             stratum_col: t[stratum_col],
+                             "h": pa.array([], pa.string())})
         if "h" not in t.column_names:
             h = [hashlib.md5(str(x).encode()).hexdigest()
                  for x in t[key_col].to_pylist()]
@@ -173,13 +177,18 @@ def exact_quantiles(ds, col: str, permille=(250, 500, 750, 900, 990),
                .groupby("value").aggregate(Sum("cnt", alias_name="n"))
                .materialize())
     if hist_ds.count() > max_cardinality:
+        from lsh_ray.functions.num import round_half_away
         from lsh_ray.stages.agg import dd_quantiles
         dd = dd_quantiles(ds, col,
                           qs=tuple(p / 1000.0 for p in permille))
         vals = dd[f"{col}_q"].to_numpy(zero_copy_only=False)
+        # repo rounding convention (half away from zero, not rint's
+        # half-to-even) when folding sketch midpoints into the int64
+        # schema
         return pa.table({
             "q": dd["q"],
-            f"{col}_q": pa.array(np.rint(vals).astype(np.int64))})
+            f"{col}_q": pa.array(
+                round_half_away(vals, 0).astype(np.int64))})
     hist = hist_ds.to_pandas().sort_values("value")
     cum = hist["n"].to_numpy().cumsum()
     n = int(cum[-1]) if len(cum) else 0

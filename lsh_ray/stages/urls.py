@@ -43,8 +43,14 @@ CANONICAL_STEPS: list[tuple[str, str]] = [
     (r"\?(?:utm_[a-z_]+|fbclid|gclid)=[^&#]*&", "?"),  # leading, with a successor
     (r"\?(?:utm_[a-z_]+|fbclid|gclid)=[^&#]*$", ""),   # leading, alone
     (r"\?$", ""),                                   # dangling separator
-    (r"/+\?", "?"),                                 # slash(es) before the query
-    (r"/+$", ""),                                   # trailing slash(es)
+    # slash(es) before the FIRST '?' (the path/query boundary): the
+    # lazy [^?]*? group pins the match to the path part, so '/'-runs
+    # inside query-string VALUES are never rewritten (a '?next=/foo/'
+    # param must not collapse with '?next=/foo')
+    (r"^([^?]*?)/+\?", r"\1?"),
+    # trailing slash(es), only when the URL carries no query at all —
+    # a trailing '/' at the end of a query value is part of the value
+    (r"^([^?]*?)/+$", r"\1"),
 ]
 
 
@@ -144,8 +150,11 @@ def host_stats(ds, url_col: str = "url", chars_col: str = "n_chars"):
     def page_block(t: pa.Table) -> pa.Table:
         g = t.group_by("canonical_url").aggregate(
             [([], "count_all"), (chars_col, "sum")])
+        # host stops at '/' OR '?': canonicalization produces path-less
+        # query URLs ('https://h?q=1'), whose query must not leak into
+        # the host
         host = pc.replace_substring_regex(
-            g["canonical_url"], pattern=r"^https://([^/]+).*$",
+            g["canonical_url"], pattern=r"^https://([^/?]+).*$",
             replacement=r"\1")
         return pa.table({"host": host,
                          "n_captures": g["count_all"],

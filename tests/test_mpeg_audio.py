@@ -219,6 +219,19 @@ def test_malformed_payloads_raise():
         decode_mpeg1(bytes(data))
 
 
+def test_corrupt_allocation_raises_valueerror_not_indexerror():
+    """A frame with a valid header whose allocation nibbles demand more
+    bits than the frame carries must raise the module's contractual
+    ValueError (skip-on-fail wrappers catch ValueError), never a raw
+    numpy IndexError."""
+    # 32 kbps mono Layer I at 44.1 kHz: 4*(12*32000//44100) = 32 bytes
+    header = (0xFFF << 20 | 1 << 19 | 3 << 17 | 1 << 16 | 1 << 12
+              | 0 << 10 | 3 << 6)
+    frame = struct.pack(">I", header) + b"\xee" * 28   # alloc=14 -> nb 15
+    with pytest.raises(ValueError, match="exceeds the frame payload"):
+        decode_mpeg1(frame)
+
+
 def test_truncated_final_frame_is_dropped_not_fatal():
     sig = _tone(n=3 * 384)
     data = encode_mpeg1_layer1(sig)

@@ -32,7 +32,40 @@ CASES = [
     ("https://a.com/path?x=1&y=2", "https://a.com/path?x=1&y=2"),
     # utm-lookalike inside the path is not a query param
     ("https://a.com/utm_source=decoy/page", "https://a.com/utm_source=decoy/page"),
+    # slash runs INSIDE query values are content, not path separators:
+    # '?next=/foo/?bar=1' must NOT collapse with '?next=/foo?bar=1'
+    ("https://a.com/p?next=/foo/?bar=1", "https://a.com/p?next=/foo/?bar=1"),
+    ("https://a.com/p?next=/foo?bar=1", "https://a.com/p?next=/foo?bar=1"),
+    ("https://a.com/p?path=/x/", "https://a.com/p?path=/x/"),
+    ("https://a.com/p?path=/x", "https://a.com/p?path=/x"),
+    # path-side slash runs still fold, query untouched
+    ("https://a.com/x//?q=1", "https://a.com/x?q=1"),
+    ("https://a.com/?q=1", "https://a.com?q=1"),
 ]
+
+
+def test_distinct_query_urls_stay_distinct():
+    """Regression: the un-anchored '/+\\?' / '/+$' steps rewrote slash
+    runs inside query-string VALUES, silently collapsing distinct pages
+    in url_dedup (and the shared-step oracle agreed on the wrong
+    answer). The path-anchored steps must keep them apart."""
+    pairs = [("https://a.com/p?next=/foo/?bar=1",
+              "https://a.com/p?next=/foo?bar=1"),
+             ("https://a.com/p?path=/x/", "https://a.com/p?path=/x")]
+    for u1, u2 in pairs:
+        c1, c2 = canonicalize_expr(pa.array([u1, u2])).to_pylist()
+        assert c1 != c2
+
+
+def test_host_extraction_stops_at_query():
+    """Regression: canonicalization produces path-less query URLs
+    ('https://h?q=1'); the host must not swallow the query string."""
+    import pyarrow.compute as pc
+    canon = canonicalize_expr(pa.array(["https://site.com/?q=1"]))
+    assert canon.to_pylist() == ["https://site.com?q=1"]
+    host = pc.replace_substring_regex(
+        canon, pattern=r"^https://([^/?]+).*$", replacement=r"\1")
+    assert host.to_pylist() == ["site.com"]
 
 
 def test_canonical_rules():
