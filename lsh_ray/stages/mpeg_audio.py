@@ -273,7 +273,7 @@ _L2_ROW_A2 = (4, (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047,
 _L2_ROW_A3 = (3, (3, 5, 7, 9, 15, 31, 65535))
 _L2_ROW_A4 = (2, (3, 5, 65535))
 _L2_ROW_C1 = (4, (3, 5, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
-                  8191, 16383, 32767, 65535))
+                  8191, 16383, 32767))
 _L2_ROW_C2 = (3, (3, 5, 9, 15, 31, 63, 127))
 
 _L2_TABLES = {

@@ -202,6 +202,37 @@ def test_l2_stereo_equals_mono_on_duplicated_channels():
     assert np.allclose(a, b[: len(a)], atol=1e-12)
 
 
+def test_l2_allocation_table_invariants():
+    """Structural ISO 11172-3 invariants of the transcribed B.2 tables
+    (guards transcription slips that a shared-table round trip cannot
+    catch): sblimits 27/30/8/12, nbal in {2,3,4}, strictly increasing
+    steps per row, every row starting at 3 steps, class counts filling
+    the nbal code space minus the zero code."""
+    from lsh_ray.stages.mpeg_audio import _L2_TABLES, _l2_table_name
+    assert {k: len(v) for k, v in _L2_TABLES.items()} == {
+        "B.2a": 27, "B.2b": 30, "B.2c": 8, "B.2d": 12}
+    for name, rows in _L2_TABLES.items():
+        for nbal, steps in rows:
+            assert nbal in (2, 3, 4)
+            assert steps[0] == 3 and steps[-1] in (127, 32767, 65535)
+            assert all(a < b for a, b in zip(steps, steps[1:]))
+            # every row fills its nbal code space exactly (codes 1..
+            # 2^nbal-1 select a class; 0 = silent) — this caught a
+            # 16-class transcription of the B.2c/d row 0-1 list
+            assert len(steps) == (1 << nbal) - 1
+            assert all(s in (3, 5, 9) or (s + 1) & s == 0
+                       for s in steps)   # grouped or 2^nb - 1
+    # selection rule: low rate -> C (D at 32 kHz); mid -> A; high ->
+    # B except at 48 kHz
+    assert _l2_table_name(44100, 48_000, 1) == "B.2c"
+    assert _l2_table_name(32000, 96_000, 2) == "B.2d"
+    assert _l2_table_name(48000, 64_000, 1) == "B.2a"
+    assert _l2_table_name(44100, 80_000, 1) == "B.2a"
+    assert _l2_table_name(44100, 192_000, 1) == "B.2b"
+    assert _l2_table_name(48000, 384_000, 2) == "B.2a"
+    assert _l2_table_name(32000, 192_000, 1) == "B.2b"
+
+
 def test_l2_header_and_frame_size():
     data = encode_mpeg1_layer2(_tone(n=1152), bitrate_kbps=192)
     (word,) = struct.unpack_from(">I", data, 0)
