@@ -889,6 +889,17 @@ def q_doc_hash_sample(sf_dir: str):
                              columns=["doc_id", "n_chars"]), "0d")
 
 
+def q_cluster_keep_longest(sf_dir: str):
+    """Quality-aware dedup keep policy: per near-dup cluster the member
+    with the MOST shingles (richest capture), ties -> MIN url — the
+    alternative to keep-min-key when near-dup groups mix truncated and
+    full captures. Bucketed join (clusters ≪ corpus) + combiner-pruned
+    grouped argmax; oracle: row_number() over the recursive-CTE
+    component set joined to the shingle-count CTE."""
+    from lsh_ray.stages.cluster import cluster_representatives
+    return cluster_representatives(_dedup_result(sf_dir))
+
+
 def q_near_dedup_keep(sf_dir: str):
     """The dedup 'apply' surface: the cleaned corpus after near-dup
     removal — every signed doc EXCEPT cluster members that are not
@@ -1402,6 +1413,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "stratified_sample": q_stratified_sample,
     "near_dedup_keep": q_near_dedup_keep,
+    "cluster_keep_longest": q_cluster_keep_longest,
     "top_tokens": q_top_tokens,
     "doc_length_quantiles": q_doc_length_quantiles,
     "event_seq": q_event_seq,
@@ -1806,6 +1818,18 @@ ORACLE_SQL = {
         "GROUP BY u) "
         "SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url FROM sizes "
         "EXCEPT SELECT url FROM cl WHERE url <> cluster_url"),
+    # quality-aware keep: per cluster the member with max n_sh, tie ->
+    # min url (mirrors cluster_representatives' grouped argmax)
+    "cluster_keep_longest": (
+        "WITH RECURSIVE " + _CC_CTES + ", "
+        "cl AS (SELECT u AS url, MIN(v) AS cluster_url FROM allr "
+        "GROUP BY u), "
+        "m AS (SELECT cl.cluster_url, cl.url, s.n_sh, "
+        "ROW_NUMBER() OVER (PARTITION BY cl.cluster_url "
+        "ORDER BY s.n_sh DESC, cl.url ASC) AS rn FROM cl JOIN sizes s "
+        "ON s.doc_id = CAST(replace(cl.url, 'doc://', '') AS BIGINT)) "
+        "SELECT cluster_url, CAST(n_sh AS INTEGER) AS n_shingles, url "
+        "FROM m WHERE rn = 1"),
     "minhash_signatures": (
         "WITH " + _SHINGLE_CTES + " "
         "SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, "

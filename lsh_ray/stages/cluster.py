@@ -398,6 +398,27 @@ def relabel_clusters_by_min_url(clusters_ds, signatures_ds,
             .map_groups(relabel, batch_format="pyarrow"))
 
 
+def cluster_representatives(res, order_col: str = "n_shingles"):
+    """DedupResult -> (cluster_url, n_shingles, url): per near-dup
+    cluster the member to KEEP under the content-richness policy — the
+    most shingles, ties broken by MIN url. The classic alternative to
+    keep-min-key: near-dup groups in crawl data mix truncated and full
+    captures, and the kept representative should be the richest one
+    (the NeMo-Curator-style quality-aware keep).
+
+    Plan: one bucketed join ships (url, n_shingles) onto the cluster
+    rows (clusters ≪ corpus), then grouped_top_k's combiner-pruned
+    argmax — exchange volume is bounded by clusters x blocks, never by
+    corpus rows."""
+    from lsh_ray.stages.join import bucket_join
+    from lsh_ray.stages.sampling import grouped_top_k
+
+    clusters = relabel_clusters_by_min_url(res.clusters, res.signatures)
+    sizes = res.signatures.select_columns(["url", order_col])
+    j = bucket_join(clusters, sizes, "url", "url", [order_col])
+    return grouped_top_k(j, "cluster_url", order_col, "url", k=1)
+
+
 def kept_after_dedup(res):
     """DedupResult -> (url,) of every signed doc EXCEPT non-representative
     cluster members (MIN-url representative wins) — the 'apply' step

@@ -127,3 +127,39 @@ def test_hot_cluster_stays_connected_through_salt_and_chain(rd):
     hot = cl[cl.doc_id.isin(hot_ids)]
     assert len(hot) == 80, "every hot doc must be clustered"
     assert hot.cluster_id.nunique() == 1, "hot cluster fragmented"
+
+
+def test_cluster_representatives_keep_longest_policy(rd):
+    """Quality-aware keep: per cluster the member with the most
+    shingles wins (ties -> min url). Cluster A's richest member is NOT
+    its min-url member, so the policy is observably different from
+    keep-min-url; cluster B ties on shingle count and falls back to
+    min url."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lsh_ray.config import PipelineConfig
+    from lsh_ray.pipelines.dedup_pipeline import run_dedup
+    from lsh_ray.stages.cluster import cluster_representatives
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(800)]
+    base = rng.choice(vocab, size=200, replace=False).tolist()
+    extra = rng.choice([f"x{i}" for i in range(100)], size=20,
+                       replace=False).tolist()
+    tie = " ".join(rng.choice(vocab, size=150, replace=False).tolist())
+    urls = ["a://short", "z://long", "m://t1", "n://t2"]
+    texts = [" ".join(base), " ".join(base + extra), tie, tie]
+    for i in range(40):  # noise
+        urls.append(f"noise://{i}")
+        texts.append(" ".join(rng.choice(vocab, size=120).tolist()))
+    docs = rd.from_arrow(pa.table({
+        "url": urls, "text": texts, "lang": ["en"] * len(urls)}))
+    res = run_dedup(docs, PipelineConfig())
+    reps = cluster_representatives(res).to_pandas()
+    by_cluster = dict(zip(reps.cluster_url, reps.url))
+    # cluster A: min url is a://short, but z://long has more shingles
+    assert by_cluster["a://short"] == "z://long"
+    # cluster B: equal shingle counts -> min url wins the tie
+    assert by_cluster["m://t1"] == "m://t1"
+    # exactly one representative per cluster
+    assert reps.cluster_url.is_unique
